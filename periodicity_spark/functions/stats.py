@@ -1,0 +1,66 @@
+"""Per-series scalar statistics as one distributed aggregation.
+
+The reference computes baseline / median_dt / dt as eager properties
+(core.py:504-519); several operators branch on them (grid derivation in GLS,
+spectral.py:88-97; p_min/p_max in PDM, phase.py:167-175). Here they are one
+groupBy over the ts table returning a small stats DataFrame, broadcastable
+into downstream plans.
+
+``dt`` (uniform spacing) is only defined when sampling is uniform — the
+reference raises otherwise (core.py:512-519). We carry ``is_uniform`` as a
+boolean computed with the same tolerance (isclose on diffs vs median diff)
+and let callers assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RTOL = 1e-05
+_ATOL = 1e-08
+
+
+def series_stats(ts: DataFrame) -> DataFrame:
+    """→ (series_id, n, n_value, mean, std, vmin, vmax, tmin, tmax,
+          baseline, median_dt, is_uniform, dt)"""
+    w = Window.partitionBy("series_id").orderBy("time")
+    diffs = ts.select(
+        "series_id",
+        "time",
+        "value",
+        (F.col("time") - F.lag("time").over(w)).alias("dt_i"),
+    )
+    # median_dt first, then a second pass for the numpy.isclose-style
+    # uniformity check: |dt_i − m| ≤ atol + rtol·|m| for every gap.
+    med = diffs.groupBy("series_id").agg(F.median("dt_i").alias("median_dt"))
+    uni = (
+        diffs.join(med, "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.bool_and(
+                F.col("dt_i").isNull()
+                | (F.abs(F.col("dt_i") - F.col("median_dt")) <= _ATOL + _RTOL * F.abs(F.col("median_dt")))
+            ).alias("is_uniform")
+        )
+    )
+    base = ts.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_value"),
+        F.avg("value").alias("mean"),
+        F.stddev_samp("value").alias("std"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.min("time").alias("tmin"),
+        F.max("time").alias("tmax"),
+    )
+    out = (
+        base.join(med, "series_id", "left")
+        .join(uni, "series_id", "left")
+        .withColumn("baseline", F.col("tmax") - F.col("tmin"))
+        .withColumn("dt", F.when(F.col("is_uniform"), F.col("median_dt")))
+    )
+    return out.select(
+        "series_id", "n", "n_value", "mean", "std", "vmin", "vmax",
+        "tmin", "tmax", "baseline", "median_dt", "is_uniform", "dt",
+    )

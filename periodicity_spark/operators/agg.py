@@ -1,0 +1,100 @@
+"""Per-series reductions (SURVEY.md §2.4). All NaN/NULL-skipping, matching the
+reference's np.nan* reducers (core.py:202-260) given NaN→NULL ingestion.
+Dimension routing (reduce over time → frequency-indexed result and vice
+versa, reference core.py:128-142) falls out of the groupBy key choice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def reduce_series(ts: DataFrame, *aggs: Column) -> DataFrame:
+    return ts.groupBy("series_id").agg(*aggs)
+
+
+def basic_stats(ts: DataFrame) -> DataFrame:
+    """sum/mean/median/std/var/min/max/count in one shuffle."""
+    return reduce_series(
+        ts,
+        F.sum("value").alias("sum"),
+        F.avg("value").alias("mean"),
+        F.median("value").alias("median"),
+        F.stddev_pop("value").alias("std"),
+        F.var_pop("value").alias("var"),
+        F.stddev_samp("value").alias("std_ddof1"),
+        F.var_samp("value").alias("var_ddof1"),
+        F.min("value").alias("amin"),
+        F.max("value").alias("amax"),
+        F.count("value").alias("count"),
+    )
+
+
+def argmax_rows(ts: DataFrame, coord: str = "time", value: str = "value") -> DataFrame:
+    """max()/tmax(): the row (coords + value) at the maximum
+    (reference core.py:217-220,521-522) — F.max_by keeps it one aggregate."""
+    return reduce_series(
+        ts,
+        F.max_by(F.col(coord), F.col(value)).alias(coord),
+        F.max(value).alias(value),
+    )
+
+
+def argmin_rows(ts: DataFrame, coord: str = "time", value: str = "value") -> DataFrame:
+    return reduce_series(
+        ts,
+        F.min_by(F.col(coord), F.col(value)).alias(coord),
+        F.min(value).alias(value),
+    )
+
+
+def cov_corr(a: DataFrame, b: DataFrame) -> DataFrame:
+    """cov/corr of two ts aligned on (series_id, time)
+    (reference core.py:560-564; alignment = xarray inner join)."""
+    joined = a.select("series_id", "time", F.col("value").alias("_x")).join(
+        b.select("series_id", "time", F.col("value").alias("_y")),
+        ["series_id", "time"],
+    )
+    return joined.groupBy("series_id").agg(
+        F.covar_samp("_x", "_y").alias("cov"),
+        F.corr("_x", "_y").alias("corr"),
+    )
+
+
+def polyfit_linear(ts: DataFrame) -> DataFrame:
+    """Degree-1 polyfit via closed-form normal equations as aggregates
+    (reference core.py:566-570 delegates to np.polyfit). Returns
+    (series_id, slope, intercept). Same math as SQL regr_slope/regr_intercept.
+    """
+    return reduce_series(
+        ts,
+        (
+            (F.avg(F.col("time") * F.col("value")) - F.avg("time") * F.avg("value"))
+            / (F.avg(F.col("time") * F.col("time")) - F.avg("time") * F.avg("time"))
+        ).alias("slope"),
+    ).join(
+        reduce_series(ts, F.avg("value").alias("_my"), F.avg("time").alias("_mt")),
+        "series_id",
+    ).select(
+        "series_id",
+        "slope",
+        (F.col("_my") - F.col("slope") * F.col("_mt")).alias("intercept"),
+    )
+
+
+def hist(ts: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
+    """Histogram = groupBy(width_bucket) (reference core.py:280-281)."""
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy(
+            "series_id",
+            F.width_bucket(F.col("value"), F.lit(lo), F.lit(hi), F.lit(nbins)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def baseline(ts: DataFrame) -> DataFrame:
+    """t_max − t_min (reference core.py:504-506)."""
+    return reduce_series(ts, (F.max("time") - F.min("time")).alias("baseline"))

@@ -1,0 +1,133 @@
+"""Resampling: downsample (binned agg), fill_gaps, interp (as-of join), pad.
+SURVEY.md §2.4/§2.5 mappings of reference core.py:629-715.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from periodicity_spark.functions.stats import series_stats
+
+
+def downsample(ts: DataFrame, dt: float, agg: Column | None = None) -> DataFrame:
+    """Binned aggregation onto a uniform grid (reference core.py:629-634).
+
+    Reference semantics, reproduced exactly: L = len(arange(tmin, tmax, dt))
+    equal-width right-closed bins over [tmin, tmax] (pandas.cut style, lowest
+    point included in bin 0), output time label = tmin + k·dt (the arange
+    labels), empty bins dropped. Default aggregator nanmean → F.avg; custom
+    aggregators: any Column over "value" (reference accepts func=...)."""
+    if agg is None:
+        agg = F.avg("value")
+    stats = series_stats(ts).select("series_id", "tmin", "tmax")
+    b = ts.join(F.broadcast(stats), "series_id")
+    nbins = F.ceil((F.col("tmax") - F.col("tmin")) / F.lit(dt)).cast("int")
+    width = (F.col("tmax") - F.col("tmin")) / nbins
+    bucket = F.greatest(
+        F.ceil((F.col("time") - F.col("tmin")) / width) - 1, F.lit(0)
+    ).cast("long")
+    return (
+        b.groupBy("series_id", bucket.alias("bucket"), F.col("tmin"))
+        .agg(agg.alias("value"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            "series_id",
+            (F.col("tmin") + F.col("bucket") * F.lit(dt)).alias("time"),
+            "value",
+        )
+    )
+
+
+def fill_gaps(ts: DataFrame, dt: float | None = None, gap_factor: float = 1.2) -> DataFrame:
+    """Insert NULL-valued timestamps inside gaps larger than gap_factor·dt
+    (reference core.py:703-715): the reference walks each gap inserting
+    tᵢ+dt, tᵢ+2dt, … while the remaining distance to tᵢ₊₁ exceeds 1.2·dt,
+    i.e. k = floor((G/dt) − gap_factor) + 1 points for a gap of size G.
+    Here: one lead() window + sequence/explode — distributed, no driver loop.
+    Follow with interpolate_na to repair."""
+    if dt is None:
+        med = series_stats(ts).select("series_id", F.col("median_dt").alias("_dt"))
+        b = ts.join(F.broadcast(med), "series_id")
+    else:
+        b = ts.withColumn("_dt", F.lit(float(dt)))
+    w = Window.partitionBy("series_id").orderBy("time")
+    nxt = F.lead("time").over(w)
+    n_insert = (
+        F.floor((F.col("_next") - F.col("time")) / F.col("_dt") - F.lit(gap_factor)).cast("int")
+        + 1
+    )
+    gaps = (
+        b.withColumn("_next", nxt)
+        .filter(
+            F.col("_next").isNotNull()
+            & ((F.col("_next") - F.col("time")) > gap_factor * F.col("_dt"))
+        )
+        .select(
+            "series_id",
+            F.explode(F.sequence(F.lit(1), n_insert)).alias("_k"),
+            "time",
+            "_dt",
+        )
+        .select(
+            "series_id",
+            (F.col("time") + F.col("_k") * F.col("_dt")).alias("time"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    return ts.select("series_id", "time", "value").unionByName(gaps)
+
+
+def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Linear interpolation onto a new time grid — the as-of-join pattern
+    (reference interp(), core.py:636-662, and the np.interp as-of join in
+    CompositeSpectrum, timefrequency.py:317).
+
+    grid: (series_id, time) or (time) applied to every series. For each probe
+    time, find the bracketing sample rows and blend linearly; outside the
+    range, clamp to the edge value (np.interp semantics).
+
+    Implementation: union probes with samples, one window pass computes the
+    previous/next sample per probe (no O(N²) join, one sort per series — at
+    scale this is the merge-join formulation of as-of)."""
+    if "series_id" not in grid.columns:
+        sids = ts.select("series_id").distinct()
+        grid = sids.crossJoin(grid)
+    probes = grid.select("series_id", F.col("time").cast("double").alias("time")).withColumn(
+        "_is_probe", F.lit(1)
+    ).withColumn("value", F.lit(None).cast("double"))
+    samples = ts.filter(F.col("value").isNotNull()).select(
+        "series_id", "time", "value"
+    ).withColumn("_is_probe", F.lit(0))
+    u = samples.unionByName(probes)
+    # order probes after samples at identical time so exact hits take the sample
+    w = Window.partitionBy("series_id").orderBy("time", "_is_probe")
+    prev_t = F.last(F.when(F.col("_is_probe") == 0, F.col("time")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_v = F.last(F.when(F.col("_is_probe") == 0, F.col("value")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w2 = Window.partitionBy("series_id").orderBy("time", "_is_probe")
+    next_t = F.first(F.when(F.col("_is_probe") == 0, F.col("time")), ignorenulls=True).over(
+        w2.rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_v = F.first(F.when(F.col("_is_probe") == 0, F.col("value")), ignorenulls=True).over(
+        w2.rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = (
+        u.withColumn("_pt", prev_t)
+        .withColumn("_pv", prev_v)
+        .withColumn("_nt", next_t)
+        .withColumn("_nv", next_v)
+        .filter(F.col("_is_probe") == 1)
+    )
+    blend = F.when(F.col("_pt").isNull(), F.col("_nv")).when(
+        F.col("_nt").isNull(), F.col("_pv")
+    ).when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv")
+        + (F.col("_nv") - F.col("_pv"))
+        * (F.col("time") - F.col("_pt"))
+        / (F.col("_nt") - F.col("_pt"))
+    )
+    return out.select("series_id", "time", blend.alias("value"))

@@ -1,0 +1,155 @@
+"""Ordered per-series window operators (SURVEY.md §2.5) — the heart of the
+engine. The reference does these with array indexing; here every one is a
+Window.partitionBy("series_id").orderBy(...) expression, so Catalyst fuses
+chains sharing the same window spec into one SortExec + one WindowExec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from periodicity_spark.functions.expressions import (
+    derivative as derivative_expr,
+    is_peak_candidate,
+    sessionize,
+    zero_crossing_flag,
+)
+
+
+def derivative(ts: DataFrame) -> DataFrame:
+    """Centered finite-difference d/dt (reference core.py:524-526)."""
+    return ts.select("series_id", "time", derivative_expr().alias("value"))
+
+
+def teo(ts: DataFrame) -> DataFrame:
+    """Teager Energy Operator ẏ² − y·ÿ (reference core.py:528-535):
+    composition of two derivative windows; both reuse the same sort."""
+    d1 = derivative_expr("value", "time")
+    step1 = ts.select("series_id", "time", F.col("value"), d1.alias("d1"))
+    d2 = derivative_expr("d1", "time")
+    return step1.select(
+        "series_id",
+        "time",
+        (F.col("d1") * F.col("d1") - F.col("value") * d2).alias("value"),
+    )
+
+
+def find_peaks(ts: DataFrame, value: str = "value", include_edges: bool = False) -> DataFrame:
+    """Local maxima rows (reference core.py:283-317, scipy strict-neighbor
+    semantics for non-plateau data). Prominences: see ``find_peaks_prominence``.
+    """
+    return (
+        ts.withColumn("_is_peak", is_peak_candidate(value, include_edges=include_edges))
+        .filter(F.col("_is_peak"))
+        .drop("_is_peak")
+    )
+
+
+def find_dips(ts: DataFrame, value: str = "value", include_edges: bool = False) -> DataFrame:
+    """reference core.py:319-339: dips = −(−x).find_peaks()"""
+    neg = ts.withColumn(value, -F.col(value))
+    return find_peaks(neg, value, include_edges).withColumn(value, -F.col(value))
+
+
+def find_peaks_prominence(ts: DataFrame, order_col: str = "time", value: str = "value") -> DataFrame:
+    """Peaks with exact scipy-style prominences (reference attaches
+    ``prominences`` attrs, core.py:283-317). The prominence scan (walk out to
+    the nearest higher point on each side, take max of the min-valleys) is
+    sequential → Arrow-batched applyInPandas per series; output one row per
+    peak: (series_id, <order_col>, <value>, prominence).
+    """
+    import pandas as pd
+
+    out_schema = f"series_id string, {order_col} double, {value} double, prominence double"
+
+    def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(order_col)
+        x = pdf[value].to_numpy(dtype=float)
+        t = pdf[order_col].to_numpy(dtype=float)
+        n = len(x)
+        if n < 3:
+            return pd.DataFrame(columns=["series_id", order_col, value, "prominence"])
+        mid = x[1:-1]
+        peaks = np.where((mid > x[:-2]) & (mid > x[2:]))[0] + 1
+        proms = np.empty(len(peaks))
+        for j, p in enumerate(peaks):
+            # left: min between p and previous higher sample (or edge)
+            i = p - 1
+            left_min = x[p]
+            while i >= 0 and x[i] <= x[p]:
+                left_min = min(left_min, x[i])
+                i -= 1
+            i = p + 1
+            right_min = x[p]
+            while i < n and x[i] <= x[p]:
+                right_min = min(right_min, x[i])
+                i += 1
+            proms[j] = x[p] - max(left_min, right_min)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                order_col: t[peaks],
+                value: x[peaks],
+                "prominence": proms,
+            }
+        )
+
+    return ts.groupBy("series_id").applyInPandas(_per_series, out_schema)
+
+
+def find_zero_crossings(ts: DataFrame) -> DataFrame:
+    """Rows where the sign flips vs the previous row (reference core.py:341-367)."""
+    return (
+        ts.withColumn("_zc", zero_crossing_flag())
+        .filter(F.col("_zc"))
+        .drop("_zc")
+    )
+
+
+def split(ts: DataFrame, max_gap: float | None = None) -> DataFrame:
+    """Sessionization: add ``segment`` id, breaking where Δt > max_gap
+    (reference split(), core.py:619-627; default 1.5·median_dt)."""
+    if max_gap is None:
+        from periodicity_spark.functions.stats import series_stats
+
+        med = series_stats(ts).select("series_id", (1.5 * F.col("median_dt")).alias("_gap"))
+        ts = ts.join(F.broadcast(med), "series_id")
+        gap = F.col("_gap")
+        out = ts.withColumn("segment", sessionize(gap)).drop("_gap")
+        return out
+    return ts.withColumn("segment", sessionize(float(max_gap)))
+
+
+def pad_reflect(ts: DataFrame, pad_width_rows: int) -> DataFrame:
+    """np.pad(..., mode="reflect") on both time and values
+    (reference core.py:726-739): mirror the first/last k interior rows around
+    the edge points. Generates 2k extra rows per series via windows + union —
+    no driver loop."""
+    w = Window.partitionBy("series_id").orderBy("time")
+    wn = Window.partitionBy("series_id")
+    df = ts.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    t0 = F.first("time").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    edges = df.withColumn("_t0", F.min("time").over(wn)).withColumn("_t1", F.max("time").over(wn))
+    left = (
+        edges.filter((F.col("_rn") >= 2) & (F.col("_rn") <= pad_width_rows + 1))
+        .select(
+            "series_id",
+            (2 * F.col("_t0") - F.col("time")).alias("time"),
+            "value",
+        )
+    )
+    right = (
+        edges.filter(F.col("_rn") >= F.col("_n") - pad_width_rows)
+        .filter(F.col("_rn") <= F.col("_n") - 1)
+        .select(
+            "series_id",
+            (2 * F.col("_t1") - F.col("time")).alias("time"),
+            "value",
+        )
+    )
+    return left.unionByName(ts.select("series_id", "time", "value")).unionByName(right)

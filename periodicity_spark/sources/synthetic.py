@@ -1,0 +1,89 @@
+"""Synthetic signal generators, as Spark DataFrames built from spark.range.
+
+Spark-first equivalents of the reference's bundled generators
+(reference data/__init__.py:67-173): the whole series is declared as column
+expressions over ``spark.range`` — no driver-side arrays — so a generator at
+N=1e9 rows is still a distributed plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TWO_PI = 2.0 * math.pi
+
+
+def sine(
+    spark: SparkSession,
+    n: int = 100,
+    period: float = 10.0,
+    series_id: str = "sine",
+    t0: float = 0.0,
+    dt: float = 1.0,
+    amp: float = 1.0,
+) -> DataFrame:
+    """value = amp*sin(2π·t/period) on a uniform grid (tests/test_spectral.py:27-31)."""
+    return spark.range(n).select(
+        F.lit(series_id).alias("series_id"),
+        (F.lit(t0) + F.col("id") * F.lit(dt)).cast("double").alias("time"),
+        (F.lit(amp) * F.sin(F.lit(TWO_PI / period) * (F.lit(t0) + F.col("id") * F.lit(dt)))).alias("value"),
+    )
+
+
+def constant(spark: SparkSession, n: int, dt: float = 0.1, value: float = 1.0, series_id: str = "const") -> DataFrame:
+    return spark.range(n).select(
+        F.lit(series_id).alias("series_id"),
+        (F.col("id") * F.lit(dt)).cast("double").alias("time"),
+        F.lit(float(value)).alias("value"),
+    )
+
+
+def sustained_plus_gapped_pure_tones(spark: SparkSession, series_id: str = "two_tones") -> DataFrame:
+    """Two-tone fixture (reference data/__init__.py:105-123): a sustained
+    0.065-cycle sine over t∈[0,1000) plus a 0.255-cycle burst on t∈[500,750)."""
+    t = F.col("id").cast("double")
+    sustained = F.sin(F.lit(TWO_PI * 0.065) * t)
+    burst = F.when(
+        (t >= 500) & (t < 750), F.sin(F.lit(TWO_PI * 0.255) * (t - F.lit(500.0)))
+    ).otherwise(F.lit(0.0))
+    return spark.range(1000).select(
+        F.lit(series_id).alias("series_id"),
+        t.alias("time"),
+        (sustained + burst).alias("value"),
+    )
+
+
+def duffing_wave(spark: SparkSession, n: int = 1024, series_id: str = "duffing") -> DataFrame:
+    """Damped chirp (reference data/__init__.py:154-173 shape)."""
+    t = F.col("id").cast("double") / F.lit(n / 8.0)
+    return spark.range(n).select(
+        F.lit(series_id).alias("series_id"),
+        t.alias("time"),
+        (F.exp(-t / F.lit(8.0)) * F.sin(F.lit(TWO_PI) * t * (F.lit(1.0) + t / F.lit(16.0)))).alias("value"),
+    )
+
+
+def gappy_sine(
+    spark: SparkSession,
+    n: int = 1000,
+    period: float = 50.0,
+    null_every: int = 17,
+    gap_ranges: tuple[tuple[int, int], ...] = ((300, 340), (700, 760)),
+    series_id: str = "gappy",
+) -> DataFrame:
+    """Uniform sine with NULL runs and removed spans — exercises split /
+    fill_gaps / interpolate_na (reference core.py:619-627,664-715)."""
+    t = F.col("id").cast("double")
+    keep = F.lit(True)
+    for lo, hi in gap_ranges:
+        keep = keep & ~((F.col("id") >= lo) & (F.col("id") < hi))
+    value = F.sin(F.lit(TWO_PI / period) * t)
+    value = F.when(F.col("id") % null_every == 0, F.lit(None)).otherwise(value)
+    return (
+        spark.range(n)
+        .where(keep)
+        .select(F.lit(series_id).alias("series_id"), t.alias("time"), value.alias("value"))
+    )

@@ -1,0 +1,199 @@
+"""Generalized Lomb-Scargle periodogram, Spark-first.
+
+Semantics follow the reference GLS (reference spectral.py:43-135, after
+Zechmeister & Kürster 2009): heteroscedastic weights, optional floating mean,
+PSD or normalized output, default grid df = 1/(n·baseline), fmin = df/2,
+fmax = 1/(2·median_dt) (reference spectral.py:88-97).
+
+Two execution paths (engine-level strategy, like the reference's own
+conv-vs-FFT pick in WPS):
+
+(a) **Distributed exact O(N·F)** — the default. The (series, frequency) grid
+    joins the samples on series_id and one shuffle aggregates the six
+    Zechmeister-Kürster trig sums; the power finish is pure column math.
+    Everything stays in whole-stage codegen; scales over N×F×#series, which
+    is what matters at 100 TB. The grid side is broadcast when small.
+
+(b) **Per-series O(N log N)** — Press & Rybicki (1989) FFT extirpolation
+    (reference spectral.py:11-40) inside an Arrow-batched applyInPandas,
+    parallel across series. Preferable when single series are huge and the
+    grid is dense.
+
+Both return the pg schema (series_id, frequency, power).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from periodicity_spark.functions.stats import series_stats
+
+TWO_PI = 2.0 * math.pi
+
+
+def default_freq_grid(ts: DataFrame, n: float = 5.0) -> DataFrame:
+    """Per-series np.arange(fmin, fmax+df, df) with the reference defaults
+    (spectral.py:88-97): df=1/(n·baseline), fmin=df/2, fmax=1/(2·median_dt).
+
+    Implemented as sequence+explode over the per-series stats row — the grid
+    is declared, not materialized on the driver.
+    """
+    st = series_stats(ts).select(
+        "series_id",
+        (1.0 / (F.col("baseline") * F.lit(float(n)))).alias("df"),
+    ).join(
+        series_stats(ts).select("series_id", "median_dt"), "series_id"
+    )
+    # number of points in arange(fmin, fmax+df, df) = ceil((stop-start)/step)
+    st = st.select(
+        "series_id",
+        "df",
+        (0.5 * F.col("df")).alias("fmin"),
+        (0.5 / F.col("median_dt")).alias("fmax"),
+    ).withColumn(
+        "nf",
+        F.ceil((F.col("fmax") + F.col("df") - F.col("fmin")) / F.col("df")).cast("int"),
+    )
+    return st.select(
+        "series_id",
+        F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("k"),
+        "fmin",
+        "df",
+    ).select(
+        "series_id",
+        (F.col("fmin") + F.col("k") * F.col("df")).alias("frequency"),
+    )
+
+
+def uniform_freq_grid(
+    spark: SparkSession, fmin: float, df: float, nf: int
+) -> DataFrame:
+    """Global grid fmin + k·df, k∈[0, nf) — one row per frequency, no series key."""
+    return spark.range(nf).select((F.lit(fmin) + F.col("id") * F.lit(df)).alias("frequency"))
+
+
+def gls_periodogram(
+    ts: DataFrame,
+    freq_grid: DataFrame | None = None,
+    n: float = 5.0,
+    psd: bool = False,
+    fit_mean: bool = True,
+    err_col: str | None = None,
+) -> DataFrame:
+    """Distributed exact GLS (path a).
+
+    ts: (series_id, time, value [, err_col]); NULL values are dropped first
+    (reference reducers are nan-skipping).
+    freq_grid: (frequency) or (series_id, frequency); default reference grid.
+    """
+    ts = ts.filter(F.col("value").isNotNull())
+    werr = (
+        F.lit(1.0)
+        if err_col is None
+        else F.pow(F.col(err_col), F.lit(-2.0))
+    )
+    base = ts.withColumn("werr", werr)
+
+    # Pass 1 — per-series weight normalization + (weighted) mean + YY
+    # (reference spectral.py:99-107,120): wsum = Σ err⁻², ybar = Σw·y,
+    # YY = Σw·(y−ybar)². Small result, broadcast into the main join.
+    pre = base.groupBy("series_id").agg(
+        F.sum("werr").alias("wsum"),
+        (F.sum(F.col("werr") * F.col("value")) / F.sum("werr")).alias("ybar_w"),
+    )
+    ybar = F.col("ybar_w") if fit_mean else F.lit(0.0)
+    pre = pre.withColumn("ybar", ybar).select("series_id", "wsum", "ybar")
+
+    yy = (
+        base.join(F.broadcast(pre), "series_id")
+        .groupBy("series_id")
+        .agg((F.sum(F.col("werr") * F.pow(F.col("value") - F.col("ybar"), 2)) / F.first("wsum")).alias("YY"))
+    )
+    consts = pre.join(yy, "series_id")
+
+    if freq_grid is None:
+        freq_grid = default_freq_grid(ts, n=n)
+    if "series_id" in freq_grid.columns:
+        joined = base.join(F.broadcast(pre), "series_id").join(
+            freq_grid, "series_id"
+        )
+    else:
+        joined = base.join(F.broadcast(pre), "series_id").crossJoin(
+            F.broadcast(freq_grid)
+        )
+
+    w = F.col("werr") / F.col("wsum")
+    y = F.col("value") - F.col("ybar")
+    theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
+    sums = joined.groupBy("series_id", "frequency").agg(
+        F.sum(w * F.sin(theta)).alias("S"),
+        F.sum(w * F.cos(theta)).alias("C"),
+        F.sum(w * F.sin(2 * theta)).alias("S2"),
+        F.sum(w * F.cos(2 * theta)).alias("C2"),
+        F.sum(w * y * F.sin(theta)).alias("Sh"),
+        F.sum(w * y * F.cos(theta)).alias("Ch"),
+    )
+
+    sums = sums.join(F.broadcast(consts), "series_id")
+
+    # Power finish — column transliteration of reference spectral.py:113-132.
+    if fit_mean:
+        tan2wt = (F.col("S2") - 2 * F.col("S") * F.col("C")) / (
+            F.col("C2") - (F.col("C") * F.col("C") - F.col("S") * F.col("S"))
+        )
+    else:
+        tan2wt = F.col("S2") / F.col("C2")
+    norm = F.sqrt(1 + tan2wt * tan2wt)
+    S2w = tan2wt / norm
+    C2w = 1 / norm
+    Cw = F.sqrt(F.lit(0.5)) * F.sqrt(1 + C2w)
+    Sw = F.sqrt(F.lit(0.5)) * F.signum(S2w) * F.sqrt(1 - C2w)
+    YC = F.col("Ch") * Cw + F.col("Sh") * Sw
+    YS = F.col("Sh") * Cw - F.col("Ch") * Sw
+    CC = 0.5 * (1 + F.col("C2") * C2w + F.col("S2") * S2w)
+    SS = 0.5 * (1 - F.col("C2") * C2w - F.col("S2") * S2w)
+    if fit_mean:
+        CC = CC - (F.col("C") * Cw + F.col("S") * Sw) ** 2
+        SS = SS - (F.col("S") * Cw - F.col("C") * Sw) ** 2
+    power = YC * YC / CC + YS * YS / SS
+    if psd:
+        power = power * (0.5 * F.col("wsum"))
+    else:
+        power = power / F.col("YY")
+    return sums.select("series_id", "frequency", power.alias("power"))
+
+
+class GLS:
+    """Configured-callable facade matching the reference API shape
+    (reference spectral.py:53-73): ``GLS(fmin, fmax, n, psd)(ts)`` → pg DF.
+    No hidden mutable state — results are returned, not cached."""
+
+    def __init__(self, fmin: float | None = None, fmax: float | None = None, n: float = 5.0, psd: bool = False):
+        self.fmin = fmin
+        self.fmax = fmax
+        self.n = n
+        self.psd = psd
+
+    def __call__(self, ts: DataFrame, err_col: str | None = None, fit_mean: bool = True) -> DataFrame:
+        grid = None
+        if self.fmin is not None and self.fmax is not None:
+            # explicit global bounds, reference-style step from per-series
+            # baseline is replaced by an explicit arange over [fmin, fmax]
+            spark = ts.sparkSession
+            # df from the first series' baseline is data-dependent; for the
+            # explicit-bounds API we require the caller to accept n-based
+            # density over the union baseline:
+            stats = series_stats(ts).agg(F.max("baseline").alias("b")).collect()[0]
+            df = 1.0 / (stats["b"] * self.n)
+            nf = int(math.ceil((self.fmax + df - self.fmin) / df))
+            grid = uniform_freq_grid(spark, self.fmin, df, nf)
+        return gls_periodogram(ts, freq_grid=grid, n=self.n, psd=self.psd, fit_mean=fit_mean, err_col=err_col)
+
+    def window(self, ts: DataFrame) -> DataFrame:
+        """Spectral window (reference spectral.py:165-167): GLS of the
+        constant-1 signal with fit_mean=False."""
+        ones = ts.withColumn("value", F.lit(1.0))
+        return self(ones, fit_mean=False)

@@ -1,0 +1,87 @@
+"""Operations on periodogram (pg) DataFrames: peak ranking and best-period
+extraction (reference core.py:938-978). ``period`` is always the derived
+column 1/frequency — generated, never stored (reference core.py:874-876).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _peak_rows(pg: DataFrame) -> DataFrame:
+    """Interior local maxima of power over the frequency order (scipy
+    find_peaks strict-neighbor semantics, reference core.py:283-317)."""
+    w = Window.partitionBy("series_id").orderBy("frequency")
+    p = F.col("power")
+    prev, nxt = F.lag("power").over(w), F.lead("power").over(w)
+    return pg.withColumn("_prev", prev).withColumn("_next", nxt).filter(
+        F.col("_prev").isNotNull()
+        & F.col("_next").isNotNull()
+        & (p > F.col("_prev"))
+        & (p > F.col("_next"))
+    ).drop("_prev", "_next")
+
+
+def find_peaks_pg(pg: DataFrame) -> DataFrame:
+    return _peak_rows(pg).select(
+        "series_id",
+        "frequency",
+        (1.0 / F.col("frequency")).alias("period"),
+        "power",
+    )
+
+
+def period_at_highest_peak(pg: DataFrame) -> DataFrame:
+    """→ (series_id, period): period of the tallest interior peak
+    (reference core.py:952-955). One aggregate over the peak rows."""
+    return (
+        _peak_rows(pg)
+        .groupBy("series_id")
+        .agg(F.max_by(1.0 / F.col("frequency"), F.col("power")).alias("period"))
+    )
+
+
+def psort_by_peak(pg: DataFrame, k: int | None = None) -> DataFrame:
+    """Peak periods ranked by height (reference core.py:944-946); optional
+    top-k via rank filter (no global sort at scale)."""
+    w = Window.partitionBy("series_id").orderBy(F.desc("power"))
+    ranked = _peak_rows(pg).withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "series_id", "rank", (1.0 / F.col("frequency")).alias("period"), "power"
+    )
+
+
+def periods_at_half_max(pg: DataFrame) -> DataFrame:
+    """FWHM of the tallest peak (reference core.py:963-978): crossing points
+    of power − height/2 nearest the peak on each side, reported as periods.
+    Native: one join of the pg rows against the per-series peak row + two
+    conditional aggregates over the crossing flags."""
+    best = (
+        _peak_rows(pg)
+        .groupBy("series_id")
+        .agg(
+            F.max_by("frequency", "power").alias("_fpeak"),
+            F.max("power").alias("_ppeak"),
+        )
+    )
+    w = Window.partitionBy("series_id").orderBy("frequency")
+    df = pg.join(F.broadcast(best), "series_id").withColumn(
+        "_rel", F.col("power") - F.col("_ppeak") / 2
+    )
+    sign_flip = F.lag(F.signum(F.col("_rel"))).over(w).isNotNull() & (
+        F.signum(F.col("_rel")) != F.lag(F.signum(F.col("_rel"))).over(w)
+    )
+    crossings = df.filter(sign_flip)
+    return crossings.groupBy("series_id").agg(
+        (
+            1.0
+            / F.min(F.when(F.col("frequency") > F.col("_fpeak"), F.col("frequency")))
+        ).alias("lower_period"),
+        (
+            1.0
+            / F.max(F.when(F.col("frequency") <= F.col("_fpeak"), F.col("frequency")))
+        ).alias("upper_period"),
+    )
