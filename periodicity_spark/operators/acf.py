@@ -12,7 +12,6 @@ Two paths, like the reference's own algorithmic choice:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,8 +68,11 @@ def acf_fft(ts: DataFrame, max_lag: int | None = None, unbias: bool = False) -> 
     parallel across series, O(N log N) within one."""
     out_schema = "series_id string, lag double, acf double"
 
-    def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+    # closure is self-contained (imports inside) so cloudpickle ships it by
+    # value — executors don't need the package on their PYTHONPATH
+    def _per_series(pdf):
         import numpy as np
+        import pandas as pd
 
         pdf = pdf.sort_values("time")
         y = pdf["value"].to_numpy(dtype=float)

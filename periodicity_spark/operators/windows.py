@@ -59,12 +59,14 @@ def find_peaks_prominence(ts: DataFrame, order_col: str = "time", value: str = "
     sequential → Arrow-batched applyInPandas per series; output one row per
     peak: (series_id, <order_col>, <value>, prominence).
     """
-    import pandas as pd
-
     out_schema = f"series_id string, {order_col} double, {value} double, prominence double"
 
-    def _per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+    # NOTE: the closure imports pandas/numpy inside and references no module
+    # globals — cloudpickle then ships it by value, so executors never need
+    # periodicity_spark importable (driver may run from any cwd/PYTHONPATH).
+    def _per_series(pdf):
         import numpy as np
+        import pandas as pd
 
         pdf = pdf.sort_values(order_col)
         x = pdf[value].to_numpy(dtype=float)
