@@ -465,37 +465,38 @@ FROM s
 
 
 def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _ts(spark, sf_dir)
-    big = ts.groupBy("series_id").agg(F.count("value").alias("_n")).filter(
-        F.col("_n") >= GLS_MIN_N
-    )
-    ts = ts.join(F.broadcast(big.select("series_id")), "series_id")
     grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(ts, freq_grid=grid)
+    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
     return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
 
 
 def _gls_sql(select_clause: str, tail: str = "") -> str:
     return f"""
 WITH {TS_SQL},
-big AS (SELECT series_id FROM ts GROUP BY 1 HAVING count(value) >= {GLS_MIN_N}),
-t2 AS (SELECT ts.* FROM ts JOIN big USING (series_id)),
-pre AS (SELECT series_id, count(*)::DOUBLE AS n, sum(value) / count(*) AS ybar FROM t2 GROUP BY 1),
-yy2 AS (
-  SELECT t.series_id, sum((t.value - p.ybar) * (t.value - p.ybar)) / max(p.n) AS yyv
-  FROM t2 t JOIN pre p USING (series_id) GROUP BY t.series_id
+pre AS (
+  SELECT series_id, count(*)::DOUBLE AS n,
+         sum(value) / sum(1.0) AS ybar,
+         sum(value * value) / sum(1.0) - (sum(value) / sum(1.0)) * (sum(value) / sum(1.0)) AS yyv
+  FROM ts GROUP BY 1 HAVING count(*) >= {GLS_MIN_N}
 ),
+t2 AS (SELECT ts.* FROM ts JOIN pre USING (series_id)),
+yy2 AS (SELECT series_id, yyv FROM pre),
 grid AS (SELECT {GLS_FMIN} + {GLS_DF} * unnest(range({GLS_NF})) AS frequency),
-sums AS (
-  SELECT t.series_id, g.frequency,
-    sum(sin(2 * pi() * g.frequency * t."time") / p.n) AS s1,
-    sum(cos(2 * pi() * g.frequency * t."time") / p.n) AS c1,
-    sum(sin(4 * pi() * g.frequency * t."time") / p.n) AS s2,
-    sum(cos(4 * pi() * g.frequency * t."time") / p.n) AS c2,
-    sum((t.value - p.ybar) * sin(2 * pi() * g.frequency * t."time") / p.n) AS sh,
-    sum((t.value - p.ybar) * cos(2 * pi() * g.frequency * t."time") / p.n) AS ch
+z AS (
+  SELECT t.series_id, g.frequency, 1.0 / p.n AS w, t.value - p.ybar AS y,
+         sin(2 * pi() * g.frequency * t."time") AS s,
+         cos(2 * pi() * g.frequency * t."time") AS c
   FROM t2 t JOIN pre p USING (series_id) CROSS JOIN grid g
-  GROUP BY t.series_id, g.frequency
+),
+sums AS (
+  SELECT series_id, frequency,
+    sum(w * s) AS s1,
+    sum(w * c) AS c1,
+    sum(w * (2 * s * c)) AS s2,
+    sum(w * (1 - 2 * s * s)) AS c2,
+    sum(w * y * s) AS sh,
+    sum(w * y * c) AS ch
+  FROM z GROUP BY series_id, frequency
 ),
 fin AS (
   SELECT s.series_id, s.frequency, y.yyv,
@@ -527,13 +528,8 @@ SQL_GLS_POWER = _gls_sql(
 
 
 def q_gls_best_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _ts(spark, sf_dir)
-    big = ts.groupBy("series_id").agg(F.count("value").alias("_n")).filter(
-        F.col("_n") >= GLS_MIN_N
-    )
-    ts = ts.join(F.broadcast(big.select("series_id")), "series_id")
     grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(ts, freq_grid=grid)
+    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
     best = period_at_highest_peak(pg)
     return best.select("series_id", "period")
 

@@ -1,0 +1,113 @@
+"""EMD / LMD as Spark operators: per-series Arrow UDFs around the NumPy
+kernels (reference decomposition.py:93-117, 185-203). Parallel across
+series — the sifting loop itself is inherently sequential (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from periodicity_spark.session import ensure_worker_imports
+
+
+def emd_modes(
+    ts: DataFrame,
+    max_modes: int | None = None,
+    include_residue: bool = False,
+    max_iter: int = 2000,
+    pad_width: int = 2,
+    theta_1: float = 0.05,
+    theta_2: float = 0.50,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """→ modes DF (series_id, mode, time, value); mode −1 is the residue when
+    ``include_residue``."""
+    ensure_worker_imports(ts.sparkSession)
+    mm = max_modes
+
+    def _per_series(pdf):
+        import pandas as pd
+        from periodicity_spark.decomposition.kernels import emd
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        modes, residue = emd(
+            t, x, max_modes=mm, max_iter=max_iter, pad_width=pad_width,
+            theta_1=theta_1, theta_2=theta_2, alpha=alpha,
+        )
+        sid = pdf["series_id"].iloc[0]
+        frames = [
+            pd.DataFrame({"series_id": sid, "mode": k, "time": t, "value": m})
+            for k, m in enumerate(modes)
+        ]
+        if include_residue:
+            frames.append(
+                pd.DataFrame({"series_id": sid, "mode": -1, "time": t, "value": residue})
+            )
+        if not frames:
+            return pd.DataFrame(columns=["series_id", "mode", "time", "value"])
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(_per_series, "series_id string, mode int, time double, value double")
+    )
+
+
+def lmd_modes(
+    ts: DataFrame, max_modes: int | None = None, max_iter: int = 10,
+    smooth_iter: int = 12, eps: float = 1e-6,
+) -> DataFrame:
+    """Local Mean Decomposition → (series_id, mode, time, amp, func):
+    product functions PFₖ = Aₖ·Fₖ (reference returns [A, F] pairs,
+    decomposition.py:196)."""
+    ensure_worker_imports(ts.sparkSession)
+    mm = max_modes
+
+    def _per_series(pdf):
+        import pandas as pd
+        from periodicity_spark.decomposition.kernels import lmd
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        pfs, _residue = lmd(t, x, max_modes=mm, max_iter=max_iter,
+                            smooth_iter=smooth_iter, eps=eps)
+        sid = pdf["series_id"].iloc[0]
+        frames = [
+            pd.DataFrame(
+                {"series_id": sid, "mode": k, "time": t, "amp": A, "func": Fc}
+            )
+            for k, (A, Fc) in enumerate(pfs)
+        ]
+        if not frames:
+            return pd.DataFrame(columns=["series_id", "mode", "time", "amp", "func"])
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series,
+            "series_id string, mode int, time double, amp double, func double",
+        )
+    )
+
+
+def orthogonality_matrix(modes: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation of modes (reference
+    decomposition.py:361-375) — native: self-join on (series_id, time),
+    one corr aggregate per (mode_i, mode_j)."""
+    a = modes.select("series_id", "time", F.col("mode").alias("mode_i"), F.col("value").alias("_vi"))
+    b = modes.select(
+        F.col("series_id").alias("_sid"), F.col("time").alias("_t"),
+        F.col("mode").alias("mode_j"), F.col("value").alias("_vj"),
+    )
+    return (
+        a.join(b, (F.col("series_id") == F.col("_sid")) & (F.col("time") == F.col("_t")))
+        .groupBy("series_id", "mode_i", "mode_j")
+        .agg(F.corr("_vi", "_vj").alias("corr"))
+    )

@@ -151,7 +151,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
     → (d1, d2, jaccard ≥ threshold)."""
-    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    # the shingle set feeds signatures AND both sides of the verify join —
+    # persist it so the explode+distinct shuffle runs once, not three times
+    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify(cand, sh, threshold=threshold)

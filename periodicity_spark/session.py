@@ -37,3 +37,25 @@ def get_spark(app_name: str = "periodicity_spark", shuffle_partitions: int | Non
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_worker_imports(spark) -> None:
+    """Ship the periodicity_spark package to executor Python workers.
+
+    UDF kernels that import package modules (decomposition kernels) need the
+    package importable on workers regardless of the driver's cwd/PYTHONPATH —
+    e.g. when the harness builds its own SparkSession. Zips the package once
+    per session and registers it via ``sc.addPyFile`` (idempotent)."""
+    if getattr(spark, "_ps_pyfiles_added", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = pathlib.Path(tempfile.gettempdir()) / "periodicity_spark_pkg.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            z.write(f, "periodicity_spark/" + str(f.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(str(zpath))
+    spark._ps_pyfiles_added = True

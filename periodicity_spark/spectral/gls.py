@@ -44,8 +44,7 @@ def default_freq_grid(ts: DataFrame, n: float = 5.0) -> DataFrame:
     st = series_stats(ts).select(
         "series_id",
         (1.0 / (F.col("baseline") * F.lit(float(n)))).alias("df"),
-    ).join(
-        series_stats(ts).select("series_id", "median_dt"), "series_id"
+        "median_dt",
     )
     # number of points in arange(fmin, fmax+df, df) = ceil((stop-start)/step)
     st = st.select(
@@ -82,12 +81,21 @@ def gls_periodogram(
     psd: bool = False,
     fit_mean: bool = True,
     err_col: str | None = None,
+    min_count: int | None = None,
 ) -> DataFrame:
     """Distributed exact GLS (path a).
 
     ts: (series_id, time, value [, err_col]); NULL values are dropped first
     (reference reducers are nan-skipping).
     freq_grid: (frequency) or (series_id, frequency); default reference grid.
+    min_count: drop series with fewer samples (spectrally degenerate).
+
+    Scan economy (matters when ts is the 100 TB fact table): exactly TWO
+    scans — one stats aggregation producing (wsum, ybar, YY, n) per series
+    via the algebraic identity YY = Σw·y²/Σw − ȳ² (no second pass over
+    mean-subtracted values), and the main grid-join aggregation. The stats
+    side is broadcast; the only big shuffle is the (series, frequency)
+    aggregate of the six trig sums.
     """
     ts = ts.filter(F.col("value").isNotNull())
     werr = (
@@ -97,22 +105,23 @@ def gls_periodogram(
     )
     base = ts.withColumn("werr", werr)
 
-    # Pass 1 — per-series weight normalization + (weighted) mean + YY
-    # (reference spectral.py:99-107,120): wsum = Σ err⁻², ybar = Σw·y,
-    # YY = Σw·(y−ybar)². Small result, broadcast into the main join.
-    pre = base.groupBy("series_id").agg(
+    # Pass 1 — reference spectral.py:99-107,120 in one aggregation.
+    stats = base.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("_n"),
         F.sum("werr").alias("wsum"),
-        (F.sum(F.col("werr") * F.col("value")) / F.sum("werr")).alias("ybar_w"),
+        F.sum(F.col("werr") * F.col("value")).alias("_swy"),
+        F.sum(F.col("werr") * F.col("value") * F.col("value")).alias("_swyy"),
     )
-    ybar = F.col("ybar_w") if fit_mean else F.lit(0.0)
-    pre = pre.withColumn("ybar", ybar).select("series_id", "wsum", "ybar")
-
-    yy = (
-        base.join(F.broadcast(pre), "series_id")
-        .groupBy("series_id")
-        .agg((F.sum(F.col("werr") * F.pow(F.col("value") - F.col("ybar"), 2)) / F.first("wsum")).alias("YY"))
+    if min_count is not None:
+        stats = stats.filter(F.col("_n") >= min_count)
+    ybar = (F.col("_swy") / F.col("wsum")) if fit_mean else F.lit(0.0)
+    pre = stats.select(
+        "series_id",
+        "wsum",
+        ybar.alias("ybar"),
+        (F.col("_swyy") / F.col("wsum") - ybar * ybar).alias("YY"),
     )
-    consts = pre.join(yy, "series_id")
+    consts = pre.select("series_id", "wsum", "YY")
 
     if freq_grid is None:
         freq_grid = default_freq_grid(ts, n=n)
@@ -125,16 +134,26 @@ def gls_periodogram(
             F.broadcast(freq_grid)
         )
 
-    w = F.col("werr") / F.col("wsum")
-    y = F.col("value") - F.col("ybar")
+    # Project sinθ/cosθ once, derive the double-angle terms algebraically
+    # (sin2θ = 2sc, cos2θ = 1−2s²) — halves the transcendental work, which
+    # dominates the crossJoin aggregate at scale.
     theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
-    sums = joined.groupBy("series_id", "frequency").agg(
-        F.sum(w * F.sin(theta)).alias("S"),
-        F.sum(w * F.cos(theta)).alias("C"),
-        F.sum(w * F.sin(2 * theta)).alias("S2"),
-        F.sum(w * F.cos(2 * theta)).alias("C2"),
-        F.sum(w * y * F.sin(theta)).alias("Sh"),
-        F.sum(w * y * F.cos(theta)).alias("Ch"),
+    proj = joined.select(
+        "series_id",
+        "frequency",
+        (F.col("werr") / F.col("wsum")).alias("_w"),
+        (F.col("value") - F.col("ybar")).alias("_y"),
+        F.sin(theta).alias("_s"),
+        F.cos(theta).alias("_c"),
+    )
+    w, y, s, c = F.col("_w"), F.col("_y"), F.col("_s"), F.col("_c")
+    sums = proj.groupBy("series_id", "frequency").agg(
+        F.sum(w * s).alias("S"),
+        F.sum(w * c).alias("C"),
+        F.sum(w * (2 * s * c)).alias("S2"),
+        F.sum(w * (1 - 2 * s * s)).alias("C2"),
+        F.sum(w * y * s).alias("Sh"),
+        F.sum(w * y * c).alias("Ch"),
     )
 
     sums = sums.join(F.broadcast(consts), "series_id")
