@@ -921,6 +921,243 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+
+
+def q_roll3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_transform.roll(_ts(spark, sf_dir), 3)
+    return out.select("series_id", "time", "value")
+
+
+SQL_ROLL3 = f"""
+WITH {TS_SQL},
+p AS (
+  SELECT series_id, "time", value,
+         row_number() OVER (PARTITION BY series_id ORDER BY "time") - 1 AS pos,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM ts
+)
+SELECT a.series_id AS series_id, a."time" AS "time", b.value AS value
+FROM p a JOIN p b
+  ON b.series_id = a.series_id
+ AND b.pos = (((a.pos - 3) % a.n) + a.n) % a.n
+"""
+
+
+def q_slice_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_transform.slice_by_position(_ts(spark, sf_dir), 2, 6)
+    return out.select("series_id", "time", "value")
+
+
+SQL_SLICE_POS = f"""
+WITH {TS_SQL},
+p AS (
+  SELECT series_id, "time", value,
+         row_number() OVER (PARTITION BY series_id ORDER BY "time") - 1 AS pos
+  FROM ts
+)
+SELECT series_id, "time", value FROM p WHERE pos >= 2 AND pos < 6
+"""
+
+
+def q_fill_gaps_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_resample.fill_gaps(_ts(spark, sf_dir), dt=0.1)
+    return out.groupBy("series_id").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+SQL_FILL_GAPS_COUNT = f"""
+WITH {TS_SQL},
+g AS (
+  SELECT series_id, "time",
+         lead("time") OVER (PARTITION BY series_id ORDER BY "time") AS nxt
+  FROM ts
+),
+ins AS (
+  SELECT series_id,
+         CASE WHEN nxt IS NOT NULL AND (nxt - "time") > 1.2 * 0.1
+              THEN floor((nxt - "time") / 0.1 - 1.2)::BIGINT + 1
+              ELSE 0 END AS k
+  FROM g
+)
+SELECT series_id, count(*) + sum(k) AS n_rows FROM ins GROUP BY 1
+"""
+
+
+def q_interp_halfday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(61).select((F.col("id") * F.lit(0.5)).alias("time"))
+    out = ops_resample.interp_linear(_ts(spark, sf_dir), grid)
+    return out.select("series_id", "time", "value")
+
+
+SQL_INTERP_HALFDAY = f"""
+WITH {TS_SQL},
+sids AS (SELECT DISTINCT series_id FROM ts),
+probes AS (
+  SELECT s.series_id, 0.5 * g.k AS "time", 1 AS isp,
+         NULL::DOUBLE AS value
+  FROM sids s, (SELECT unnest(range(61)) AS k) g
+),
+u AS (
+  SELECT series_id, "time", value, 0 AS isp FROM ts
+  UNION ALL
+  SELECT series_id, "time", value, isp FROM probes
+),
+w AS (
+  SELECT series_id, "time", isp,
+    last_value(CASE WHEN isp = 0 THEN "time" END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(CASE WHEN isp = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN isp = 0 THEN "time" END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(CASE WHEN isp = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM u
+)
+SELECT series_id, "time",
+       CASE WHEN pt IS NULL THEN nv
+            WHEN nt IS NULL THEN pv
+            WHEN nt = pt THEN pv
+            ELSE pv + (nv - pv) * ("time" - pt) / (nt - pt) END AS value
+FROM w WHERE isp = 1
+"""
+
+
+def q_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_clean.estimate_noise(_ts(spark, sf_dir))
+    return out.select("series_id", F.round("noise", 6).alias("noise"))
+
+
+SQL_NOISE_ESTIMATE = f"""
+WITH {TS_SQL},
+e AS (
+  SELECT series_id, "time", value,
+         coalesce(lag(value) OVER w, value) AS vp,
+         coalesce(lead(value) OVER w, value) AS vn
+  FROM ts WINDOW w AS (PARTITION BY series_id ORDER BY "time")
+),
+r AS (
+  SELECT series_id, "time",
+         value - greatest(least(vp, value), least(greatest(vp, value), vn)) AS rv
+  FROM e
+),
+s0 AS (SELECT series_id, avg(rv) AS mu, stddev_pop(rv) AS sd FROM r GROUP BY 1),
+k1 AS (SELECT r.* FROM r JOIN s0 USING (series_id) WHERE abs(r.rv - s0.mu) < 3 * s0.sd),
+s1 AS (SELECT series_id, avg(rv) AS mu, stddev_pop(rv) AS sd FROM k1 GROUP BY 1),
+k2 AS (SELECT r.* FROM r JOIN s1 USING (series_id) WHERE abs(r.rv - s1.mu) < 3 * s1.sd),
+s2 AS (SELECT series_id, avg(rv) AS mu, stddev_pop(rv) AS sd FROM k2 GROUP BY 1)
+SELECT series_id, round(sd / 0.893421, 6) AS noise FROM s2
+"""
+
+
+def q_gls_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.bootstrap import gls_model
+
+    grid = spark.range(121).select((F.col("id") * F.lit(0.25)).alias("time"))
+    out = gls_model(_ts(spark, sf_dir), f0=1.0, new_times=grid)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+SQL_GLS_MODEL_FIT = f"""
+WITH {TS_SQL},
+prep AS (
+  SELECT series_id, "time", value,
+         sin(2 * pi() * 1.0 * "time") AS s, cos(2 * pi() * 1.0 * "time") AS c
+  FROM ts
+),
+mean_df AS (SELECT series_id, sum(value) / sum(1.0) AS ymean FROM prep GROUP BY 1),
+g AS (
+  SELECT p.series_id,
+         sum(1.0) AS a11, sum(p.s) AS a12, sum(p.c) AS a13,
+         sum(p.s * p.s) AS a22, sum(p.s * p.c) AS a23, sum(p.c * p.c) AS a33,
+         sum(p.value - m.ymean) AS b1,
+         sum(p.s * (p.value - m.ymean)) AS b2,
+         sum(p.c * (p.value - m.ymean)) AS b3,
+         max(m.ymean) AS ymean
+  FROM prep p JOIN mean_df m USING (series_id) GROUP BY 1
+),
+sol AS (
+  SELECT series_id, ymean,
+    (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)) AS det,
+    (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)) AS t1,
+    (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)) AS t2,
+    (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)) AS t3
+  FROM g
+),
+grid AS (SELECT 0.25 * unnest(range(121)) AS "time")
+SELECT s.series_id AS series_id, g."time" AS "time",
+       round(s.ymean + s.t1 / s.det
+             + (s.t2 / s.det) * sin(2 * pi() * 1.0 * g."time")
+             + (s.t3 / s.det) * cos(2 * pi() * 1.0 * g."time"), 6) AS value
+FROM sol s CROSS JOIN grid g
+"""
+
+
+# --- rows-only additions (UDF / kernel paths) --------------------------------
+
+
+def q_butterworth_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_clean.butterworth(_ts(spark, sf_dir), fmin=0.2, fmax=2.0)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+def q_acf_period_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops_clean.acf_period_quality(_ts(spark, sf_dir), p_min=0.5, p_max=5.0)
+
+
+def q_emd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.decomposition import emd_modes
+
+    return emd_modes(_ts(spark, sf_dir))
+
+
+def q_wps_gwps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.timefrequency import gwps as tf_gwps, wps as tf_wps
+
+    tf = tf_wps(_ts(spark, sf_dir), [0.5, 1.0, 2.0, 4.0, 8.0])
+    return tf_gwps(tf, masked=True)
+
+
+def q_hht_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.timefrequency import hht as tf_hht
+    from periodicity_spark.timefrequency.hht import marginal_spectrum
+
+    grid = [0.1 * k for k in range(11)]
+    return marginal_spectrum(tf_hht(_ts(spark, sf_dir), grid, method="HT"))
+
+
+def q_composite_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.timefrequency import composite_spectrum as cs
+
+    return cs(_ts(spark, sf_dir), [0.5, 1.0, 2.0, 4.0, 8.0])
+
+
+def q_psd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.fft import psd as fft_psd
+
+    return fft_psd(_ts(spark, sf_dir))
+
+
+def q_gls_bootstrap_fap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.bootstrap import fap as gls_fap, gls_bootstrap_replicates
+
+    ts = _ts(spark, sf_dir)
+    # keep the bootstrap cheap at check time: top-8 longest series only
+    big = (
+        ts.groupBy("series_id").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "series_id").limit(8).select("series_id")
+    )
+    sub = ts.join(F.broadcast(big), "series_id")
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, 32)
+    reps = gls_bootstrap_replicates(sub, grid, n_bootstraps=20, seed=11)
+    pg = gls_periodogram(sub, freq_grid=grid)
+    obs = pg.groupBy("series_id").agg(F.max("power").alias("power"))
+    return gls_fap(reps, obs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -959,11 +1196,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
+        "roll3": q_roll3,
+        "slice_pos": q_slice_pos,
+        "fill_gaps_count": q_fill_gaps_count,
+        "interp_halfday": q_interp_halfday,
+        "noise_estimate": q_noise_estimate,
+        "gls_model_fit": q_gls_model_fit,
         # UDF/approx paths — no SQL oracle (driver does rows-only check)
         "acf_fft": q_acf_fft,
         "peak_prominence": q_peak_prominence,
         "multimodal_features": q_multimodal_features,
         "simsearch_lsh": q_simsearch_lsh,
+        "butterworth_band": q_butterworth_band,
+        "acf_period_quality": q_acf_period_quality,
+        "emd": q_emd,
+        "wps_gwps": q_wps_gwps,
+        "hht_marginal": q_hht_marginal,
+        "composite_spectrum": q_composite_spectrum,
+        "psd": q_psd,
+        "gls_bootstrap_fap": q_gls_bootstrap_fap,
     }
 
 
@@ -996,4 +1247,10 @@ def oracle_sql() -> dict[str, str]:
         "stopword_hits": SQL_STOPWORD_HITS,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
+        "roll3": SQL_ROLL3,
+        "slice_pos": SQL_SLICE_POS,
+        "fill_gaps_count": SQL_FILL_GAPS_COUNT,
+        "interp_halfday": SQL_INTERP_HALFDAY,
+        "noise_estimate": SQL_NOISE_ESTIMATE,
+        "gls_model_fit": SQL_GLS_MODEL_FIT,
     }

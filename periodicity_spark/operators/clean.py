@@ -235,3 +235,136 @@ def estimate_noise(ts: DataFrame, sigma: float = 3.0, n_iter: int = 3) -> DataFr
         )
     finally:
         residue.unpersist()
+
+
+def butterworth(
+    ts: DataFrame,
+    fmin: float | None = None,
+    fmax: float | None = None,
+    order: int = 5,
+) -> DataFrame:
+    """Zero-phase IIR Butterworth band/low/high-pass (reference
+    core.py:776-807). Inherently recursive → per-series Arrow UDF around the
+    NumPy design in operators/iir.py; parallel across series only."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(ts.sparkSession)
+    if fmin is None and fmax is None:
+        raise ValueError("At least one of 'fmin' and 'fmax' must be given!")
+    lo, hi, ordn = fmin, fmax, order
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.operators.iir import butter_sos, sosfiltfilt
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        nyq = 0.5 / float(np.median(np.diff(t)))
+        if lo is not None and hi is None:
+            sos = butter_sos(ordn, lo / nyq, "highpass")
+        elif lo is None and hi is not None:
+            sos = butter_sos(ordn, hi / nyq, "lowpass")
+        else:
+            sos = butter_sos(ordn, [lo / nyq, hi / nyq], "bandpass")
+        y = sosfiltfilt(sos, x)
+        return pd.DataFrame({"series_id": pdf["series_id"].iloc[0], "time": t, "value": y})
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(_per_series, "series_id string, time double, value double")
+    )
+
+
+def acf_period_quality(ts: DataFrame, p_min: float, p_max: float) -> DataFrame:
+    """Band-pass → ACF → (smooth) → best peak by prominence → damped-cosine
+    least-squares fit → quality factor (reference core.py:809-853).
+    → (series_id, best_period, height, quality). The whole pipeline runs
+    per series in one Arrow UDF (each step is sequential on a short ACF)."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(ts.sparkSession)
+    pmin_, pmax_ = float(p_min), float(p_max)
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.operators.iir import butter_sos, sosfiltfilt, nelder_mead
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        empty = pd.DataFrame(columns=["series_id", "best_period", "height", "quality"])
+        if len(t) < 16:
+            return empty
+        dt = float(np.median(np.diff(t)))
+        nyq = 0.5 / dt
+        wn = [max(1e-6, (1.0 / pmax_) / nyq), min(0.999, (1.0 / pmin_) / nyq)]
+        y = sosfiltfilt(butter_sos(5, wn, "bandpass"), x)
+        # ACF via FFT (reference core.py:578-608)
+        ml = int(np.searchsorted(t - t[0], 2 * pmax_))
+        ml = min(max(ml, 2), len(y))
+        nfft = int(2.0 * len(y))
+        psd = np.abs(np.fft.rfft(y - y.mean(), n=nfft)) ** 2
+        ryy = np.fft.irfft(psd)[:ml]
+        if ryy[0] == 0:
+            return empty
+        ryy = ryy / ryy[0]
+        lags = (t - t[0])[:ml]
+        if pmax_ >= 20:
+            width = int(pmax_ // 10)
+            if width >= 2:
+                if width % 2 == 0:
+                    kern = np.full(width + 1, 1.0 / width)
+                    kern[0] /= 2
+                    kern[-1] /= 2
+                else:
+                    kern = np.full(width, 1.0 / width)
+                k = len(kern) // 2
+                padded = np.concatenate([ryy[1:k+1][::-1], ryy, ryy[-k-1:-1][::-1]])
+                ryy = np.convolve(padded, kern, mode="valid")[: len(lags)]
+                mx = np.abs(ryy).max()
+                if mx > 0:
+                    ryy = ryy / mx
+        # peaks + prominences
+        mid = ryy[1:-1]
+        pk = np.where((mid > ryy[:-2]) & (mid > ryy[2:]))[0] + 1
+        if len(pk) == 0:
+            return empty
+        proms = np.empty(len(pk))
+        for j, p in enumerate(pk):
+            i = p - 1
+            lmin = ryy[p]
+            while i >= 0 and ryy[i] <= ryy[p]:
+                lmin = min(lmin, ryy[i]); i -= 1
+            i = p + 1
+            rmin = ryy[p]
+            while i < len(ryy) and ryy[i] <= ryy[p]:
+                rmin = min(rmin, ryy[i]); i += 1
+            proms[j] = ryy[p] - max(lmin, rmin)
+        best = pk[np.argmax(proms)]
+        best_per = lags[best]
+        height = proms.max()
+        tau_max = 20 * pmax_ / best_per
+        def rss(params):
+            aa, tt = np.exp(params[0]), np.exp(params[1])
+            model = aa * np.exp(-lags / tt) * np.cos(2 * np.pi * lags / best_per)
+            return float(np.sum(np.square(ryy - model)))
+        (log_amp, log_tau), _ = nelder_mead(rss, [0.0, np.log(best_per * 2)])
+        tau = min(np.exp(log_tau), tau_max)
+        quality = (tau / best_per) * (ml * height / rss([log_amp, np.log(tau)]))
+        return pd.DataFrame(
+            {"series_id": [pdf["series_id"].iloc[0]], "best_period": [best_per],
+             "height": [height], "quality": [quality]}
+        )
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series,
+            "series_id string, best_period double, height double, quality double",
+        )
+    )

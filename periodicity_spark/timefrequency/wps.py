@@ -1,0 +1,151 @@
+"""Wavelet Power Spectrum + downstream aggregates, Spark-first
+(reference timefrequency.py:170-318).
+
+The CWT itself is a per-series Arrow UDF (FFT kernel); everything
+downstream — COI masking, scale-averaged and global spectra, the composite
+spectrum — is native DataFrame algebra over the long TF rows, exactly the
+kind of reduction Spark does well at scale (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from periodicity_spark.operators.acf import acf_fft
+from periodicity_spark.operators.resample import fill_gaps, interp_linear
+from periodicity_spark.session import ensure_worker_imports
+
+SQRT2 = 2.0 ** 0.5
+
+
+def wps(ts: DataFrame, periods: list[float], B: float = 2.0, C: float = 1.0) -> DataFrame:
+    """→ TF rows (series_id, time, frequency, power, spectrum): Morlet CWT
+    per (series, scale); spectrum = power/scale (bias-corrected,
+    reference timefrequency.py:224-232). Mean-subtracted input, sampling
+    assumed uniform per series (median_dt used as dt, like the reference).
+    """
+    ensure_worker_imports(ts.sparkSession)
+    plist = [float(p) for p in periods]
+    CC = float(C)
+    BB = float(B)
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.timefrequency.kernels import cwt_morlet
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        if len(t) < 4:
+            return pd.DataFrame(
+                columns=["series_id", "time", "frequency", "power", "spectrum"]
+            )
+        dt = float(np.median(np.diff(t)))
+        pers = np.asarray(plist)
+        coefs = cwt_morlet(x - x.mean(), dt, pers, B=BB, C=CC)
+        power = np.abs(coefs) ** 2
+        scales = CC * pers / dt  # sample-unit scales (reference line 210)
+        spectrum = power / scales[:, None]
+        n = len(t)
+        k = len(pers)
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "time": np.tile(t, k),
+                "frequency": np.repeat(1.0 / pers, n),
+                "power": power.ravel(),
+                "spectrum": spectrum.ravel(),
+            }
+        )
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series,
+            "series_id string, time double, frequency double, power double, spectrum double",
+        )
+    )
+
+
+def with_coi_mask(tf: DataFrame) -> DataFrame:
+    """Adds ``in_coi``: √2·period < min(t − tmin, tmax − t)
+    (reference mask_coi, timefrequency.py:256-262). Pure column predicate
+    + one broadcast of per-series time bounds."""
+    bounds = tf.groupBy("series_id").agg(
+        F.min("time").alias("_t0"), F.max("time").alias("_t1")
+    )
+    period = 1.0 / F.col("frequency")
+    return (
+        tf.join(F.broadcast(bounds), "series_id")
+        .withColumn(
+            "in_coi",
+            F.lit(SQRT2) * period
+            < F.least(F.col("time") - F.col("_t0"), F.col("_t1") - F.col("time")),
+        )
+        .drop("_t0", "_t1")
+    )
+
+
+def sav(
+    tf: DataFrame,
+    pmin: float | None = None,
+    pmax: float | None = None,
+    masked: bool = False,
+) -> DataFrame:
+    """Scale-averaged spectrum → ts rows (series_id, time, value)
+    (reference sav/masked_sav, timefrequency.py:264-280)."""
+    df = with_coi_mask(tf) if masked else tf
+    period = 1.0 / F.col("frequency")
+    if pmin is not None:
+        df = df.filter(period >= pmin)
+    if pmax is not None:
+        df = df.filter(period <= pmax)
+    if masked:
+        df = df.filter(F.col("in_coi"))
+    return df.groupBy("series_id", "time").agg(F.avg("spectrum").alias("value"))
+
+
+def gwps(
+    tf: DataFrame,
+    tmin: float | None = None,
+    tmax: float | None = None,
+    masked: bool = False,
+) -> DataFrame:
+    """Global wavelet power spectrum → pg rows (series_id, frequency, power)
+    (reference gwps/masked_gwps, timefrequency.py:282-298)."""
+    df = with_coi_mask(tf) if masked else tf
+    if tmin is not None:
+        df = df.filter(F.col("time") >= tmin)
+    if tmax is not None:
+        df = df.filter(F.col("time") <= tmax)
+    if masked:
+        df = df.filter(F.col("in_coi"))
+    return df.groupBy("series_id", "frequency").agg(F.avg("spectrum").alias("power"))
+
+
+def composite_spectrum(ts: DataFrame, periods: list[float]) -> DataFrame:
+    """GWPS (max-normalized) × ACF linearly interpolated onto the period grid
+    (reference CompositeSpectrum, timefrequency.py:305-318) — the as-of-join
+    showcase: the np.interp at line 317 becomes interp_linear.
+    → (series_id, period, power)."""
+    tf = wps(ts, periods)
+    g = gwps(tf)
+    gmax = g.groupBy("series_id").agg(F.max("power").alias("_gmax"))
+    gnorm = g.join(F.broadcast(gmax), "series_id").select(
+        "series_id",
+        (1.0 / F.col("frequency")).alias("period"),
+        (F.col("power") / F.col("_gmax")).alias("_gn"),
+    )
+    ryy = acf_fft(fill_gaps(ts))
+    probe = gnorm.select("series_id", F.col("period").alias("time"))
+    acf_on_periods = interp_linear(
+        ryy.select("series_id", F.col("lag").alias("time"), F.col("acf").alias("value")),
+        probe,
+    ).select("series_id", F.col("time").alias("period"), F.col("value").alias("_acf"))
+    return (
+        gnorm.join(acf_on_periods, ["series_id", "period"])
+        .select("series_id", "period", (F.col("_gn") * F.col("_acf")).alias("power"))
+    )

@@ -1,0 +1,79 @@
+"""Butterworth / acf_period_quality / FFT family / bootstrap / model tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from periodicity_spark.operators.clean import acf_period_quality, butterworth
+from periodicity_spark.spectral.bootstrap import fal, fap, gls_bootstrap_replicates, gls_model
+from periodicity_spark.spectral.fft import fft, ifft, psd
+from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
+
+
+def _df(spark, t, v, sid="s"):
+    return spark.createDataFrame(
+        pd.DataFrame({"series_id": sid, "time": np.asarray(t, float), "value": np.asarray(v, float)})
+    )
+
+
+def test_butterworth_bandpass(spark):
+    t = np.arange(2000, dtype=float)
+    x = np.sin(2 * np.pi * 0.01 * t) + np.sin(2 * np.pi * 0.05 * t) + np.sin(2 * np.pi * 0.2 * t)
+    out = (
+        butterworth(_df(spark, t, x), fmin=0.03, fmax=0.08)
+        .orderBy("time")
+        .toPandas()["value"]
+        .to_numpy()
+    )
+    sl = slice(200, 1800)
+    amp = lambda sig, f: 2 * np.abs(np.dot(sig[sl], np.exp(-2j * np.pi * f * t[sl]))) / len(t[sl])
+    assert amp(out, 0.05) == pytest.approx(1.0, abs=0.05)
+    assert amp(out, 0.01) < 0.02
+    assert amp(out, 0.2) < 0.02
+
+
+def test_acf_period_quality(spark):
+    rng = np.random.default_rng(42)
+    t = np.arange(3000, dtype=float)
+    x = np.sin(2 * np.pi * t / 60.0) + 0.3 * rng.standard_normal(3000)
+    row = acf_period_quality(_df(spark, t, x), p_min=20.0, p_max=120.0).collect()[0]
+    assert row["best_period"] == pytest.approx(60.0, rel=0.1)
+    assert row["quality"] > 0
+
+
+def test_fft_psd_ifft_roundtrip(spark):
+    t = np.arange(128, dtype=float)
+    x = np.sin(2 * np.pi * t / 16.0)
+    fs = fft(_df(spark, t, x))
+    p = psd(_df(spark, t, x)).toPandas()
+    best = p.loc[p["power"].idxmax()]
+    assert best["frequency"] == pytest.approx(1.0 / 16.0)
+    back = ifft(fs).orderBy("time").toPandas()["value"].to_numpy()
+    assert np.allclose(back, x, atol=1e-10)
+
+
+def test_gls_model_recovers_sinusoid(spark):
+    t = np.arange(200, dtype=float)
+    x = 3.0 + 2.0 * np.sin(2 * np.pi * t / 25.0 + 0.7)
+    grid = spark.createDataFrame(pd.DataFrame({"time": np.linspace(0, 199, 77)}))
+    pred = gls_model(_df(spark, t, x), f0=1 / 25.0, new_times=grid).orderBy("time").toPandas()
+    expected = 3.0 + 2.0 * np.sin(2 * np.pi * pred["time"].to_numpy() / 25.0 + 0.7)
+    assert np.allclose(pred["value"].to_numpy(), expected, atol=1e-6)
+
+
+def test_bootstrap_fap_fal(spark):
+    rng = np.random.default_rng(1)
+    t = np.arange(120, dtype=float)
+    x = np.sin(2 * np.pi * t / 12.0) + 0.2 * rng.standard_normal(120)
+    ts = _df(spark, t, x)
+    grid = uniform_freq_grid(spark, 0.02, 0.005, 30)
+    reps = gls_bootstrap_replicates(ts, grid, n_bootstraps=24, seed=7)
+    assert reps.count() == 24
+    pg = gls_periodogram(ts, freq_grid=grid)
+    obs = pg.groupBy("series_id").agg(F.max("power").alias("power"))
+    # the true periodic signal's peak should beat (almost) all shuffled nulls
+    f = fap(reps, obs).collect()[0]["fap"]
+    assert f <= 0.1
+    lvl = fal(reps, 0.05).collect()[0]["fal"]
+    assert 0.0 < lvl < 1.0

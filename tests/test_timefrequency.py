@@ -1,0 +1,92 @@
+"""Tests the reference never wrote (its tests/test_timefrequency.py is
+empty, SURVEY.md §5): analytic recovery checks for WPS/HHT + kernel units."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from periodicity_spark.timefrequency.kernels import (
+    cwt_morlet,
+    denoise_db4,
+    hilbert_analytic,
+)
+from periodicity_spark.timefrequency.wps import composite_spectrum, gwps, sav, with_coi_mask, wps
+from periodicity_spark.timefrequency.hht import hht, marginal_spectrum
+
+
+def _sine_df(spark, n=512, period=16.0):
+    t = np.arange(n, dtype=float)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"series_id": "s", "time": t, "value": np.sin(2 * np.pi * t / period)}
+        )
+    )
+
+
+def test_hilbert_kernel():
+    t = np.arange(256, dtype=float)
+    x = np.cos(2 * np.pi * t / 16)
+    a = hilbert_analytic(x)
+    # analytic signal of cos has ~unit amplitude away from the edges
+    assert np.allclose(np.abs(a)[16:-16], 1.0, atol=1e-2)
+
+
+def test_cwt_peak_at_true_period():
+    t = np.arange(512, dtype=float)
+    x = np.sin(2 * np.pi * t / 16)
+    periods = np.array([4.0, 8.0, 16.0, 32.0, 64.0])
+    coefs = cwt_morlet(x, 1.0, periods)
+    power = (np.abs(coefs) ** 2).mean(axis=1)
+    assert periods[np.argmax(power / (periods))] == 16.0
+
+
+def test_wps_gwps_best_period(spark):
+    df = _sine_df(spark, n=512, period=16.0)
+    periods = [4.0, 8.0, 12.0, 16.0, 24.0, 32.0, 64.0]
+    tf = wps(df, periods)
+    g = gwps(tf, masked=True).toPandas()
+    best = g.loc[g["power"].idxmax()]
+    assert 1.0 / best["frequency"] == pytest.approx(16.0)
+
+
+def test_wps_sav_and_coi(spark):
+    df = _sine_df(spark, n=256, period=16.0)
+    tf = wps(df, [8.0, 16.0, 32.0])
+    masked = with_coi_mask(tf).toPandas()
+    # edges are outside the cone for every period
+    assert not masked[masked["time"] == 0.0]["in_coi"].any()
+    s = sav(tf, pmin=10.0, pmax=20.0).toPandas()
+    assert len(s) == 256
+
+
+def test_composite_spectrum(spark):
+    df = _sine_df(spark, n=400, period=20.0)
+    periods = [5.0, 10.0, 15.0, 20.0, 25.0, 40.0]
+    cs = composite_spectrum(df, periods).toPandas()
+    best = cs.loc[cs["power"].idxmax()]
+    assert best["period"] == pytest.approx(20.0)
+
+
+def test_hht_marginal_peak(spark):
+    # two persistent tones → HHT marginal spectrum peaks at both frequencies
+    t = np.arange(1000, dtype=float)
+    x = np.sin(2 * np.pi * 0.25 * t) + np.sin(2 * np.pi * 0.03 * t)
+    df = spark.createDataFrame(pd.DataFrame({"series_id": "s", "time": t, "value": x}))
+    grid = list(np.linspace(0.0, 0.5, 26))
+    tf = hht(df, grid, method="HT")
+    m = marginal_spectrum(tf).toPandas().sort_values("power", ascending=False)
+    top2 = sorted(m["frequency"].head(2).tolist())
+    assert top2[0] == pytest.approx(0.03, abs=0.03)
+    assert top2[1] == pytest.approx(0.25, abs=0.03)
+
+
+def test_denoise_db4():
+    rng = np.random.default_rng(42)
+    t = np.arange(1024, dtype=float)
+    clean = np.sin(2 * np.pi * t / 128)
+    noisy = clean + 0.3 * rng.standard_normal(1024)
+    den = denoise_db4(noisy, sigma=0.3)
+    assert len(den) == 1024
+    # denoising should reduce the error vs the clean signal
+    assert np.linalg.norm(den - clean) < 0.7 * np.linalg.norm(noisy - clean)
