@@ -1158,6 +1158,36 @@ def q_gls_bootstrap_fap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gls_fap(reps, obs)
 
 
+
+
+def q_gp_map_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.gp import gp_map
+
+    ts = _ts(spark, sf_dir)
+    big = (
+        ts.groupBy("series_id").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "series_id").limit(20).select("series_id")
+    )
+    return gp_map(ts.join(F.broadcast(big), "series_id"))
+
+
+def q_gaussian_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from periodicity_spark.gp import gaussian_prior_density, make_gaussian_prior_mixture
+
+    ts = _ts(spark, sf_dir)
+    big = (
+        ts.groupBy("series_id").agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 16).select("series_id")
+    )
+    mix = make_gaussian_prior_mixture(
+        ts.join(F.broadcast(big), "series_id"), p_min=0.5, periods=[2.0, 4.0]
+    )
+    grid = [float(x) for x in np.linspace(np.log(0.5), np.log(8.0), 24)]
+    return gaussian_prior_density(mix, grid)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1215,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_spectrum": q_composite_spectrum,
         "psd": q_psd,
         "gls_bootstrap_fap": q_gls_bootstrap_fap,
+        "gp_map_period": q_gp_map_period,
+        "gaussian_prior": q_gaussian_prior,
     }
 
 

@@ -1,0 +1,228 @@
+"""GP period inference, Spark-first (reference gp.py:70-337).
+
+Per-series MAP and MCMC run inside Arrow UDFs (the sampler loop is
+sequential); the parallelism axes are series and — for the prior pipeline —
+the period-ladder, exactly where the reference has none (its ladder loop is
+serial, gp.py:131-136).
+
+``make_gaussian_prior_mixture`` re-expresses the reference's closure-returning
+prior (gp.py:70-153) as DATA: a mixture-component DataFrame
+(series_id, mu, weight) — three rows per ladder rung at {log p, log p/2,
+log 2p} weighted by ACF quality — and ``gaussian_prior_density`` evaluates it
+on a log-period grid natively (one cross join + sum — no Python in the loop).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from periodicity_spark.operators.clean import acf_period_quality
+from periodicity_spark.session import ensure_worker_imports
+
+
+def make_gaussian_prior_mixture(
+    ts: DataFrame,
+    p_min: float,
+    periods: list[float],
+    fundamental_height: float = 0.8,
+    fundamental_width: float = 0.1,
+) -> DataFrame:
+    """→ (series_id, mu, sd, weight): Gaussian mixture components of the
+    log-period prior (reference make_gaussian_prior, gp.py:70-153).
+    The ladder of band-pass+ACF quality runs is a union of distributed
+    pipelines — each rung an independent acf_period_quality job."""
+    fh = fundamental_height
+    hh = (1.0 - fh) / 2.0
+    fw = fundamental_width
+    rungs = None
+    for p_max in periods:
+        q = acf_period_quality(ts, p_min, p_max).select(
+            "series_id", "best_period", F.greatest(F.col("quality"), F.lit(0.0)).alias("q")
+        )
+        rungs = q if rungs is None else rungs.unionByName(q)
+    qsum = rungs.groupBy("series_id").agg(F.sum("q").alias("_qsum"))
+    comp = rungs.join(F.broadcast(qsum), "series_id").filter(F.col("_qsum") > 0)
+    rows = []
+    for mult, height in ((1.0, fh), (0.5, hh), (2.0, hh)):
+        rows.append(
+            comp.select(
+                "series_id",
+                (F.log(F.col("best_period") * F.lit(mult))).alias("mu"),
+                F.lit(fw).alias("sd"),
+                (F.col("q") * F.lit(height) / F.col("_qsum")).alias("weight"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def gaussian_prior_density(mixture: DataFrame, log_p_grid: list[float]) -> DataFrame:
+    """Evaluate the mixture on a log-period grid, natively:
+    → (series_id, log_p, density)."""
+    spark = mixture.sparkSession
+    grid = spark.createDataFrame([(float(x),) for x in log_p_grid], "log_p double")
+    z = (F.col("log_p") - F.col("mu")) / F.col("sd")
+    pdf = F.exp(-z * z / 2) / (F.col("sd") * F.lit(math.sqrt(2 * math.pi)))
+    return (
+        mixture.crossJoin(F.broadcast(grid))
+        .groupBy("series_id", "log_p")
+        .agg(F.sum(F.col("weight") * pdf).alias("density"))
+    )
+
+
+def _theta0(t, y, err):
+    import numpy as np
+
+    from periodicity_spark.gp.kernels import gls_best_period
+
+    sigma = float(np.std(y))
+    jitter = float(np.min(err)) ** 2
+    n = len(y)
+    # seed the period with the engine's own periodogram (multi-modal NLL —
+    # a generic sqrt(N)·dt init lands on harmonics)
+    init_period = float(gls_best_period(t, y))
+    return (
+        np.array(
+            [
+                float(np.mean(y)),
+                math.log(max(jitter, 1e-12)),
+                2 * math.log(max(sigma, 1e-12)),
+                2 * math.log(3 * init_period),
+                4.5,
+                math.log(init_period),
+            ]
+        ),
+        sigma,
+        max(jitter, 1e-12),
+        math.log(init_period),
+        0.2 * math.log(n),
+    )
+
+
+def gp_map(ts: DataFrame, err_col: str | None = None) -> DataFrame:
+    """Per-series MAP fit of the quasi-periodic GP
+    (reference minimize(), gp.py:231-244): → (series_id, period_map, nll,
+    mean, log_jitter). Nelder-Mead on NLL − log-prior."""
+    ensure_worker_imports(ts.sparkSession)
+    ec = err_col
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.gp.kernels import gp_nll, qp_log_prior
+        from periodicity_spark.operators.iir import nelder_mead
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        y = pdf["value"].to_numpy(float)
+        err = (
+            pdf[ec].to_numpy(float)
+            if ec is not None and ec in pdf
+            else np.full(len(y), max(1e-3, 0.05 * np.std(y)))
+        )
+        if len(y) < 12 or np.std(y) == 0:
+            return pd.DataFrame(
+                columns=["series_id", "period_map", "nll", "mean", "log_jitter"]
+            )
+        x0, sigma, jitter, init_log_p, sd_p = _theta0(t, y, err)
+
+        def objective(theta):
+            lp = qp_log_prior(theta, x0[0], sigma, jitter, init_log_p, sd_p)
+            if not np.isfinite(lp):
+                return 1e25
+            return gp_nll(theta, t, y, err) - lp
+
+        best, fbest = nelder_mead(objective, x0, max_iter=300)
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "period_map": [float(np.exp(best[5]))],
+                "nll": [float(fbest)],
+                "mean": [float(best[0])],
+                "log_jitter": [float(best[1])],
+            }
+        )
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series,
+            "series_id string, period_map double, nll double, mean double, log_jitter double",
+        )
+    )
+
+
+def gp_mcmc_period(
+    ts: DataFrame,
+    n_walkers: int = 16,
+    n_steps: int = 200,
+    burn: int = 50,
+    seed: int = 42,
+    err_col: str | None = None,
+) -> DataFrame:
+    """Per-series posterior period summary via the stretch-move ensemble
+    sampler (reference mcmc(), gp.py:259-291): → (series_id, period_median,
+    period_p16, period_p84)."""
+    ensure_worker_imports(ts.sparkSession)
+    ec = err_col
+    nw, ns, nb, sd = n_walkers, n_steps, burn, seed
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.gp.kernels import ensemble_sampler, gp_nll, qp_log_prior
+        from periodicity_spark.operators.iir import nelder_mead
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        y = pdf["value"].to_numpy(float)
+        err = (
+            pdf[ec].to_numpy(float)
+            if ec is not None and ec in pdf
+            else np.full(len(y), max(1e-3, 0.05 * np.std(y)))
+        )
+        cols = ["series_id", "period_median", "period_p16", "period_p84"]
+        if len(y) < 12 or np.std(y) == 0:
+            return pd.DataFrame(columns=cols)
+        x0, sigma, jitter, init_log_p, sd_p = _theta0(t, y, err)
+
+        def log_prob(theta):
+            lp = qp_log_prior(theta, x0[0], sigma, jitter, init_log_p, sd_p)
+            if not np.isfinite(lp):
+                return -np.inf
+            return lp - gp_nll(theta, t, y, err)
+
+        def objective(theta):
+            v = log_prob(theta)
+            return -v if np.isfinite(v) else 1e25
+
+        best, _ = nelder_mead(objective, x0, max_iter=200)
+        rng = np.random.default_rng(sd)
+        walkers = best + 1e-3 * rng.standard_normal((nw, len(best)))
+        chain = ensemble_sampler(log_prob, walkers, ns, rng)
+        flat = chain[nb:].reshape(-1, len(best))
+        periods = np.exp(flat[:, 5])
+        q16, q50, q84 = np.percentile(periods, [16, 50, 84])
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "period_median": [q50],
+                "period_p16": [q16],
+                "period_p84": [q84],
+            }
+        )
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series,
+            "series_id string, period_median double, period_p16 double, period_p84 double",
+        )
+    )

@@ -1,0 +1,124 @@
+"""Structured Streaming analogs of the batch resample/segment operators
+(SURVEY.md §2.11 — the reference is batch-only; these are the additive
+streaming surface over the driver's events table):
+
+- downsample (reference core.py:629-634) ≡ tumbling window aggregation
+- split (reference core.py:619-627)     ≡ session_window
+- interpolate_na('ffill')               ≡ applyInPandasWithState
+
+Watermarks bound state for late data — the reference instead re-sorts
+retroactively at construction (core.py:473-477), which has no streaming
+equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source streaming — swap for
+    kafka in production; the query graph is identical). Emits
+    (series_id, ts timestamp, value)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source needs a directory; pathGlobFilter selects only
+    # the events table out of the shared sf dir
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "value",
+    )
+
+
+def stream_downsample(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Tumbling-window mean per series — the streaming downsample."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "series_id")
+        .agg(F.avg("value").alias("value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "series_id",
+            F.col("window.start").alias("t_start"),
+            F.col("window.end").alias("t_end"),
+            "value",
+            "n",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "2 days"
+) -> DataFrame:
+    """session_window segmentation — the streaming split()."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "series_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("mean_value"))
+        .select(
+            "series_id",
+            F.col("session_window.start").alias("t_start"),
+            F.col("session_window.end").alias("t_end"),
+            "n",
+            "mean_value",
+        )
+    )
+
+
+def stream_ffill(events: DataFrame, null_every: int = 7) -> DataFrame:
+    """Stateful forward-fill: carries the last non-null value per series
+    across micro-batches via applyInPandasWithState. (For the demo, values
+    on every ``null_every``-th event_id are nulled upstream by the caller.)
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "series_id string, ts timestamp, value double, filled double"
+    state_schema = "last double"
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            filled = []
+            for v in pdf["value"]:
+                if v is not None and v == v:  # not NaN
+                    last = float(v)
+                filled.append(last)
+            yield pd.DataFrame(
+                {
+                    "series_id": key[0],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "filled": filled,
+                }
+            )
+        state.update((last,))
+
+    return events.groupBy("series_id").applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
