@@ -1188,6 +1188,119 @@ def q_gaussian_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaussian_prior_density(mix, grid)
 
 
+
+
+def q_psort_by_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.periodogram_ops import psort_by_peak
+
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    out = psort_by_peak(pg, k=3)
+    return out.select("series_id", "rank", "period", F.round("power", 6).alias("power"))
+
+
+SQL_PSORT_BY_PEAK = _gls_sql(
+    """
+, pk AS (
+  SELECT series_id, frequency, power,
+         lag(power) OVER w AS pp, lead(power) OVER w AS pn
+  FROM pw WINDOW w AS (PARTITION BY series_id ORDER BY frequency)
+),
+r AS (
+  SELECT series_id, frequency, power,
+         row_number() OVER (PARTITION BY series_id ORDER BY power DESC, frequency ASC) AS rank
+  FROM pk WHERE pp IS NOT NULL AND pn IS NOT NULL AND power > pp AND power > pn
+)
+SELECT series_id, rank, 1.0 / frequency AS period, round(power, 6) AS power
+FROM r WHERE rank <= 3
+"""
+)
+
+
+def q_periods_at_half_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.periodogram_ops import periods_at_half_max
+
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    out = periods_at_half_max(pg)
+    return out.select(
+        "series_id",
+        F.round("lower_period", 6).alias("lower_period"),
+        F.round("upper_period", 6).alias("upper_period"),
+    )
+
+
+SQL_PERIODS_AT_HALF_MAX = _gls_sql(
+    """
+, pk AS (
+  SELECT series_id, frequency, power,
+         lag(power) OVER w AS pp, lead(power) OVER w AS pn
+  FROM pw WINDOW w AS (PARTITION BY series_id ORDER BY frequency)
+),
+best AS (
+  SELECT series_id, frequency AS fpeak, power AS ppeak,
+         row_number() OVER (PARTITION BY series_id ORDER BY power DESC, frequency ASC) AS rn
+  FROM pk WHERE pp IS NOT NULL AND pn IS NOT NULL AND power > pp AND power > pn
+),
+b1 AS (SELECT series_id, fpeak, ppeak FROM best WHERE rn = 1),
+rel AS (
+  SELECT p.series_id, p.frequency, b.fpeak,
+         sign(p.power - b.ppeak / 2) AS s,
+         lag(sign(p.power - b.ppeak / 2)) OVER (PARTITION BY p.series_id ORDER BY p.frequency) AS sp
+  FROM pw p JOIN b1 b USING (series_id)
+),
+crossings AS (SELECT series_id, frequency, fpeak FROM rel WHERE sp IS NOT NULL AND s <> sp)
+SELECT series_id,
+       round(1.0 / min(CASE WHEN frequency > fpeak THEN frequency END), 6) AS lower_period,
+       round(1.0 / max(CASE WHEN frequency <= fpeak THEN frequency END), 6) AS upper_period
+FROM crossings GROUP BY series_id
+"""
+)
+
+
+def q_downsample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom bin aggregator hook (reference downsample(func=...), core.py:629)
+    ts = _ts(spark, sf_dir)
+    st = series_stats(ts).filter(F.col("baseline") > 0).select("series_id")
+    out = ops_resample.downsample(
+        ts.join(F.broadcast(st), "series_id"), 1.0, agg=F.median("value")
+    )
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+SQL_DOWNSAMPLE_MEDIAN = f"""
+WITH {TS_SQL},
+st AS (SELECT series_id, min("time") AS tmin, max("time") AS tmax FROM ts GROUP BY 1),
+b AS (
+  SELECT t.series_id, st.tmin,
+         greatest(ceil((t."time" - st.tmin) / ((st.tmax - st.tmin) / ceil((st.tmax - st.tmin) / 1.0)::BIGINT)) - 1, 0)::BIGINT AS bucket,
+         t.value
+  FROM ts t JOIN st USING (series_id)
+  WHERE st.tmax > st.tmin
+)
+SELECT series_id, tmin + bucket * 1.0 AS "time", round(median(value), 6) AS value
+FROM b GROUP BY series_id, tmin, bucket
+"""
+
+
+def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_windows.get_envelope(_ts(spark, sf_dir))
+    return out.select(
+        "series_id", "time",
+        F.round("upper", 6).alias("upper"), F.round("lower", 6).alias("lower"),
+    )
+
+
+def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.timefrequency import wps as tf_wps
+
+    tf = tf_wps(_ts(spark, sf_dir), [0.5, 1.0, 2.0, 4.0, 8.0])
+    out = ops_resample.downsample_tf(tf, dt=2.0, df_=0.5)
+    return out.select(
+        "series_id", "time", "frequency", F.round("power", 6).alias("power")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1216,6 +1329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfit": q_polyfit,
         "gls_power": q_gls_power,
         "gls_best_period": q_gls_best_period,
+        "psort_by_peak": q_psort_by_peak,
+        "periods_at_half_max": q_periods_at_half_max,
+        "downsample_median": q_downsample_median,
         "stringlength": q_stringlength,
         "pdm_theta": q_pdm_theta,
         "tpch_q1": q_tpch_q1,
@@ -1247,6 +1363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gls_bootstrap_fap": q_gls_bootstrap_fap,
         "gp_map_period": q_gp_map_period,
         "gaussian_prior": q_gaussian_prior,
+        "envelope": q_envelope,
+        "tf_downsample": q_tf_downsample,
     }
 
 
@@ -1285,4 +1403,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_halfday": SQL_INTERP_HALFDAY,
         "noise_estimate": SQL_NOISE_ESTIMATE,
         "gls_model_fit": SQL_GLS_MODEL_FIT,
+        "psort_by_peak": SQL_PSORT_BY_PEAK,
+        "periods_at_half_max": SQL_PERIODS_AT_HALF_MAX,
+        "downsample_median": SQL_DOWNSAMPLE_MEDIAN,
     }

@@ -131,3 +131,32 @@ def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
         / (F.col("_nt") - F.col("_pt"))
     )
     return out.select("series_id", "time", blend.alias("value"))
+
+
+def downsample_tf(tf: DataFrame, dt: float, df_: float) -> DataFrame:
+    """2-D rebinning of a TF spectrogram (reference TFSeries.downsample,
+    core.py:1129-1163): groupBy on two bucket columns — one shuffle.
+    Bucket semantics follow the 1-D downsample (equal-width, right-closed)."""
+    stats = tf.groupBy("series_id").agg(
+        F.min("time").alias("_t0"), F.max("time").alias("_t1"),
+        F.min("frequency").alias("_f0"), F.max("frequency").alias("_f1"),
+    )
+    b = tf.join(F.broadcast(stats), "series_id").filter(
+        (F.col("_t1") > F.col("_t0")) & (F.col("_f1") > F.col("_f0"))
+    )
+    nt = F.ceil((F.col("_t1") - F.col("_t0")) / F.lit(dt)).cast("int")
+    nf = F.ceil((F.col("_f1") - F.col("_f0")) / F.lit(df_)).cast("int")
+    wt = (F.col("_t1") - F.col("_t0")) / nt
+    wf = (F.col("_f1") - F.col("_f0")) / nf
+    tb = F.greatest(F.ceil((F.col("time") - F.col("_t0")) / wt) - 1, F.lit(0)).cast("long")
+    fb = F.greatest(F.ceil((F.col("frequency") - F.col("_f0")) / wf) - 1, F.lit(0)).cast("long")
+    return (
+        b.groupBy("series_id", tb.alias("_tb"), fb.alias("_fb"), "_t0", "_f0")
+        .agg(F.avg("power").alias("power"))
+        .select(
+            "series_id",
+            (F.col("_t0") + F.col("_tb") * F.lit(dt)).alias("time"),
+            (F.col("_f0") + F.col("_fb") * F.lit(df_)).alias("frequency"),
+            "power",
+        )
+    )

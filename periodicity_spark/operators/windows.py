@@ -155,3 +155,48 @@ def pad_reflect(ts: DataFrame, pad_width_rows: int) -> DataFrame:
         )
     )
     return left.unionByName(ts.select("series_id", "time", "value")).unionByName(right)
+
+
+def get_envelope(ts: DataFrame, pad_width: int = 2) -> DataFrame:
+    """Upper/lower cubic-spline envelopes through padded extrema
+    (reference get_envelope, core.py:741-774; invariant test
+    tests/test_core.py:37-48). Spline interpolation is global per series →
+    Arrow UDF over the decomposition kernels. → (series_id, time, upper, lower)."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(ts.sparkSession)
+    pw = pad_width
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.decomposition.kernels import (
+            _padded_anchor,
+            cubic_spline,
+            find_extrema_idx,
+        )
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        x = pdf["value"].to_numpy(float)
+        peaks, dips = find_extrema_idx(x)
+        if len(peaks) < max(pw, 2) or len(dips) < max(pw, 2):
+            return pd.DataFrame(columns=["series_id", "time", "upper", "lower"])
+        pt, pv = _padded_anchor(t, x, peaks, max(pw, 2))
+        dt_, dv = _padded_anchor(t, x, dips, max(pw, 2))
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "time": t,
+                "upper": cubic_spline(pt, pv, t),
+                "lower": cubic_spline(dt_, dv, t),
+            }
+        )
+
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .groupBy("series_id")
+        .applyInPandas(
+            _per_series, "series_id string, time double, upper double, lower double"
+        )
+    )

@@ -74,7 +74,7 @@ def periods_at_half_max(pg: DataFrame) -> DataFrame:
     sign_flip = F.lag(F.signum(F.col("_rel"))).over(w).isNotNull() & (
         F.signum(F.col("_rel")) != F.lag(F.signum(F.col("_rel"))).over(w)
     )
-    crossings = df.filter(sign_flip)
+    crossings = df.withColumn("_flip", sign_flip).filter(F.col("_flip"))
     return crossings.groupBy("series_id").agg(
         (
             1.0

@@ -205,3 +205,16 @@ def test_interp_linear_matches_numpy(spark):
         .to_numpy()
     )
     assert np.allclose(out, np.interp(newt, t, v))
+
+
+def test_get_constant_envelope(spark):
+    # reference tests/test_core.py:37-48: envelope of sin(t) on
+    # linspace(0,100,1001) within 2e-3 of ±1; pad-width insensitivity
+    t = np.linspace(0, 100, 1001)
+    df = _ts(spark, t, np.sin(t))
+    e2 = windows.get_envelope(df, pad_width=2).orderBy("time").toPandas()
+    assert np.abs(e2["upper"].to_numpy() - 1).max() < 2e-3
+    assert np.abs(e2["lower"].to_numpy() + 1).max() < 2e-3
+    e10 = windows.get_envelope(df, pad_width=10).orderBy("time").toPandas()
+    assert np.allclose(e2["upper"].to_numpy(), e10["upper"].to_numpy())
+    assert np.allclose(e2["lower"].to_numpy(), e10["lower"].to_numpy())
