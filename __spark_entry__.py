@@ -1301,6 +1301,20 @@ def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_gls_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.fast import gls_periodogram_fast
+
+    pg = gls_periodogram_fast(_ts(spark, sf_dir), GLS_FMIN, GLS_DF, GLS_NF)
+    return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
+
+
+def q_mirror_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ops_clean.mirror_fill(_ts_with_nulls(spark, sf_dir))
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1365,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_prior": q_gaussian_prior,
         "envelope": q_envelope,
         "tf_downsample": q_tf_downsample,
+        "gls_fast": q_gls_fast,
+        "mirror_fill": q_mirror_fill,
     }
 
 

@@ -111,3 +111,52 @@ def orthogonality_matrix(modes: DataFrame) -> DataFrame:
         .groupBy("series_id", "mode_i", "mode_j")
         .agg(F.corr("_vi", "_vj").alias("corr"))
     )
+
+
+def ceemdan_postprocess(modes: DataFrame, **emd_kwargs) -> DataFrame:
+    """Colominas post-sifting of averaged CEEMDAN modes into proper IMFs
+    (reference postprocessing(), decomposition.py:344-359). The whole
+    re-sift chain is sequential per series → one Arrow UDF per series, no
+    driver loop. Input/output: (series_id, mode, time, value)."""
+    ensure_worker_imports(modes.sparkSession)
+    kw = dict(emd_kwargs)
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.decomposition.kernels import emd
+
+        pdf = pdf.sort_values(["mode", "time"])
+        t = np.sort(pdf["time"].unique())
+        ms = [
+            g.sort_values("time")["value"].to_numpy(float)
+            for _, g in pdf.groupby("mode", sort=True)
+        ]
+        if not ms:
+            return pd.DataFrame(columns=["series_id", "mode", "time", "value"])
+        first, _ = emd(t, ms[0], max_modes=1, **kw)
+        ck = first[0] if first else ms[0]
+        c_imfs = [ck]
+        qk = ms[0] - ck
+        for k in range(1, len(ms)):
+            Dk = qk + ms[k]
+            got, _ = emd(t, Dk, max_modes=1, **kw)
+            if got:
+                ck = got[0]
+            else:
+                c_imfs.append(ms[k])
+                break
+            qk = Dk - ck
+            c_imfs.append(ck)
+        sid = pdf["series_id"].iloc[0]
+        return pd.concat(
+            [
+                pd.DataFrame({"series_id": sid, "mode": k, "time": t, "value": m})
+                for k, m in enumerate(c_imfs)
+            ],
+            ignore_index=True,
+        )
+
+    return modes.groupBy("series_id").applyInPandas(
+        _per_series, "series_id string, mode int, time double, value double"
+    )

@@ -368,3 +368,47 @@ def acf_period_quality(ts: DataFrame, p_min: float, p_max: float) -> DataFrame:
             "series_id string, best_period double, height double, quality double",
         )
     )
+
+
+def mirror_fill(ts: DataFrame) -> DataFrame:
+    """interpolate_na(method='mirror') (reference core.py:680-698): each NULL
+    run is filled by reflecting the neighboring samples into the gap from
+    both sides; odd-length centers average their filled neighbors. Gap-local
+    positional index arithmetic → per-series Arrow UDF."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(ts.sparkSession)
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("time")
+        v = pdf["value"].to_numpy(float).copy()
+        isnull = np.isnan(v)
+        ids = np.where(np.diff(isnull))[0] + 1
+        if isnull[0]:
+            ids = np.concatenate([[0], ids])
+        n_gaps = len(ids) // 2
+        for i in range(n_gaps):
+            start, end = ids[2 * i], ids[2 * i + 1]
+            gap = end - start
+            left_ids = np.arange(start, start + gap // 2)
+            right_ids = np.arange(end - gap // 2, end)
+            lsrc = 2 * start - left_ids - 1
+            rsrc = 2 * end - right_ids - 1
+            ok_l = (lsrc >= 0) & (lsrc < len(v))
+            ok_r = (rsrc >= 0) & (rsrc < len(v))
+            v[left_ids[ok_l]] = v[lsrc[ok_l]]
+            v[right_ids[ok_r]] = v[rsrc[ok_r]]
+            if gap % 2 == 1:
+                center = (start + end - 1) // 2
+                if 0 < center < len(v) - 1:
+                    v[center] = 0.5 * (v[center - 1] + v[center + 1])
+        return pd.DataFrame(
+            {"series_id": pdf["series_id"].iloc[0], "time": pdf["time"], "value": v}
+        )
+
+    return ts.groupBy("series_id").applyInPandas(
+        _per_series, "series_id string, time double, value double"
+    )

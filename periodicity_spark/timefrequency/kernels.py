@@ -121,6 +121,21 @@ def instant_freq_amp(t, mode, method="DQ", norm_type="spline", norm_iter=10):
         amp = np.abs(analytic)
         phi = np.unwrap(np.angle(analytic))
         freq = np.gradient(phi, t) / (2 * np.pi)
+    elif method == "TEO":
+        # Teager energy method (reference timefrequency.py:123-128; the
+        # reference applies it to the whole signal — here per mode, the
+        # standard formulation): f = √(TEO(ẋ)/TEO(x))/2π, a = TEO(x)/√TEO(ẋ)
+        def teo_of(x):
+            d1 = np.gradient(x, t)
+            return d1 * d1 - x * np.gradient(d1, t)
+
+        teo_x = teo_of(mode)
+        teo_xdot = teo_of(np.gradient(mode, t))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            amp = teo_x / np.sqrt(np.abs(teo_xdot))
+            freq = np.sqrt(np.abs(teo_xdot / teo_x)) / (2 * np.pi)
+        amp = np.nan_to_num(amp)
+        freq = np.nan_to_num(freq)
     else:
         raise ValueError(f"Method {method} is unknown.")
     return freq, amp

@@ -19,16 +19,24 @@ from periodicity_spark.session import ensure_worker_imports
 SQRT2 = 2.0 ** 0.5
 
 
-def wps(ts: DataFrame, periods: list[float], B: float = 2.0, C: float = 1.0) -> DataFrame:
-    """→ TF rows (series_id, time, frequency, power, spectrum): Morlet CWT
-    per (series, scale); spectrum = power/scale (bias-corrected,
-    reference timefrequency.py:224-232). Mean-subtracted input, sampling
-    assumed uniform per series (median_dt used as dt, like the reference).
-    """
+def wps(
+    ts: DataFrame, periods: list[float], B: float = 2.0, C: float = 1.0,
+    with_coefs: bool = False,
+) -> DataFrame:
+    """→ TF rows (series_id, time, frequency, power, spectrum [, re, im,
+    scale]): Morlet CWT per (series, scale); spectrum = power/scale
+    (bias-corrected, reference timefrequency.py:224-232). Mean-subtracted
+    input, sampling assumed uniform per series (median_dt used as dt, like
+    the reference). ``with_coefs`` keeps the complex coefficients for
+    reconstruct()."""
     ensure_worker_imports(ts.sparkSession)
     plist = [float(p) for p in periods]
     CC = float(C)
     BB = float(B)
+    wc = with_coefs
+    cols = "series_id string, time double, frequency double, power double, spectrum double"
+    if with_coefs:
+        cols += ", re double, im double, scale double"
 
     def _per_series(pdf):
         import numpy as np
@@ -38,9 +46,10 @@ def wps(ts: DataFrame, periods: list[float], B: float = 2.0, C: float = 1.0) -> 
         pdf = pdf.sort_values("time")
         t = pdf["time"].to_numpy(float)
         x = pdf["value"].to_numpy(float)
+        base_cols = ["series_id", "time", "frequency", "power", "spectrum"]
         if len(t) < 4:
             return pd.DataFrame(
-                columns=["series_id", "time", "frequency", "power", "spectrum"]
+                columns=base_cols + (["re", "im", "scale"] if wc else [])
             )
         dt = float(np.median(np.diff(t)))
         pers = np.asarray(plist)
@@ -50,23 +59,39 @@ def wps(ts: DataFrame, periods: list[float], B: float = 2.0, C: float = 1.0) -> 
         spectrum = power / scales[:, None]
         n = len(t)
         k = len(pers)
-        return pd.DataFrame(
-            {
-                "series_id": pdf["series_id"].iloc[0],
-                "time": np.tile(t, k),
-                "frequency": np.repeat(1.0 / pers, n),
-                "power": power.ravel(),
-                "spectrum": spectrum.ravel(),
-            }
-        )
+        data = {
+            "series_id": pdf["series_id"].iloc[0],
+            "time": np.tile(t, k),
+            "frequency": np.repeat(1.0 / pers, n),
+            "power": power.ravel(),
+            "spectrum": spectrum.ravel(),
+        }
+        if wc:
+            data["re"] = coefs.real.ravel()
+            data["im"] = coefs.imag.ravel()
+            data["scale"] = np.repeat(scales, n)
+        return pd.DataFrame(data)
 
     return (
         ts.filter(F.col("value").isNotNull())
         .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, time double, frequency double, power double, spectrum double",
-        )
+        .applyInPandas(_per_series, cols)
+    )
+
+
+def reconstruct(tf_with_coefs: DataFrame, B: float = 2.0) -> DataFrame:
+    """Inverse CWT by summing coefficients over scales
+    (reference reconstruct(), timefrequency.py:162-167):
+    x(t) ≈ (1/ψ(0)) Σ_s Re[W(s,t)]/√s — pure native aggregation over the
+    coef-carrying TF rows; ψ(0) = (πB)^(-1/2) for the cmor family.
+    → ts rows (series_id, time, value)."""
+    import math
+
+    psi0 = (math.pi * B) ** -0.5
+    return (
+        tf_with_coefs.groupBy("series_id", "time")
+        .agg(F.sum(F.col("re") / F.sqrt(F.col("scale"))).alias("_rsum"))
+        .select("series_id", "time", (F.col("_rsum") / F.lit(psi0)).alias("value"))
     )
 
 
