@@ -117,9 +117,7 @@ GROUP BY t.series_id
 
 
 def q_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _ts(spark, sf_dir)
-    st = series_stats(ts).filter(F.col("baseline") > 0).select("series_id")
-    out = ops_resample.downsample(ts.join(F.broadcast(st), "series_id"), 1.0)
+    out = ops_resample.downsample(_ts(spark, sf_dir), 1.0)
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
 
 
@@ -1260,11 +1258,7 @@ FROM crossings GROUP BY series_id
 
 def q_downsample_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # custom bin aggregator hook (reference downsample(func=...), core.py:629)
-    ts = _ts(spark, sf_dir)
-    st = series_stats(ts).filter(F.col("baseline") > 0).select("series_id")
-    out = ops_resample.downsample(
-        ts.join(F.broadcast(st), "series_id"), 1.0, agg=F.median("value")
-    )
+    out = ops_resample.downsample(_ts(spark, sf_dir), 1.0, agg=F.median("value"))
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
 
 

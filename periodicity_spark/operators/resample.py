@@ -20,7 +20,14 @@ def downsample(ts: DataFrame, dt: float, agg: Column | None = None) -> DataFrame
     aggregators: any Column over "value" (reference accepts func=...)."""
     if agg is None:
         agg = F.avg("value")
-    stats = series_stats(ts).select("series_id", "tmin", "tmax")
+    # only the time bounds are needed — one inline aggregate, not the full
+    # series_stats (which costs three passes); zero-baseline series dropped
+    # (undefined bins)
+    stats = (
+        ts.groupBy("series_id")
+        .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+        .filter(F.col("tmax") > F.col("tmin"))
+    )
     b = ts.join(F.broadcast(stats), "series_id")
     nbins = F.ceil((F.col("tmax") - F.col("tmin")) / F.lit(dt)).cast("int")
     width = (F.col("tmax") - F.col("tmin")) / nbins
