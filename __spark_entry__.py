@@ -1309,6 +1309,17 @@ def q_mirror_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
 
 
+
+
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = simsearch.cosine_topk_ivf(emb, probes, k=5, n_centroids=16, n_probe=4)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1375,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_downsample": q_tf_downsample,
         "gls_fast": q_gls_fast,
         "mirror_fill": q_mirror_fill,
+        "simsearch_ivf": q_simsearch_ivf,
     }
 
 

@@ -132,3 +132,131 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Coarse quantizer for IVF: k centroids via deterministic seeding
+    (hash-sampled vectors) + a few Lloyd iterations executed as DataFrame
+    aggregations (assignment = native argmax over broadcast centroids;
+    update = groupBy mean over exploded components). Returns a list of
+    (centroid_id, vector) collected to the driver — the index metadata is
+    tiny by design and ships as literals/broadcast."""
+    import numpy as np
+
+    sampled = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([[float(x) for x in r[vec_col]] for r in sampled])
+    for _ in range(n_iter):
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+        comp = (
+            corpus.join(assigned, id_col)
+            .select(
+                "centroid",
+                F.posexplode(F.col(vec_col)).alias("dim", "comp"),
+            )
+            .groupBy("centroid", "dim")
+            .agg(F.avg(F.col("comp").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in comp:
+            new[r["centroid"], r["dim"]] = r["mean"]
+        cents = new
+    return cents
+
+
+def _centroid_df(spark, cents):
+    rows = [
+        (j, d, float(w)) for j, c in enumerate(cents) for d, w in enumerate(c)
+    ]
+    return spark.createDataFrame(rows, "centroid int, dim int, w double")
+
+
+def centroid_dots(vecs: DataFrame, cents, id_col="vec_id", vec_col="embedding") -> DataFrame:
+    """→ (id_col, centroid, dot): all vector×centroid dot products via
+    posexplode + broadcast join + sum — one shuffle, tiny codegen. (A
+    literal-array expression per centroid looks natural but makes Janino
+    compile O(centroids × dims) code — measured minutes of compile time at
+    16×64.)"""
+    comp = vecs.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    cdf = _centroid_df(vecs.sparkSession, cents)
+    return (
+        comp.join(F.broadcast(cdf), "dim")
+        .groupBy(id_col, "centroid")
+        .agg(F.sum(F.col("x").cast("double") * F.col("w")).alias("dot"))
+    )
+
+
+def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
+    """→ (id_col, centroid): nearest centroid by dot product."""
+    dots = centroid_dots(corpus, cents, id_col, vec_col)
+    w = Window.partitionBy(id_col).orderBy(F.desc("dot"), F.asc("centroid"))
+    return (
+        dots.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col(id_col), "centroid")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "qid",
+    probe_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into inverted lists by
+    nearest centroid; each probe searches only its ``n_probe`` nearest lists.
+    The corpus-side assignment is one scan; the search join keys on
+    centroid — at 100 TB the lists are the partition layout and a probe
+    touches n_probe/n_centroids of the data."""
+    cents = ivf_centroids(corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
+    lists = assign_to_centroids(corpus, cents, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), _norm(F.col(vec_col)).alias("_nv")
+    ).join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    # probe→centroid shortlist (n_probe nearest centroids per probe), same
+    # exploded-join formulation as the corpus assignment
+    pdots = centroid_dots(probes, cents, probe_id_col, probe_vec_col).withColumnRenamed(
+        probe_id_col, "qid"
+    )
+    wp = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("centroid"))
+    shortlist = (
+        pdots.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= n_probe)
+        .select("qid", "centroid")
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("qid"),
+        F.col(probe_vec_col).alias("_q"),
+        _norm(F.col(probe_vec_col)).alias("_nq"),
+    ).join(shortlist, "qid")
+    pairs = c.join(
+        F.broadcast(p), ["centroid"]
+    ).filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id",
+        (_dot(F.col("_q"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
