@@ -169,7 +169,7 @@ s AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment
   FROM g
 )
-SELECT series_id, segment, count(*) AS n,
+SELECT series_id, segment::BIGINT AS segment, count(*) AS n,
        min("time") AS t_start, max("time") AS t_end
 FROM s GROUP BY 1, 2
 """
@@ -777,8 +777,8 @@ def q_stopword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_STOPWORD_HITS = """
 SELECT doc_id,
-       sum(CASE WHEN tok IN ('the','and','of','to','a') THEN 1 ELSE 0 END) AS en_hits,
-       sum(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS de_hits,
+       sum(CASE WHEN tok IN ('the','and','of','to','a') THEN 1 ELSE 0 END)::BIGINT AS en_hits,
+       sum(CASE WHEN tok IN ('der','die','und','das','ist') THEN 1 ELSE 0 END)::BIGINT AS de_hits,
        count(*) AS n_tokens
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY 1
@@ -867,8 +867,40 @@ bits AS (
 ),
 maj AS (SELECT doc_id, bit, sum(vote) AS s FROM bits GROUP BY 1, 2)
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END) AS simhash
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS simhash
 FROM maj GROUP BY 1
+"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded-Hamming near-dup join over the portable 60-bit simhash:
+    # 4 bands × 15 bits; pairs agreeing on ≥1 band, Hamming ≤ 10.
+    # (max_hamming > n_bands-1 ⇒ approximate blocking, but the oracle
+    # implements the identical banding so results match exactly.)
+    fp = q_simhash(spark, sf_dir)
+    return dedup.simhash_near_duplicates(
+        fp, max_hamming=10, n_bands=4, bits=60, max_bucket=1000
+    ).orderBy("d1", "d2")
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH fp AS ({SQL_SIMHASH}),
+banded AS (
+  SELECT doc_id, simhash, b.band::INT AS band,
+         (simhash >> (b.band * 15)::INT) & 32767 AS val
+  FROM fp, (SELECT unnest(range(4)) AS band) b
+),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, val) AS bn FROM banded
+  ) WHERE bn <= 1000
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM capped a JOIN capped b
+  ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+ORDER BY d1, d2
 """
 
 
@@ -976,7 +1008,7 @@ ins AS (
               ELSE 0 END AS k
   FROM g
 )
-SELECT series_id, count(*) + sum(k) AS n_rows FROM ins GROUP BY 1
+SELECT series_id, (count(*) + sum(k))::BIGINT AS n_rows FROM ins GROUP BY 1
 """
 
 
@@ -1361,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
+        "simhash_neardup": q_simhash_neardup,
         "roll3": q_roll3,
         "slice_pos": q_slice_pos,
         "fill_gaps_count": q_fill_gaps_count,
@@ -1419,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_hits": SQL_STOPWORD_HITS,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
+        "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "roll3": SQL_ROLL3,
         "slice_pos": SQL_SLICE_POS,
         "fill_gaps_count": SQL_FILL_GAPS_COUNT,

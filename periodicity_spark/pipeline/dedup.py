@@ -121,11 +121,15 @@ def jaccard_verify(
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
+    # NOTE: sizes is one row per document — corpus-sized, never broadcast it.
+    # candidates are already tiny after LSH banding, so plain shuffle joins
+    # (or AQE's own broadcast decision when sizes proves small) are the
+    # scale-safe plan.
     z1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
     z2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
     out = (
-        inter.join(F.broadcast(z1), "d1")
-        .join(F.broadcast(z2), "d2")
+        inter.join(z1, "d1")
+        .join(z2, "d2")
         .select(
             "d1",
             "d2",
@@ -152,8 +156,10 @@ def minhash_near_duplicates(
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
     → (d1, d2, jaccard ≥ threshold)."""
     # the shingle set feeds signatures AND both sides of the verify join —
-    # persist it so the explode+distinct shuffle runs once, not three times
-    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    # localCheckpoint (eager) materializes it once and truncates lineage, so
+    # the documents scan + explode + distinct shuffle run exactly once instead
+    # of re-running lazily under every consumer before the cache warms
+    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig)
     return jaccard_verify(cand, sh, threshold=threshold)
@@ -190,4 +196,56 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
                 F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+    max_bucket: int = 1000,
+    fp_col: str = "simhash",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-Hamming near-dup join over precomputed simhash fingerprints:
+    → (d1, d2, hamming ≤ max_hamming) with d1 < d2.
+
+    The fingerprint is split into ``n_bands`` contiguous bit bands; docs
+    agreeing exactly on ≥1 band are candidates (equi-join on (band, value) —
+    a hash shuffle keyed by the band bucket, never an all-pairs join), then
+    the true Hamming distance filters candidates. By pigeonhole, any pair
+    with Hamming distance < n_bands agrees on at least one band, so with
+    max_hamming < n_bands the banding loses no recall; beyond that it is the
+    standard approximate blocking. Buckets larger than ``max_bucket`` are
+    dropped (degenerate boilerplate guard, same rationale as LSH).
+    """
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = fingerprints.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
+    banded = fp.select(
+        "doc_id",
+        "_fp",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+    ).withColumn(
+        "val", F.expr(f"shiftright(_fp, cast(band * {band_bits} as int)) & {mask}")
+    )
+    w = Window.partitionBy("band", "val")
+    capped = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = capped.select("band", "val", F.col("doc_id").alias("d1"), F.col("_fp").alias("_f1"))
+    b = capped.select(
+        F.col("band").alias("_band"),
+        F.col("val").alias("_val"),
+        F.col("doc_id").alias("d2"),
+        F.col("_fp").alias("_f2"),
+    )
+    return (
+        a.join(b, (a["band"] == b["_band"]) & (a["val"] == b["_val"]) & (a["d1"] < b["d2"]))
+        .select("d1", "d2", F.expr("cast(bit_count(_f1 ^ _f2) as int)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )

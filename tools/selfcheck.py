@@ -41,6 +41,15 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col], b[col]
+            # the driver hashes TYPED values — a DuckDB HUGEINT (object dtype
+            # after .df()) vs Spark int64 mismatches even when values agree.
+            # Width-only differences (int32 vs int64) hash the same, so only
+            # flag when the dtype KIND differs (object vs int, int vs float).
+            if av.dtype.kind != bv.dtype.kind:
+                problems.append(
+                    f"col {col}: dtype kind differs spark={av.dtype} duck={bv.dtype} "
+                    f"(driver hash would mismatch — cast the oracle SQL)"
+                )
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = av.astype(float)
                 bv = bv.astype(float)
