@@ -1191,14 +1191,17 @@ def q_gls_bootstrap_fap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gp_map_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from periodicity_spark.gp import gp_map
+    # celerite-style O(N) kernel (gp/celerite.py) — each likelihood eval is
+    # O(N·J²), so this path holds for 10⁵-sample series where the dense
+    # O(N³) gp_map() cannot; top-20 longest series, parallelism axis = series
+    from periodicity_spark.gp import celerite_map
 
     ts = _ts(spark, sf_dir)
     big = (
         ts.groupBy("series_id").agg(F.count(F.lit(1)).alias("_n"))
         .orderBy(F.desc("_n"), "series_id").limit(20).select("series_id")
     )
-    return gp_map(ts.join(F.broadcast(big), "series_id"))
+    return celerite_map(ts.join(F.broadcast(big), "series_id"))
 
 
 def q_gaussian_prior(spark: SparkSession, sf_dir: str) -> DataFrame:

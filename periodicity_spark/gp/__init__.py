@@ -1,4 +1,5 @@
 from periodicity_spark.gp.modelers import (
+    celerite_map,
     gaussian_prior_density,
     gp_map,
     gp_mcmc_period,
@@ -6,6 +7,7 @@ from periodicity_spark.gp.modelers import (
 )
 
 __all__ = [
+    "celerite_map",
     "gp_map",
     "gp_mcmc_period",
     "make_gaussian_prior_mixture",
