@@ -1321,13 +1321,62 @@ def q_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from periodicity_spark.timefrequency import wps as tf_wps
-
-    tf = tf_wps(_ts(spark, sf_dir), [0.5, 1.0, 2.0, 4.0, 8.0])
+    # 2-D rebinning layer driven by a deterministic native TF surface
+    # (value²/frequency on a fixed 5-frequency grid) so the whole query has
+    # an exact DuckDB oracle; the CWT-backed input path is exercised by
+    # wps_gwps (rows-only — Python FFT kernel)
+    ts = _ts(spark, sf_dir)
+    freqs = spark.createDataFrame(
+        [(0.5,), (1.0,), (2.0,), (4.0,), (8.0,)], "frequency double"
+    )
+    # integer-valued power ⇒ bucket sums are exact in any summation order,
+    # so avg() is bit-identical across engines (floats would differ at the
+    # round(6) boundary depending on reduction order)
+    tf = ts.crossJoin(F.broadcast(freqs)).select(
+        "series_id",
+        "time",
+        "frequency",
+        F.floor(F.col("value") * F.col("value") / F.col("frequency"))
+        .cast("double")
+        .alias("power"),
+    )
     out = ops_resample.downsample_tf(tf, dt=2.0, df_=0.5)
     return out.select(
         "series_id", "time", "frequency", F.round("power", 6).alias("power")
     )
+
+
+SQL_TF_DOWNSAMPLE = f"""
+WITH {TS_SQL},
+tf AS (
+  SELECT series_id, "time", f.frequency,
+         floor(value * value / f.frequency) AS power
+  FROM ts, (SELECT unnest([0.5, 1.0, 2.0, 4.0, 8.0]) AS frequency) f
+),
+st AS (
+  SELECT series_id, min("time") AS t0, max("time") AS t1,
+         min(frequency) AS f0, max(frequency) AS f1
+  FROM tf GROUP BY 1
+),
+b AS (
+  SELECT tf.series_id, tf."time", tf.frequency, tf.power,
+         st.t0, st.t1, st.f0, st.f1,
+         ceil((st.t1 - st.t0) / 2.0)::INT AS nt,
+         ceil((st.f1 - st.f0) / 0.5)::INT AS nf
+  FROM tf JOIN st ON tf.series_id = st.series_id
+  WHERE st.t1 > st.t0 AND st.f1 > st.f0
+),
+bb AS (
+  SELECT series_id, t0, f0,
+         greatest(ceil(("time" - t0) / ((t1 - t0) / nt)) - 1, 0)::BIGINT AS tb,
+         greatest(ceil((frequency - f0) / ((f1 - f0) / nf)) - 1, 0)::BIGINT AS fb,
+         power
+  FROM b
+)
+SELECT series_id, t0 + tb * 2.0 AS "time", f0 + fb * 0.5 AS frequency,
+       round(avg(power), 6) AS power
+FROM bb GROUP BY series_id, tb, fb, t0, f0
+"""
 
 
 
@@ -1335,13 +1384,110 @@ def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gls_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.spectral.fast import gls_periodogram_fast
 
-    pg = gls_periodogram_fast(_ts(spark, sf_dir), GLS_FMIN, GLS_DF, GLS_NF)
+    pg = gls_periodogram_fast(
+        _ts(spark, sf_dir), GLS_FMIN, GLS_DF, GLS_NF, min_count=GLS_MIN_N
+    )
     return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
 
 
 def q_mirror_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_clean.mirror_fill(_ts_with_nulls(spark, sf_dir))
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+# positional mirror arithmetic re-derived relationally: null runs via
+# gaps-and-islands, halves filled by joining at the reflected index
+# (2s−i−1 / 2e−i−1), odd-run centers averaged from the half-filled state.
+# The kernel processes gaps left-to-right, so a LEFT-half source (always at
+# an earlier index) may read a previous gap's already-filled value, while a
+# RIGHT-half source (always later) reads the raw state — hence two passes:
+# pass 1 fills from originals, pass 2 re-sources left halves from pass 1's
+# result (one cascade level; deeper chains need 3+ gaps within a half-width
+# of each other, absent in this data). Trailing null runs stay NULL (the
+# kernel drops the unpaired start index).
+SQL_MIRROR_FILL = f"""
+WITH {TS_NULLS_SQL},
+t0 AS (
+  SELECT series_id, "time", value,
+         row_number() OVER (PARTITION BY series_id ORDER BY "time") - 1 AS rn
+  FROM ts
+),
+nsz AS (SELECT series_id, count(*) AS n FROM t0 GROUP BY 1),
+nr AS (
+  SELECT series_id, rn,
+         rn - row_number() OVER (PARTITION BY series_id ORDER BY rn) AS grp
+  FROM t0 WHERE value IS NULL
+),
+runs AS (
+  SELECT series_id, grp, min(rn) AS s, max(rn) + 1 AS e
+  FROM nr GROUP BY 1, 2
+),
+runs2 AS (
+  SELECT r.series_id, r.s, r.e, r.e - r.s AS gap
+  FROM runs r JOIN nsz z ON r.series_id = z.series_id
+  WHERE r.e < z.n
+),
+nullrow AS (
+  SELECT t.series_id, t.rn, r.s, r.e, r.gap
+  FROM t0 t JOIN runs2 r
+    ON t.series_id = r.series_id AND t.rn >= r.s AND t.rn < r.e
+),
+halves1 AS (
+  SELECT n.series_id, n.rn,
+    CASE
+      WHEN n.rn < n.s + n.gap // 2 THEN ol.value
+      WHEN n.rn >= n.e - n.gap // 2 THEN orr.value
+    END AS hv,
+    (n.gap % 2 = 1 AND n.rn = (n.s + n.e - 1) // 2) AS is_center
+  FROM nullrow n
+  LEFT JOIN t0 ol ON ol.series_id = n.series_id AND ol.rn = 2 * n.s - n.rn - 1
+  LEFT JOIN t0 orr ON orr.series_id = n.series_id AND orr.rn = 2 * n.e - n.rn - 1
+),
+m1 AS (
+  SELECT t.series_id, t.rn, t."time",
+         CASE WHEN t.value IS NOT NULL THEN t.value ELSE h.hv END AS mv,
+         coalesce(h.is_center, FALSE) AS is_center
+  FROM t0 t LEFT JOIN halves1 h ON t.series_id = h.series_id AND t.rn = h.rn
+),
+m1c AS (
+  SELECT series_id, rn, "time",
+         CASE WHEN is_center AND rn > 0 AND rn < n - 1
+              THEN 0.5 * (pmv + nmv) ELSE mv END AS mv
+  FROM (
+    SELECT series_id, rn, "time", is_center, mv,
+           lag(mv) OVER w AS pmv, lead(mv) OVER w AS nmv,
+           count(*) OVER (PARTITION BY series_id) AS n
+    FROM m1 WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+  )
+),
+halves2 AS (
+  SELECT n.series_id, n.rn,
+    CASE
+      WHEN n.rn < n.s + n.gap // 2 THEN ml.mv
+      WHEN n.rn >= n.e - n.gap // 2 THEN orr.value
+    END AS hv,
+    (n.gap % 2 = 1 AND n.rn = (n.s + n.e - 1) // 2) AS is_center
+  FROM nullrow n
+  LEFT JOIN m1c ml ON ml.series_id = n.series_id AND ml.rn = 2 * n.s - n.rn - 1
+  LEFT JOIN t0 orr ON orr.series_id = n.series_id AND orr.rn = 2 * n.e - n.rn - 1
+),
+m2 AS (
+  SELECT t.series_id, t.rn, t."time",
+         CASE WHEN t.value IS NOT NULL THEN t.value ELSE h.hv END AS mv,
+         coalesce(h.is_center, FALSE) AS is_center
+  FROM t0 t LEFT JOIN halves2 h ON t.series_id = h.series_id AND t.rn = h.rn
+),
+fin AS (
+  SELECT series_id, "time", rn, is_center, mv,
+         lag(mv) OVER w AS pmv, lead(mv) OVER w AS nmv,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM m2 WINDOW w AS (PARTITION BY series_id ORDER BY rn)
+)
+SELECT series_id, "time",
+       round(CASE WHEN is_center AND rn > 0 AND rn < n - 1
+                  THEN 0.5 * (pmv + nmv) ELSE mv END, 6) AS value
+FROM fin
+"""
 
 
 
@@ -1465,4 +1611,6 @@ def oracle_sql() -> dict[str, str]:
         "psort_by_peak": SQL_PSORT_BY_PEAK,
         "periods_at_half_max": SQL_PERIODS_AT_HALF_MAX,
         "downsample_median": SQL_DOWNSAMPLE_MEDIAN,
+        "mirror_fill": SQL_MIRROR_FILL,
+        "tf_downsample": SQL_TF_DOWNSAMPLE,
     }

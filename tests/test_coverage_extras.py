@@ -40,6 +40,39 @@ def test_fast_gls_matches_distributed(spark):
     assert gls_auto(ts, fmin, df_, nf).count() == nf
 
 
+def test_fast_gls_matches_duckdb_oracle(spark):
+    """gls_fast vs the exact SQL_GLS_POWER oracle (DuckDB) at sf0.001 — the
+    cross-engine differential for the extirpolation approximation."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    fast = (
+        em.queries()["gls_fast"](spark, sf)
+        .orderBy("series_id", "frequency")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')")
+    exact = (
+        con.sql(em.oracle_sql()["gls_power"])
+        .df()
+        .sort_values(["series_id", "frequency"])
+        .reset_index(drop=True)
+    )
+    fast = fast.reset_index(drop=True)
+    assert len(fast) == len(exact)
+    assert (fast["series_id"] == exact["series_id"]).all()
+    np.testing.assert_allclose(fast["frequency"], exact["frequency"], rtol=0, atol=1e-12)
+    # power is pre-rounded to 6 decimals on the Spark side; extirpolation
+    # tolerance dominates
+    assert np.abs(fast["power"].to_numpy() - exact["power"].to_numpy()).max() < 2e-3
+
+
 def test_mirror_fill(spark):
     t = np.arange(10, dtype=float)
     v = [1.0, 2.0, 3.0, np.nan, np.nan, np.nan, np.nan, 8.0, 9.0, 10.0]
