@@ -1056,6 +1056,59 @@ FROM w WHERE isp = 1
 """
 
 
+def q_interp_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(61).select((F.col("id") * F.lit(0.5)).alias("time"))
+    out = ops_resample.interp_nearest(_ts(spark, sf_dir), grid)
+    return out.select("series_id", "time", "value")
+
+
+SQL_INTERP_NEAREST = f"""
+WITH {TS_SQL},
+sids AS (SELECT DISTINCT series_id FROM ts),
+probes AS (
+  SELECT s.series_id, 0.5 * g.k AS "time", 1 AS isp,
+         NULL::DOUBLE AS value
+  FROM sids s, (SELECT unnest(range(61)) AS k) g
+),
+u AS (
+  SELECT series_id, "time", value, 0 AS isp FROM ts
+  UNION ALL
+  SELECT series_id, "time", value, isp FROM probes
+),
+w AS (
+  SELECT series_id, "time", isp,
+    last_value(CASE WHEN isp = 0 THEN "time" END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+    last_value(CASE WHEN isp = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    first_value(CASE WHEN isp = 0 THEN "time" END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+    first_value(CASE WHEN isp = 0 THEN value END IGNORE NULLS)
+      OVER (PARTITION BY series_id ORDER BY "time", isp
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+  FROM u
+)
+SELECT series_id, "time",
+       CASE WHEN pt IS NULL THEN nv
+            WHEN nt IS NULL THEN pv
+            WHEN ("time" - pt) <= (nt - "time") THEN pv
+            ELSE nv END AS value
+FROM w WHERE isp = 1
+"""
+
+
+def q_interp_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle: the not-a-knot tridiagonal solve is a Python kernel;
+    # correctness is pinned by the NumPy differential unit
+    # (tests/test_core_ops.py::test_interp_spline_matches_numpy_kernel)
+    grid = spark.range(61).select((F.col("id") * F.lit(0.5)).alias("time"))
+    out = ops_resample.interp_spline(_ts(spark, sf_dir), grid)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
 def q_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_clean.estimate_noise(_ts(spark, sf_dir))
     return out.select("series_id", F.round("noise", 6).alias("noise"))
@@ -1568,6 +1621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_downsample": q_tf_downsample,
         "gls_fast": q_gls_fast,
         "mirror_fill": q_mirror_fill,
+        "interp_nearest": q_interp_nearest,
+        "interp_spline": q_interp_spline,
         "simsearch_ivf": q_simsearch_ivf,
     }
 
@@ -1613,4 +1668,5 @@ def oracle_sql() -> dict[str, str]:
         "downsample_median": SQL_DOWNSAMPLE_MEDIAN,
         "mirror_fill": SQL_MIRROR_FILL,
         "tf_downsample": SQL_TF_DOWNSAMPLE,
+        "interp_nearest": SQL_INTERP_NEAREST,
     }

@@ -85,18 +85,11 @@ def fill_gaps(ts: DataFrame, dt: float | None = None, gap_factor: float = 1.2) -
     return ts.select("series_id", "time", "value").unionByName(gaps)
 
 
-def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
-    """Linear interpolation onto a new time grid — the as-of-join pattern
-    (reference interp(), core.py:636-662, and the np.interp as-of join in
-    CompositeSpectrum, timefrequency.py:317).
-
-    grid: (series_id, time) or (time) applied to every series. For each probe
-    time, find the bracketing sample rows and blend linearly; outside the
-    range, clamp to the edge value (np.interp semantics).
-
-    Implementation: union probes with samples, one window pass computes the
-    previous/next sample per probe (no O(N²) join, one sort per series — at
-    scale this is the merge-join formulation of as-of)."""
+def _probe_brackets(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Shared as-of machinery for the probe-grid interpolators: per probe row
+    → (_pt, _pv, _nt, _nv) bracketing sample time/value. Union probes with
+    samples, one window pass per side (no O(N²) join, one sort per series —
+    at scale this is the merge-join formulation of as-of)."""
     if "series_id" not in grid.columns:
         sids = ts.select("series_id").distinct()
         grid = sids.crossJoin(grid)
@@ -122,13 +115,24 @@ def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
     next_v = F.first(F.when(F.col("_is_probe") == 0, F.col("value")), ignorenulls=True).over(
         w2.rowsBetween(0, Window.unboundedFollowing)
     )
-    out = (
+    return (
         u.withColumn("_pt", prev_t)
         .withColumn("_pv", prev_v)
         .withColumn("_nt", next_t)
         .withColumn("_nv", next_v)
         .filter(F.col("_is_probe") == 1)
     )
+
+
+def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Linear interpolation onto a new time grid — the as-of-join pattern
+    (reference interp(method='linear'), core.py:636-662, and the np.interp
+    as-of join in CompositeSpectrum, timefrequency.py:317).
+
+    grid: (series_id, time) or (time) applied to every series. For each probe
+    time, blend the bracketing samples linearly; outside the range, clamp to
+    the edge value (np.interp semantics)."""
+    out = _probe_brackets(ts, grid)
     blend = F.when(F.col("_pt").isNull(), F.col("_nv")).when(
         F.col("_nt").isNull(), F.col("_pv")
     ).when(F.col("_nt") == F.col("_pt"), F.col("_pv")).otherwise(
@@ -138,6 +142,91 @@ def interp_linear(ts: DataFrame, grid: DataFrame) -> DataFrame:
         / (F.col("_nt") - F.col("_pt"))
     )
     return out.select("series_id", "time", blend.alias("value"))
+
+
+def interp_nearest(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Nearest-sample interpolation (reference interp(method='nearest'),
+    core.py:636-662). Ties go to the earlier sample — scipy interp1d
+    'nearest' boundary convention; edges clamp like interp_linear."""
+    out = _probe_brackets(ts, grid)
+    pick = F.when(F.col("_pt").isNull(), F.col("_nv")).when(
+        F.col("_nt").isNull(), F.col("_pv")
+    ).when(
+        (F.col("time") - F.col("_pt")) <= (F.col("_nt") - F.col("time")), F.col("_pv")
+    ).otherwise(F.col("_nv"))
+    return out.select("series_id", "time", pick.alias("value"))
+
+
+def interp_zero(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Zero-order hold (reference interp(method='zero'), core.py:636-662):
+    each probe takes the last sample at-or-before it; probes before the
+    first sample clamp to it."""
+    out = _probe_brackets(ts, grid)
+    pick = F.when(F.col("_pt").isNull(), F.col("_nv")).otherwise(F.col("_pv"))
+    return out.select("series_id", "time", pick.alias("value"))
+
+
+def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """Cubic-spline interpolation onto a probe grid (reference
+    interp(method='spline'), core.py:655-658 — splrep/splev with the default
+    s=0 interpolating spline; here the engine's own not-a-knot kernel,
+    decomposition/kernels.py:23, same one the EMD envelopes use).
+
+    Cogrouped per-series Arrow UDF: samples and probes shuffle once on
+    series_id; the tridiagonal solve is O(N) per series."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(ts.sparkSession)
+    if "series_id" not in grid.columns:
+        # concat breaks attribute lineage — the probe side must not share
+        # series_id attribute ids with ts, or the cogroup trips the
+        # ambiguous-self-join analyzer check
+        sids = ts.select(
+            F.concat(F.col("series_id"), F.lit("")).alias("series_id")
+        ).distinct()
+        grid = sids.crossJoin(grid)
+    samples = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
+    probes = grid.select("series_id", F.col("time").cast("double").alias("time"))
+
+    def _per_series(key, sample_pdf, probe_pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.decomposition.kernels import cubic_spline
+
+        if len(probe_pdf) == 0:
+            return pd.DataFrame(columns=["series_id", "time", "value"])
+        if len(sample_pdf) == 0:
+            return pd.DataFrame(
+                {"series_id": key[0], "time": probe_pdf["time"], "value": np.nan}
+            )
+        sample_pdf = sample_pdf.sort_values("time")
+        xk = sample_pdf["time"].to_numpy(float)
+        yk = sample_pdf["value"].to_numpy(float)
+        x = probe_pdf["time"].to_numpy(float)
+        return pd.DataFrame(
+            {"series_id": key[0], "time": x, "value": cubic_spline(xk, yk, x)}
+        )
+
+    return samples.groupBy("series_id").cogroup(probes.groupBy("series_id")).applyInPandas(
+        _per_series, "series_id string, time double, value double"
+    )
+
+
+def interp(ts: DataFrame, grid: DataFrame, method: str = "linear") -> DataFrame:
+    """Probe-grid interpolation dispatcher (reference interp(),
+    core.py:636-662). methods: linear | slinear (alias) | nearest | zero |
+    spline | cubic (alias)."""
+    m = {
+        "linear": interp_linear,
+        "slinear": interp_linear,
+        "nearest": interp_nearest,
+        "zero": interp_zero,
+        "spline": interp_spline,
+        "cubic": interp_spline,
+    }
+    if method not in m:
+        raise ValueError(f"unknown interp method: {method!r}")
+    return m[method](ts, grid)
 
 
 def downsample_tf(tf: DataFrame, dt: float, df_: float) -> DataFrame:

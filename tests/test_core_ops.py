@@ -8,7 +8,12 @@ from pyspark.sql import functions as F
 from periodicity_spark.functions.stats import series_stats
 from periodicity_spark.operators import agg, clean, resample, transform, windows
 from periodicity_spark.operators.acf import acf_fft, acf_lag_grid
-from periodicity_spark.sources.synthetic import gappy_sine, sine
+from periodicity_spark.sources.synthetic import (
+    bpsk,
+    gappy_sine,
+    gaussian_atoms_plus_fm_sinusoid,
+    sine,
+)
 
 
 def _ts(spark, t, v, sid="s"):
@@ -207,6 +212,72 @@ def test_interp_linear_matches_numpy(spark):
     assert np.allclose(out, np.interp(newt, t, v))
 
 
+def test_interp_nearest_and_zero(spark):
+    t = np.array([0.0, 1.0, 3.0, 6.0])
+    v = np.array([10.0, 20.0, 30.0, 40.0])
+    newt = np.array([-0.5, 0.4, 2.0, 2.1, 4.0, 7.0])
+    grid = spark.createDataFrame(pd.DataFrame({"time": newt}))
+    near = (
+        resample.interp(_ts(spark, t, v), grid, "nearest")
+        .orderBy("time").toPandas()["value"].tolist()
+    )
+    # -0.5 clamps to first; 2.0 is equidistant (1,3) → earlier sample;
+    # 4.0 nearer to 3 than 6; 7.0 clamps to last
+    assert near == [10.0, 10.0, 20.0, 30.0, 30.0, 40.0]
+    zero = (
+        resample.interp(_ts(spark, t, v), grid, "zero")
+        .orderBy("time").toPandas()["value"].tolist()
+    )
+    assert zero == [10.0, 10.0, 20.0, 20.0, 30.0, 40.0]
+
+
+def test_interp_spline_matches_numpy_kernel(spark):
+    from periodicity_spark.decomposition.kernels import cubic_spline
+
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 10, 25))
+    v = np.sin(t) + 0.1 * rng.standard_normal(25)
+    newt = np.linspace(0.2, 9.8, 40)
+    grid = spark.createDataFrame(pd.DataFrame({"time": newt}))
+    out = (
+        resample.interp(_ts(spark, t, v), grid, "spline")
+        .orderBy("time").toPandas()["value"].to_numpy()
+    )
+    np.testing.assert_allclose(out, cubic_spline(t, v, newt), rtol=1e-12)
+    # smooth-function sanity: spline beats linear on sin
+    dense_t = np.sort(rng.uniform(0, 10, 15))
+    dv = np.sin(dense_t)
+    sp = (
+        resample.interp(_ts(spark, dense_t, dv), grid, "spline")
+        .orderBy("time").toPandas()["value"].to_numpy()
+    )
+    li = (
+        resample.interp(_ts(spark, dense_t, dv), grid, "linear")
+        .orderBy("time").toPandas()["value"].to_numpy()
+    )
+    inside = (newt > dense_t.min()) & (newt < dense_t.max())
+    err_sp = np.abs(sp - np.sin(newt))[inside].max()
+    err_li = np.abs(li - np.sin(newt))[inside].max()
+    assert err_sp < err_li
+
+
+def test_hht_tutorial_preprocessing_chain(spark):
+    """Reference hht tutorial chain: gappy signal → interp(method='spline')
+    onto a uniform grid → HHT marginal spectrum peaks at the tone."""
+    from periodicity_spark.timefrequency.hht import hht, marginal_spectrum
+
+    rng = np.random.default_rng(3)
+    t = np.sort(rng.choice(np.arange(600.0), 480, replace=False))
+    x = np.sin(2 * np.pi * 0.05 * t)
+    uniform = np.arange(t.min(), t.max(), 1.0)
+    grid = spark.createDataFrame(pd.DataFrame({"time": uniform}))
+    ts_u = resample.interp(_ts(spark, t, x), grid, "spline")
+    tf = hht(ts_u, list(np.linspace(0.0, 0.15, 16)))
+    m = marginal_spectrum(tf).toPandas()
+    best = m.loc[m["power"].idxmax()]
+    assert best["frequency"] == pytest.approx(0.05, abs=0.02)
+
+
 def test_get_constant_envelope(spark):
     # reference tests/test_core.py:37-48: envelope of sin(t) on
     # linspace(0,100,1001) within 2e-3 of ±1; pad-width insensitivity
@@ -218,3 +289,45 @@ def test_get_constant_envelope(spark):
     e10 = windows.get_envelope(df, pad_width=10).orderBy("time").toPandas()
     assert np.allclose(e2["upper"].to_numpy(), e10["upper"].to_numpy())
     assert np.allclose(e2["lower"].to_numpy(), e10["lower"].to_numpy())
+
+
+def test_bpsk_generator(spark):
+    # reference doctest shape: t_bit·n_bits samples (data/__init__.py:88-90)
+    y = bpsk(spark, t_bit=10, n_bits=400, f_c=0.05).orderBy("time").toPandas()
+    assert len(y) == 4000
+    assert set(y.columns) == {"series_id", "time", "re", "im"}
+    z = y["re"].to_numpy() + 1j * y["im"].to_numpy()
+    # noiseless: unit modulus, carrier peak at f_c in the spectrum
+    assert np.allclose(np.abs(z), 1.0)
+    # suppressed-carrier spectrum: the sinc² main lobe (width 1/t_bit) around
+    # f_c carries most of the energy even though no discrete line exists
+    spec = np.abs(np.fft.fft(z)) ** 2
+    freqs = np.fft.fftfreq(len(z))
+    inband = np.abs(freqs - 0.05) < 0.1
+    assert spec[inband].sum() > 0.8 * spec.sum()
+    # symbols are bit-held: constant over each 10-sample bit
+    sym = np.sign((z * np.exp(-2j * np.pi * 0.05 * np.arange(4000))).real)
+    assert (sym.reshape(400, 10) == sym.reshape(400, 10)[:, :1]).all()
+    assert set(np.unique(sym)) == {-1.0, 1.0}
+    # noisy variant: SNR scaling honors N0 (empirical complex variance)
+    yn = bpsk(spark, t_bit=10, n_bits=400, f_c=0.05, n0_db=-10.0).orderBy("time").toPandas()
+    zn = yn["re"].to_numpy() + 1j * yn["im"].to_numpy()
+    noise = zn - z
+    assert np.var(noise) == pytest.approx(0.1, rel=0.05)
+
+
+def test_gaussian_atoms_plus_fm_sinusoid(spark):
+    # reference doctest shape 2000 (data/__init__.py:135-138); exact NumPy
+    # differential of the three components
+    y = gaussian_atoms_plus_fm_sinusoid(spark).orderBy("time").toPandas()
+    assert len(y) == 2000
+    n = np.arange(1, 2001)
+    fmax, fmin = 3 / 32, 9 / 128
+    phi = -np.arccos((3 * fmin - fmax) / (fmax + fmin))
+    x1 = 3 * np.exp(-(((n - 500) / 100) ** 2)) * np.cos(2 * np.pi * 5 / 16 * (n - 1000))
+    x2 = np.cos(
+        2 * np.pi * (fmax + fmin) / 2 * (n - 1000)
+        + (fmax - fmin) / 2 * 1000 * (np.sin(2 * np.pi * n / 1000) + phi - np.sin(phi))
+    )
+    x3 = np.exp(-(((n - 1000) / 200) ** 2)) * np.cos(2 * np.pi * 7 / 256 * (n - 1000))
+    np.testing.assert_allclose(y["value"].to_numpy(), x1 + x2 + x3, atol=1e-9)
