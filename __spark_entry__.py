@@ -923,22 +923,28 @@ def q_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # media table synthesized from documents (payload = utf8 bytes) — the
-    # decode is a deterministic stub; the plumbing (binary column, Arrow
-    # batching, schema) is the real thing under test.
+    # REAL decode for audio (RIFF/WAVE PCM parse) and image (24-bpp BMP
+    # parse); video remains the labeled stub. Payloads are genuine format
+    # bytes built by synthesize_media keyed on doc_id, so the decoded
+    # features (sample rate, duration, dimensions, channel means) are
+    # deterministic and verifiable.
+    from periodicity_spark.pipeline.multimodal import synthesize_media
+
     d = _docs(spark, sf_dir)
-    media = d.select(
+    ids = d.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
-        F.create_map(F.lit("n_frames"), (F.col("n_chars") % 100).cast("string")).alias("meta"),
     )
-    feats = extract_features(media, n_features=8)
+    feats = extract_features(synthesize_media(ids), n_features=8)
     return feats.select(
-        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 4), 6).alias("f3"),
     )
 
 

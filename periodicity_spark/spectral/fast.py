@@ -104,16 +104,28 @@ def gls_power_fast(t, y, fmin, df, nf, fit_mean=True, err=None):
 
 def gls_periodogram_fast(
     ts: DataFrame, fmin: float, df: float, nf: int, fit_mean: bool = True,
-    min_count: int = 3,
+    min_count: int = 3, grid_chunks: int = 1,
 ) -> DataFrame:
     """Per-series Arrow UDF around gls_power_fast → pg rows. Series with
     fewer than ``min_count`` samples are dropped (same contract as
-    gls_periodogram's min_count)."""
+    gls_periodogram's min_count).
+
+    ``grid_chunks`` > 1 shards the frequency grid: the samples are
+    replicated to (series, chunk) groups and each task extirpolates only its
+    sub-grid, so ONE giant series parallelizes across the cluster instead of
+    serializing in a single Python task. The trade is grid_chunks× shuffle
+    volume of the sample set for grid_chunks× wall-clock parallelism — the
+    right trade when the series is the long axis (the single-10⁸-point-series
+    case PLANS.md flags). Chunk trig sums are exact per sub-grid; only the
+    extirpolation mesh differs, so sharded output matches unsharded to the
+    extirpolation tolerance (~1e-5)."""
     ensure_worker_imports(ts.sparkSession)
     fm, d, n, fmean = float(fmin), float(df), int(nf), fit_mean
     mc = max(int(min_count), 3)
+    nc = max(int(grid_chunks), 1)
+    csize = -(-n // nc)  # ceil
 
-    def _per_series(pdf):
+    def _per_group(pdf):
         import pandas as pd
         from periodicity_spark.spectral.fast import gls_power_fast as gpf
 
@@ -122,21 +134,30 @@ def gls_periodogram_fast(
         y = pdf["value"].to_numpy(float)
         if len(y) < mc:
             return pd.DataFrame(columns=["series_id", "frequency", "power"])
-        power = gpf(t, y, fm, d, n, fit_mean=fmean)
+        c = int(pdf["_chunk"].iloc[0]) if "_chunk" in pdf else 0
+        j0 = c * csize
+        nf_c = min(csize, n - j0)
+        power = gpf(t, y, fm + d * j0, d, nf_c, fit_mean=fmean)
         import numpy as np
 
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].iloc[0],
-                "frequency": fm + d * np.arange(n),
+                "frequency": fm + d * (j0 + np.arange(nf_c)),
                 "power": power,
             }
         )
 
+    src = ts.filter(F.col("value").isNotNull())
+    if nc == 1:
+        return src.groupBy("series_id").applyInPandas(
+            _per_group, "series_id string, frequency double, power double"
+        )
+    chunks = ts.sparkSession.range(nc).select(F.col("id").cast("int").alias("_chunk"))
     return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(_per_series, "series_id string, frequency double, power double")
+        src.crossJoin(F.broadcast(chunks))
+        .groupBy("series_id", "_chunk")
+        .applyInPandas(_per_group, "series_id string, frequency double, power double")
     )
 
 
@@ -150,13 +171,20 @@ def gls_auto(
 ) -> DataFrame:
     """Strategy pick (the engine-level analog of the reference's conv-vs-FFT
     choice, timefrequency.py:212-218): long series × dense grid → per-series
-    O(N log N) UDF; many short series → distributed O(N·F) codegen path."""
+    O(N log N) UDF; many short series → distributed O(N·F) codegen path.
+    On the fast path, when there are fewer series than would fill the
+    cluster, the frequency grid is sharded (grid_chunks) so even a single
+    series fans out across tasks."""
     stats = ts.groupBy("series_id").agg(F.count("value").alias("n")).agg(
-        F.avg("n").alias("avg_n")
+        F.avg("n").alias("avg_n"), F.count(F.lit(1)).alias("n_series")
     ).collect()[0]
     avg_n = stats["avg_n"] or 0
+    n_series = stats["n_series"] or 0
     if avg_n * nf > avg_points_threshold * 64 and avg_n > avg_points_threshold:
-        return gls_periodogram_fast(ts, fmin, df, nf, fit_mean)
+        target_tasks = ts.sparkSession.sparkContext.defaultParallelism * 2
+        want = -(-target_tasks // max(n_series, 1))  # ceil
+        chunks = max(1, min(want, 32, nf // 256))
+        return gls_periodogram_fast(ts, fmin, df, nf, fit_mean, grid_chunks=chunks)
     from periodicity_spark.spectral.gls import uniform_freq_grid
 
     grid = uniform_freq_grid(ts.sparkSession, fmin, df, nf)
