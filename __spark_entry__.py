@@ -683,40 +683,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", "jaccard")
 
 
-SQL_DEDUP_MINHASH = """
+# minhash oracle mirrors the engine exactly: two 60-bit md5-half ints per
+# shingle, 16 2D-affine permutations mod 2^31−1 from the shared constants
+_MH_CONSTS = dedup.minhash_perm_consts(16)
+_MH_MINS = ",\n".join(
+    f"         min(({a} * (s % 2147483647) % 2147483647"
+    f" + {b} * (s2 % 2147483647) % 2147483647 + {c}) % 2147483647) AS m{i}"
+    for i, (a, b, c) in enumerate(_MH_CONSTS)
+)
+_MH_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {j} AS band, md5({cc}) AS sig FROM mh".format(
+        j=j,
+        cc=" || ',' || ".join(f"m{j * 4 + i}::VARCHAR" for i in range(4)),
+    )
+    for j in range(4)
+)
+
+SQL_DEDUP_MINHASH = f"""
 WITH sh AS (
-  SELECT DISTINCT doc_id, substr(text, i::INT, 5) AS s
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substr(text, i::INT, 5)), 1, 15))::BIGINT AS s,
+         ('0x' || substr(md5(substr(text, i::INT, 5)), 16, 15))::BIGINT AS s2
   FROM (SELECT doc_id, text, unnest(range(1, length(text) - 3)) AS i
         FROM documents WHERE length(text) >= 5)
 ),
 mh AS (
   SELECT doc_id,
-         min(md5('0:' || s)) AS m0,
-         min(md5('1:' || s)) AS m1,
-         min(md5('2:' || s)) AS m2,
-         min(md5('3:' || s)) AS m3,
-         min(md5('4:' || s)) AS m4,
-         min(md5('5:' || s)) AS m5,
-         min(md5('6:' || s)) AS m6,
-         min(md5('7:' || s)) AS m7,
-         min(md5('8:' || s)) AS m8,
-         min(md5('9:' || s)) AS m9,
-         min(md5('10:' || s)) AS m10,
-         min(md5('11:' || s)) AS m11,
-         min(md5('12:' || s)) AS m12,
-         min(md5('13:' || s)) AS m13,
-         min(md5('14:' || s)) AS m14,
-         min(md5('15:' || s)) AS m15
+{_MH_MINS}
   FROM sh GROUP BY 1
 ),
 bands AS (
-  SELECT doc_id, 0 AS band, md5(m0 || m1 || m2 || m3) AS sig FROM mh
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5(m4 || m5 || m6 || m7) AS sig FROM mh
-  UNION ALL
-  SELECT doc_id, 2 AS band, md5(m8 || m9 || m10 || m11) AS sig FROM mh
-  UNION ALL
-  SELECT doc_id, 3 AS band, md5(m12 || m13 || m14 || m15) AS sig FROM mh
+{_MH_BANDS}
 ),
 capped AS (
   SELECT * FROM bands

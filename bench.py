@@ -34,6 +34,13 @@ HEADLINE = [
     "simsearch_topk",
     "text_stats",
     "simhash",
+    # round-2 additions
+    "simhash_neardup",
+    "interp_nearest",
+    "interp_spline",
+    "tf_downsample",
+    "mirror_fill",
+    "gls_fast",
 ]
 
 

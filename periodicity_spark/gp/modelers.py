@@ -40,10 +40,15 @@ def make_gaussian_prior_mixture(
     rungs = None
     for p_max in periods:
         q = acf_period_quality(ts, p_min, p_max).select(
-            "series_id", "best_period", F.greatest(F.col("quality"), F.lit(0.0)).alias("q")
+            "series_id",
+            "best_period",
+            F.greatest(F.col("quality"), F.lit(0.0)).alias("q"),
+            F.col("quality").alias("_qraw"),
         )
         rungs = q if rungs is None else rungs.unionByName(q)
-    qsum = rungs.groupBy("series_id").agg(F.sum("q").alias("_qsum"))
+    # reference normalization (gp.py:145): weights use clamped q but the
+    # denominator is the sum of RAW qualities (negatives included)
+    qsum = rungs.groupBy("series_id").agg(F.sum("_qraw").alias("_qsum"))
     comp = rungs.join(F.broadcast(qsum), "series_id").filter(F.col("_qsum") > 0)
     rows = []
     for mult, height in ((1.0, fh), (0.5, hh), (2.0, hh)):
@@ -163,7 +168,8 @@ def celerite_map(
     kernel: str = "brownian",
     err_col: str | None = None,
     init: str | float | None = "gls",
-    max_iter: int = 250,
+    max_iter: int = 300,
+    n_starts: int = 1,
 ) -> DataFrame:
     """Per-series celerite-style O(N) GP MAP fit (reference CeleriteModeler /
     BrownianGP / HarmonicGP, gp.py:340-538) — the scale path for long series:
@@ -174,11 +180,20 @@ def celerite_map(
 
     ``init``: "gls" seeds the period prior with the engine's own periodogram
     (the reference relies on the caller's init_period); None uses the
-    reference default √N·median_dt; a float pins it."""
+    reference default √N·median_dt; a float pins it.
+
+    ``n_starts`` > 1 multi-starts the period coordinate (the NLL is
+    multimodal in period) — starts fan out as (series, start) Spark groups
+    and reduce by min-NLL, so extra starts cost wall-clock only when the
+    cluster is saturated. This is the parallelism the reference's serial
+    minimize() loop doesn't have."""
     ensure_worker_imports(ts.sparkSession)
     ec, kern, init_mode, mi = err_col, kernel, init, max_iter
+    ns = max(int(n_starts), 1)
+    # period-coordinate start points, centered on the prior median
+    start_us = [50.0] if ns == 1 else [35.0 + 30.0 * i / (ns - 1) for i in range(ns)]
 
-    def _per_series(pdf):
+    def _per_group(pdf):
         import numpy as np
         import pandas as pd
         from periodicity_spark.gp.celerite import celerite_map_fit
@@ -199,7 +214,10 @@ def celerite_map(
             p0 = float(gls_best_period(t, y))
         else:
             p0 = init_mode  # float or None (reference √N·dt default)
-        params, nll = celerite_map_fit(t, y, err, kernel=kern, init_period=p0, max_iter=mi)
+        u0p = float(pdf["_start"].iloc[0]) if "_start" in pdf else None
+        params, nll = celerite_map_fit(
+            t, y, err, kernel=kern, init_period=p0, max_iter=mi, u0_period=u0p
+        )
         return pd.DataFrame(
             {
                 "series_id": [pdf["series_id"].iloc[0]],
@@ -211,14 +229,27 @@ def celerite_map(
             }
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, period_map double, nll double, mean double, "
-            "sigma double, jitter double",
-        )
+    schema = (
+        "series_id string, period_map double, nll double, mean double, "
+        "sigma double, jitter double"
+    )
+    src = ts.filter(F.col("value").isNotNull())
+    if ns == 1:
+        return src.groupBy("series_id").applyInPandas(_per_group, schema)
+    starts = ts.sparkSession.createDataFrame([(u,) for u in start_us], "_start double")
+    fits = (
+        src.crossJoin(F.broadcast(starts))
+        .groupBy("series_id", "_start")
+        .applyInPandas(_per_group, schema)
+    )
+    best = fits.groupBy("series_id").agg(F.min(F.struct("nll", "period_map", "mean", "sigma", "jitter")).alias("_b"))
+    return best.select(
+        "series_id",
+        F.col("_b.period_map").alias("period_map"),
+        F.col("_b.nll").alias("nll"),
+        F.col("_b.mean").alias("mean"),
+        F.col("_b.sigma").alias("sigma"),
+        F.col("_b.jitter").alias("jitter"),
     )
 
 

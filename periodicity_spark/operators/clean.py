@@ -409,6 +409,6 @@ def mirror_fill(ts: DataFrame) -> DataFrame:
             {"series_id": pdf["series_id"].iloc[0], "time": pdf["time"], "value": v}
         )
 
-    return ts.groupBy("series_id").applyInPandas(
-        _per_series, "series_id string, time double, value double"
-    )
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(ts, _per_series, "series_id string, time double, value double")

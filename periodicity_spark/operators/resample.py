@@ -172,43 +172,47 @@ def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
     s=0 interpolating spline; here the engine's own not-a-knot kernel,
     decomposition/kernels.py:23, same one the EMD envelopes use).
 
-    Cogrouped per-series Arrow UDF: samples and probes shuffle once on
-    series_id; the tridiagonal solve is O(N) per series."""
-    from periodicity_spark.session import ensure_worker_imports
+    Samples and probes union into one bucketed-grouped Arrow UDF (a single
+    shuffle; per-series Arrow overhead amortized across the bucket); the
+    tridiagonal solve is O(N) per series."""
+    from periodicity_spark.session import grouped_apply
 
-    ensure_worker_imports(ts.sparkSession)
     if "series_id" not in grid.columns:
-        # concat breaks attribute lineage — the probe side must not share
-        # series_id attribute ids with ts, or the cogroup trips the
-        # ambiguous-self-join analyzer check
-        sids = ts.select(
-            F.concat(F.col("series_id"), F.lit("")).alias("series_id")
-        ).distinct()
+        sids = ts.select("series_id").distinct()
         grid = sids.crossJoin(grid)
-    samples = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
-    probes = grid.select("series_id", F.col("time").cast("double").alias("time"))
+    samples = (
+        ts.filter(F.col("value").isNotNull())
+        .select("series_id", "time", "value")
+        .withColumn("_isp", F.lit(0))
+    )
+    probes = grid.select(
+        "series_id", F.col("time").cast("double").alias("time")
+    ).withColumn("value", F.lit(None).cast("double")).withColumn("_isp", F.lit(1))
 
-    def _per_series(key, sample_pdf, probe_pdf):
+    def _per_series(pdf):
         import numpy as np
         import pandas as pd
         from periodicity_spark.decomposition.kernels import cubic_spline
 
-        if len(probe_pdf) == 0:
+        probe = pdf[pdf["_isp"] == 1]
+        sample = pdf[pdf["_isp"] == 0].sort_values("time")
+        if len(probe) == 0:
             return pd.DataFrame(columns=["series_id", "time", "value"])
-        if len(sample_pdf) == 0:
-            return pd.DataFrame(
-                {"series_id": key[0], "time": probe_pdf["time"], "value": np.nan}
+        x = probe["time"].to_numpy(float)
+        if len(sample) == 0:
+            v = np.full(len(x), np.nan)
+        else:
+            v = cubic_spline(
+                sample["time"].to_numpy(float), sample["value"].to_numpy(float), x
             )
-        sample_pdf = sample_pdf.sort_values("time")
-        xk = sample_pdf["time"].to_numpy(float)
-        yk = sample_pdf["value"].to_numpy(float)
-        x = probe_pdf["time"].to_numpy(float)
         return pd.DataFrame(
-            {"series_id": key[0], "time": x, "value": cubic_spline(xk, yk, x)}
+            {"series_id": probe["series_id"].iloc[0], "time": x, "value": v}
         )
 
-    return samples.groupBy("series_id").cogroup(probes.groupBy("series_id")).applyInPandas(
-        _per_series, "series_id string, time double, value double"
+    return grouped_apply(
+        samples.unionByName(probes),
+        _per_series,
+        "series_id string, time double, value double",
     )
 
 

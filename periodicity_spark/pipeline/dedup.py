@@ -35,20 +35,56 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+P31 = 2147483647  # 2^31 − 1, prime — the affine-permutation modulus
+
+
+def minhash_perm_consts(n_hashes: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) triples for the 2D affine family
+    h_i(x, y) = (a_i·x + b_i·y + c_i) mod P31 — shared verbatim by the
+    DuckDB oracle. Two independent base coordinates are essential: 1D
+    affine perms of a single hash are only weakly min-wise independent, and
+    on a shared-vocabulary corpus that inflated LSH candidates ~9×
+    (measured 17k → 153k pairs at sf0.1)."""
+    return [
+        (
+            (((2 * i + 1) * 1103515245) % P31) or 1,
+            (((i + 7) * 2654435761) % P31) or 1,
+            (i * 12345 + 6789) % P31,
+        )
+        for i in range(n_hashes)
+    ]
+
+
 def char_shingles(
     docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct character k-grams per doc: → (doc_id, shingle). Docs shorter
-    than k are dropped (they have no k-shingle)."""
-    return (
-        docs.filter(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.sequence(F.lit(1), F.length(text_col) - (k - 1))).alias("_i"),
-            F.col(text_col).alias("_t"),
-        )
-        .select("doc_id", F.expr(f"substring(_t, _i, {k})").alias("shingle"))
-        .distinct()
+    """Distinct character k-grams per doc, HASHED at the source: → (doc_id,
+    shingle BIGINT, shingle2 BIGINT) — two independent 60-bit integers from
+    the k-gram's md5 halves (hex chars 1-15 and 16-30). Docs shorter than k
+    are dropped (they have no k-shingle).
+
+    Hashing before the distinct keeps every downstream shuffle (distinct,
+    signature agg, verify joins) on 8-byte ints instead of text — at corpus
+    scale that is most of the dedup shuffle volume. ``shingle`` alone is the
+    join identity (collisions ~n²/2⁶⁰); ``shingle2`` exists so the minhash
+    permutations have a second independent coordinate. Both engines derive
+    the same integers, so oracle checks stay exact."""
+    # (doc_id, shingle) distinct ≡ per-document distinct, so dedup happens
+    # INSIDE the row via array_distinct — the global distinct shuffle
+    # disappears entirely (shingling becomes a scan-only stage)
+    grams = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> md5(cast(substring({text_col}, i, {k}) as binary)))"
+            )
+        ).alias("_hs"),
+    )
+    return grams.select("doc_id", F.explode("_hs").alias("_h")).select(
+        "doc_id",
+        F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("shingle"),
+        F.conv(F.substring("_h", 16, 15), 16, 10).cast("long").alias("shingle2"),
     )
 
 
@@ -56,8 +92,10 @@ def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, r: int = 4
 ) -> DataFrame:
     """Banded MinHash signatures (b = n_hashes // r bands of r rows each):
-    minhash i of a doc is the lexicographic min of md5('<i>:'||shingle);
-    band j's signature is md5 of the concatenated minhashes [jr, (j+1)r).
+    all n_hashes minhashes derive from the shingle's two base hashes via 2D
+    affine permutations (a_i·h1 + b_i·h2 + c_i) mod 2³¹−1 — integer
+    arithmetic in codegen instead of n_hashes md5 calls per shingle; band
+    j's signature is md5 of the comma-joined minhashes [jr, (j+1)r).
     → (doc_id, band, sig).
 
     r > 1 is essential on shared-vocabulary corpora: with r=1 every doc
@@ -66,13 +104,18 @@ def minhash_signatures(
     Jaccard^r, so r=4 separates true near-dups (j ≥ 0.6) from vocabulary
     overlap (j ≈ 0.25) by two orders of magnitude."""
     n_bands = n_hashes // r
+    h1 = F.col("shingle") % F.lit(P31)
+    h2 = F.col("shingle2") % F.lit(P31)
     aggs = [
-        F.min(_md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"_m{i}")
-        for i in range(n_hashes)
+        F.min(
+            ((F.lit(a) * h1) % F.lit(P31) + (F.lit(b) * h2) % F.lit(P31) + F.lit(c))
+            % F.lit(P31)
+        ).alias(f"_m{i}")
+        for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
     ]
     wide = shingles.groupBy("doc_id").agg(*aggs)
     bands = [
-        _md5(F.concat(*[F.col(f"_m{j * r + i}") for i in range(r)])).alias(f"_b{j}")
+        _md5(F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])).alias(f"_b{j}")
         for j in range(n_bands)
     ]
     wide = wide.select("doc_id", *bands)
@@ -155,10 +198,16 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
     → (d1, d2, jaccard ≥ threshold)."""
+    # small-input guard: a corpus read from one parquet split would run the
+    # whole md5-shingling scan on one core (measured 8.6 s single-threaded at
+    # sf0.1); at real scale the source has many splits and this is a no-op
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # the shingle set feeds signatures AND both sides of the verify join —
     # localCheckpoint (eager) materializes it once and truncates lineage, so
-    # the documents scan + explode + distinct shuffle run exactly once instead
-    # of re-running lazily under every consumer before the cache warms
+    # the documents scan + shingling transform run exactly once instead of
+    # re-running lazily under every consumer before the cache warms
     sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig)

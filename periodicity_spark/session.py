@@ -59,3 +59,48 @@ def ensure_worker_imports(spark) -> None:
             z.write(f, "periodicity_spark/" + str(f.relative_to(pkg_dir)))
     spark.sparkContext.addPyFile(str(zpath))
     spark._ps_pyfiles_added = True
+
+
+def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
+    """applyInPandas over per-series kernels with COARSE grouping: rows are
+    bucketed by a hash of series_id (~4 buckets per core by default) and the
+    Python side sub-groups by series, so the per-group Arrow transfer +
+    pandas-construction overhead is paid per BUCKET, not per series.
+
+    With millions of small series (the 100 TB shape), naive
+    groupBy("series_id").applyInPandas pays ~1 ms of constant cost per
+    series — measured 10.6 s for 7.5k series at sf0.1 where the kernels
+    themselves were <2 s. Bucketing amortizes it ~100×. A single giant
+    series still lands in one bucket — no worse than per-series grouping;
+    shard such operators explicitly (see gls grid_chunks).
+
+    ``per_series_fn``: pandas DataFrame (one full series) → pandas DataFrame
+    matching ``schema``. Must not depend on the bucket column.
+    """
+    from pyspark.sql import functions as F
+
+    spark = ts.sparkSession
+    ensure_worker_imports(spark)
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 4
+    out_cols = [f.strip().split(" ")[0] for f in schema.split(",")]
+
+    def _per_bucket(pdf):
+        import pandas as pd
+
+        outs = []
+        for _, g in pdf.groupby("series_id", sort=False):
+            o = per_series_fn(g)
+            if o is not None and len(o):
+                outs.append(o)
+        if not outs:
+            return pd.DataFrame(columns=out_cols)
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        ts.withColumn(
+            "_bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)).cast("int")
+        )
+        .groupBy("_bucket")
+        .applyInPandas(_per_bucket, schema)
+    )

@@ -12,6 +12,8 @@ uses plain float time axes, data/__init__.py:20-22).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,3 +92,51 @@ def ts_from_parquet(
         time.alias("time"),
         value.alias("value"),
     )
+
+
+FIXTURES_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+_FIXTURES = {
+    # name → (sentinel, has err column)  (reference data/__init__.py:6-64)
+    "spotted_star": (None, True),
+    "sunspots": (-1.0, False),
+    "tsi": (-99.0, False),
+}
+
+
+def load_fixture(spark: SparkSession, name: str) -> DataFrame:
+    """Bundled public observational datasets as (series_id, time, value[, err])
+    with sentinel→NULL normalization — parquet conversions of the same public
+    data the reference bundles (KIC 9655172 light curve, WDC-SILSO sunspot
+    number, PMOD TSI composite; data/__init__.py:6-64). Regenerate with
+    tools/make_fixtures.py."""
+    if name not in _FIXTURES:
+        raise ValueError(f"unknown fixture: {name!r} (have {sorted(_FIXTURES)})")
+    sentinel, has_err = _FIXTURES[name]
+    path = os.path.join(FIXTURES_DIR, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    value = F.col("value").cast("double")
+    if sentinel is not None:
+        value = F.when(value == F.lit(sentinel), F.lit(None)).otherwise(value)
+    cols = [
+        F.col("series_id").cast("string").alias("series_id"),
+        F.col("time").cast("double").alias("time"),
+        value.alias("value"),
+    ]
+    if has_err:
+        cols.append(F.col("err").cast("double").alias("err"))
+    return df.select(*cols)
+
+
+def spotted_star(spark: SparkSession) -> DataFrame:
+    """KIC 9655172 Kepler light curve (t, y, dy), 2148 samples."""
+    return load_fixture(spark, "spotted_star")
+
+
+def sunspots(spark: SparkSession) -> DataFrame:
+    """WDC-SILSO daily total sunspot number, 1818-2021; −1 sentinel → NULL."""
+    return load_fixture(spark, "sunspots")
+
+
+def tsi(spark: SparkSession) -> DataFrame:
+    """PMOD composite Total Solar Irradiance, 1978-2012; −99 sentinel → NULL."""
+    return load_fixture(spark, "tsi")

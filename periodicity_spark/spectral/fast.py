@@ -150,8 +150,12 @@ def gls_periodogram_fast(
 
     src = ts.filter(F.col("value").isNotNull())
     if nc == 1:
-        return src.groupBy("series_id").applyInPandas(
-            _per_group, "series_id string, frequency double, power double"
+        # bucketed grouping amortizes per-series Arrow overhead over many
+        # small series; the giant-series case is what grid_chunks is for
+        from periodicity_spark.session import grouped_apply
+
+        return grouped_apply(
+            src, _per_group, "series_id string, frequency double, power double"
         )
     chunks = ts.sparkSession.range(nc).select(F.col("id").cast("int").alias("_chunk"))
     return (
