@@ -901,6 +901,65 @@ ORDER BY d1, d2
 """
 
 
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact all-pairs embedding-cosine near-dup (distributed cartesian — the
+    # O(n²) baseline; cosine_near_duplicates_lsh is the corpus-scale path)
+    out = simsearch.cosine_near_duplicates(_emb(spark, sf_dir), threshold=0.4)
+    return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_COSINE_NEARDUP = """
+WITH z AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         unnest(a.embedding)::DOUBLE AS av, unnest(b.embedding)::DOUBLE AS bv
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+p AS (
+  SELECT d1, d2, sum(av * bv) AS dot,
+         sqrt(sum(av * av)) AS n1, sqrt(sum(bv * bv)) AS n2
+  FROM z GROUP BY 1, 2
+)
+SELECT d1, d2, round(dot / (n1 * n2), 6) AS cosine
+FROM p WHERE dot / (n1 * n2) >= 0.4
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact word-3-gram Jaccard near-dup join via inverted index with a
+    # df ≤ 50 gram cap (applied identically in the oracle — the capped-set
+    # Jaccard is the query's semantics, and integer counts divide at the
+    # end so values are bit-exact cross-engine)
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=50
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 3)
+),
+rare AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df FROM grams
+  ) WHERE df <= 50
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ix
+  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, ix::DOUBLE / (s1.sz + s2.sz - ix)::DOUBLE AS jaccard
+FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+WHERE ix::DOUBLE / (s1.sz + s2.sz - ix)::DOUBLE >= 0.5
+"""
+
+
 # --- no-oracle queries (UDF kernels / approximate algorithms) ---------------
 
 
@@ -1627,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_nearest": q_interp_nearest,
         "interp_spline": q_interp_spline,
         "simsearch_ivf": q_simsearch_ivf,
+        "cosine_neardup": q_cosine_neardup,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -1672,4 +1733,6 @@ def oracle_sql() -> dict[str, str]:
         "mirror_fill": SQL_MIRROR_FILL,
         "tf_downsample": SQL_TF_DOWNSAMPLE,
         "interp_nearest": SQL_INTERP_NEAREST,
+        "cosine_neardup": SQL_COSINE_NEARDUP,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
     }

@@ -298,3 +298,76 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def word_ngrams(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct word n-grams per doc (space-tokenized, grams joined back with
+    single spaces): → (doc_id, gram). Docs with fewer than n tokens drop out.
+    Dedup happens inside the row (array_distinct) so the stage is scan-only —
+    no global distinct shuffle."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("_tk")
+    ).filter(F.size("_tk") >= n)
+    joined = " , ' ', ".join(f"element_at(_tk, cast(i + {j} as int))" for j in range(n))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, size(_tk) - {n - 1}), i -> concat({joined}))")
+            )
+        ).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup join via an inverted index:
+    → (d1, d2, jaccard ≥ threshold), d1 < d2.
+
+    Set-similarity joins don't need LSH to scale when a document-frequency
+    cap is acceptable: grams appearing in more than ``max_df`` docs are
+    dropped EVERYWHERE (intersections and set sizes alike, so the measure
+    stays a true Jaccard — over the rare-gram sets), which bounds the
+    inverted-index self-join fan-out at max_df² rows per gram. Boilerplate
+    grams are exactly the ones that carry no near-dup signal. The join is a
+    hash shuffle on gram; sizes join back on doc_id — never an all-pairs
+    comparison. Integer counts divide at the end, so cross-engine results
+    are bit-exact (oracle-checkable without rounding)."""
+    grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col)
+    rare = (
+        grams.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+    )
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
+    a = rare.select(F.col("doc_id").alias("d1"), "gram")
+    b = rare.select(F.col("doc_id").alias("d2"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("_ix"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("_sz").alias("_s1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("_sz").alias("_s2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("_ix").cast("double")
+                / (F.col("_s1") + F.col("_s2") - F.col("_ix")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

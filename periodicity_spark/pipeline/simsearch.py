@@ -260,3 +260,138 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
+
+
+def cosine_near_duplicates(
+    vecs: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate join: every unordered pair with
+    cosine ≥ threshold → (d1, d2, cosine), d1 < d2.
+
+    This is the deliberate O(n²) exact baseline — a distributed cartesian
+    (both sides stay partitioned; no corpus-sized broadcast) with the dot
+    product in JVM higher-order functions. Task count is |parts(a)|·|parts(b)|,
+    so it parallelizes, but the work is quadratic by definition; for corpus
+    scale use cosine_near_duplicates_lsh, which replaces the cross join with
+    a banded bucket equi-join."""
+    a = vecs.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("_v1"),
+        _norm(F.col(vec_col)).alias("_n1"),
+    )
+    b = vecs.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("_v2"),
+        _norm(F.col(vec_col)).alias("_n2"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_band_signatures(
+    vecs: DataFrame,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded random-hyperplane signatures for cosine LSH near-dup joins:
+    n_planes sign bits split into ``bands`` bands of r = n_planes/bands bits
+    → (vec_id, band, sig). Two vectors collide in a band iff all r sign bits
+    agree there; P(bit agrees) = 1 − θ/π, so a band matches with p^r and any
+    of b bands with 1−(1−p^r)^b — r tunes precision, b recall (same banding
+    logic as MinHash-LSH, dedup.py)."""
+    import numpy as np
+
+    r = n_planes // bands
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    band_sigs = []
+    for j in range(bands):
+        sig: Column = F.lit(0).cast("long")
+        for i in range(r):
+            plane = F.array(*[F.lit(float(x)) for x in planes[j * r + i]])
+            d = _dot(plane, F.col(vec_col))
+            sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        band_sigs.append(sig.alias(f"_b{j}"))
+    wide = vecs.select(F.col(id_col).alias("vec_id"), *band_sigs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(j).alias("band"), F.col(f"_b{j}").alias("sig"))
+            for j in range(bands)
+        ]
+    )
+    return wide.select("vec_id", F.explode(pairs).alias("_bs")).select(
+        "vec_id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig")
+    )
+
+
+def cosine_near_duplicates_lsh(
+    vecs: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Approximate embedding-cosine near-dup join, the corpus-scale path:
+    candidates = pairs sharing a (band, sig) bucket, then exact cosine
+    verification ≥ threshold → (d1, d2, cosine), d1 < d2.
+
+    Defaults (r=8, b=8) target HIGH thresholds: at cos 0.98 a band matches
+    with 0.59 → recall ≈ 1 − 0.41⁸ ≈ 0.999; at cos 0.9 recall ≈ 0.94; by
+    cos 0.5 candidates are rare — which is the point, the bucket join stays
+    tiny. Oversized buckets (degenerate vectors) are capped like MinHash-LSH.
+    Verification is exact, so precision is 1.0; only recall is approximate."""
+    sig = hyperplane_band_signatures(vecs, n_planes, bands, seed, dim, id_col, vec_col)
+    counted = sig.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("band", "sig"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = counted.select("band", "sig", F.col("vec_id").alias("d1"))
+    b = counted.select("band", "sig", F.col("vec_id").alias("d2"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    va = vecs.select(
+        F.col(id_col).alias("d1"),
+        F.col(vec_col).alias("_v1"),
+        _norm(F.col(vec_col)).alias("_n1"),
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("d2"),
+        F.col(vec_col).alias("_v2"),
+        _norm(F.col(vec_col)).alias("_n2"),
+    )
+    return (
+        cand.join(va, "d1")
+        .join(vb, "d2")
+        .select(
+            "d1",
+            "d2",
+            (_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

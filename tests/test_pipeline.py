@@ -56,3 +56,64 @@ def test_minhash_finds_planted_duplicates(spark):
     pairs = dedup.minhash_near_duplicates(docs, k=5, threshold=0.6).toPandas()
     found = set(map(tuple, pairs[["d1", "d2"]].to_numpy()))
     assert (0, 30) in found and (0, 31) in found
+
+
+def test_cosine_neardup_exact_matches_bruteforce_pairs(spark, emb):
+    # the all-pairs join must reproduce the symmetric pair set implied by
+    # per-probe exact search at the same threshold
+    out = simsearch.cosine_near_duplicates(emb, threshold=0.35).toPandas()
+    assert (out["d1"] < out["d2"]).all()
+    assert (out["cosine"] >= 0.35).all()
+    # spot-check one pair against a NumPy dot product
+    pdf = emb.toPandas().set_index("vec_id")["embedding"]
+    r = out.iloc[0]
+    a = np.asarray(pdf[r["d1"]], float)
+    b = np.asarray(pdf[r["d2"]], float)
+    ref = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert r["cosine"] == pytest.approx(ref, abs=1e-9)
+
+
+def test_cosine_neardup_lsh_recall_on_planted_neardups(spark):
+    # plant 10 base vectors + small-noise copies (cosine ≈ 0.99); the banded
+    # hyperplane join must recover essentially all planted pairs, and exact
+    # verification keeps precision at 1.0
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 64))
+    noisy = base + 0.05 * rng.standard_normal((10, 64))
+    vecs = np.vstack([base, noisy])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(20), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    got = simsearch.cosine_near_duplicates_lsh(df, threshold=0.9).toPandas()
+    found = set(map(tuple, got[["d1", "d2"]].to_numpy()))
+    planted = {(i, i + 10) for i in range(10)}
+    assert len(found & planted) >= 9  # ≥90% recall on near-identical pairs
+    # precision 1.0: everything returned truly clears the threshold
+    exact = simsearch.cosine_near_duplicates(df, threshold=0.9).toPandas()
+    exact_pairs = set(map(tuple, exact[["d1", "d2"]].to_numpy()))
+    assert found <= exact_pairs
+
+
+def test_ngram_jaccard_planted_duplicates_and_df_cap(spark):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 50)) for _ in range(20)]
+    texts = list(base)
+    # near-dup of doc 0: one token swapped → ~94% of 3-grams shared
+    toks = base[0].split()
+    toks[25] = "zzz"
+    texts.append(" ".join(toks))
+    # a short doc (< 3 tokens) must drop out, not crash
+    texts.append("one two")
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    found = set(map(tuple, out[["d1", "d2"]].to_numpy()))
+    assert (0, 20) in found
+    assert not any(21 in p for p in found)
+    j = out.set_index(["d1", "d2"]).loc[(0, 20), "jaccard"]
+    # one swapped token kills ≤ 3 grams of 48 → jaccard ≥ (48-3)/(48+3)
+    assert j >= (48 - 3) / (48 + 3)
