@@ -41,6 +41,8 @@ HEADLINE = [
     "tf_downsample",
     "mirror_fill",
     "gls_fast",
+    "cosine_neardup",
+    "ngram_jaccard",
 ]
 
 

@@ -32,6 +32,7 @@ class CEEMDAN:
         random_seed: int | None = None,
         max_modes: int | None = None,
         hard_mode_cap: int = 16,
+        strategy: str = "auto",
         **emd_kwargs,
     ):
         self.epsilon = epsilon
@@ -40,6 +41,9 @@ class CEEMDAN:
         self.random_seed = 0 if random_seed is None else int(random_seed)
         self.max_modes = max_modes
         self.hard_mode_cap = hard_mode_cap
+        if strategy not in ("auto", "ensemble", "local"):
+            raise ValueError(f"strategy must be auto/ensemble/local, got {strategy!r}")
+        self.strategy = strategy
         self.emd_kwargs = emd_kwargs
 
     # -- per-(series, realization) UDF bodies --------------------------------
@@ -122,13 +126,81 @@ class CEEMDAN:
 
         return _fn
 
+    def _local(self, base: DataFrame) -> DataFrame:
+        """Bucketed per-series kernel path: one applyInPandas stage runs the
+        full CEEMDAN per series (ceemdan_1d), so the job count is constant in
+        mode count and the driver loop disappears."""
+        from periodicity_spark.session import grouped_apply
+
+        eps, ens, me = self.epsilon, self.ensemble_size, self.min_energy
+        seed, mm, cap = self.random_seed, self.max_modes, self.hard_mode_cap
+        emd_kw = dict(self.emd_kwargs)
+
+        def _per_series(pdf):
+            import zlib
+
+            import pandas as pd
+            from periodicity_spark.decomposition.kernels import ceemdan_1d
+
+            pdf = pdf.sort_values("time")
+            sid = pdf["series_id"].iloc[0]
+            t = pdf["time"].to_numpy(float)
+            modes = ceemdan_1d(
+                t,
+                pdf["value"].to_numpy(float),
+                epsilon=eps,
+                ensemble_size=ens,
+                min_energy=me,
+                seed=seed,
+                max_modes=mm,
+                hard_mode_cap=cap,
+                sid_crc=zlib.crc32(sid.encode()),
+                **emd_kw,
+            )
+            if not modes:
+                return pd.DataFrame(columns=["series_id", "mode", "time", "value"])
+            return pd.concat(
+                [
+                    pd.DataFrame(
+                        {"series_id": sid, "mode": k, "time": t, "value": m}
+                    )
+                    for k, m in enumerate(modes)
+                ],
+                ignore_index=True,
+            )
+
+        return grouped_apply(
+            base, _per_series, "series_id string, mode int, time double, value double"
+        )
+
     # ------------------------------------------------------------------------
 
     def __call__(self, ts: DataFrame) -> DataFrame:
-        """→ modes DF (series_id, mode, time, value), modes 0..k per series."""
+        """→ modes DF (series_id, mode, time, value), modes 0..k per series.
+
+        Strategy pick (same idea as the GLS exact/fast switch): "ensemble"
+        parallelizes over (series × realization) with one driver-synced
+        ensemble average per mode — right when a few LARGE series must spread
+        across the cluster, but the job count grows ~6× per mode. "local"
+        runs the whole decomposition per series inside one bucketed Arrow
+        task (ceemdan_1d kernel, identical math and seeding) — constant job
+        count, zero driver loop; right for the many-small-series shape where
+        parallelism comes from series count. "auto" counts series once and
+        goes local when there are at least as many series as cores."""
         spark = ts.sparkSession
         ensure_worker_imports(spark)
         base = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
+
+        strategy = self.strategy
+        if strategy == "auto":
+            n_series = base.select("series_id").distinct().count()
+            strategy = (
+                "local"
+                if n_series >= spark.sparkContext.defaultParallelism
+                else "ensemble"
+            )
+        if strategy == "local":
+            return self._local(base)
 
         sigma = base.groupBy("series_id").agg(F.stddev_pop("value").alias("sigma_x"))
         sigma = sigma.filter(F.col("sigma_x") > 0).cache()

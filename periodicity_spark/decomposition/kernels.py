@@ -230,3 +230,69 @@ def lmd(t, x, max_modes=None, max_iter=10, smooth_iter=12, eps=1e-6):
         pfs.append((A, Fc))
         residue = residue - A * Fc
     return pfs, residue
+
+
+def ceemdan_1d(
+    t,
+    x,
+    epsilon=0.2,
+    ensemble_size=50,
+    min_energy=0.0,
+    seed=0,
+    max_modes=None,
+    hard_mode_cap=16,
+    sid_crc=0,
+    **emd_kw,
+):
+    """Single-series CEEMDAN (reference decomposition.py:210-342) — the same
+    algorithm the distributed CEEMDAN class runs as Spark jobs, here as one
+    in-process kernel so a bucketed Arrow task can decompose a whole series
+    with zero driver round-trips. Seeding matches the distributed path
+    (crc32(series_id) ⊕ seed·2654435761 + realization), so both strategies
+    draw identical noise. → list of modes (each len(t))."""
+    t = np.asarray(t, float)
+    x = np.asarray(x, float)
+    sigma_x = float(np.std(x))
+    if sigma_x == 0 or len(x) < 4:
+        return []
+    cap = hard_mode_cap if max_modes is None else min(max_modes, hard_mode_cap)
+    mm = max_modes if max_modes is not None else hard_mode_cap
+
+    noise_modes = []
+    for r in range(ensemble_size):
+        rng = np.random.default_rng(
+            (sid_crc & 0xFFFFFFFF) ^ (seed * 2654435761 + r) & 0x7FFFFFFF
+        )
+        noise = rng.standard_normal(len(t))
+        nm, _ = emd(t, noise, **emd_kw)
+        noise_modes.append(nm)
+
+    residue = x / sigma_x
+    modes = []
+    k = 0
+    while k < cap:
+        beta = epsilon * float(np.std(residue))
+        acc = np.zeros(len(t))
+        for r in range(ensemble_size):
+            nm = noise_modes[r]
+            if k < len(nm):
+                scale = beta / float(np.std(nm[0])) if k == 0 else beta
+                noisy = residue + scale * nm[k]
+            else:
+                noisy = residue
+            first, _ = emd(t, noisy, max_modes=1, **emd_kw)
+            acc += noisy - first[0] if first else np.zeros(len(t))
+        mu = acc / ensemble_size
+        modes.append(residue - mu)
+        residue = mu
+        k += 1
+        if float(np.var(residue)) < min_energy:
+            break
+        n_residue_modes = len(emd(t, residue, **emd_kw)[0])
+        if n_residue_modes == 1:
+            if k < mm:
+                modes.append(residue.copy())
+            break
+        if n_residue_modes < 1:
+            break
+    return [m * sigma_x for m in modes]

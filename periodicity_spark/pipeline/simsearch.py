@@ -277,7 +277,14 @@ def cosine_near_duplicates(
     so it parallelizes, but the work is quadratic by definition; for corpus
     scale use cosine_near_duplicates_lsh, which replaces the cross join with
     a banded bucket equi-join."""
-    a = vecs.select(
+    # the left side sets the cartesian's task count — a single-split source
+    # would serialize the whole n² scan into one task (measured 14 s for 4M
+    # pairs at sf0.1); at real scale the source has many splits already
+    par = vecs.sparkSession.sparkContext.defaultParallelism
+    left = vecs
+    if left.rdd.getNumPartitions() < par:
+        left = left.repartition(par)
+    a = left.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("_v1"),
         _norm(F.col(vec_col)).alias("_n1"),

@@ -69,3 +69,25 @@ def test_ceemdan_two_tones_thresholds(spark):
     assert np.linalg.norm((imf1 - s2)[3:-3]) / np.linalg.norm(s2[3:-3]) < 0.05
     total = piv.sum(axis=1).to_numpy()
     assert np.linalg.norm(total - (s1 + s2)) / np.linalg.norm(s1 + s2) < 1e-15
+
+
+def test_ceemdan_local_strategy_matches_ensemble(spark):
+    """The bucketed per-series kernel ("local") and the distributed ensemble
+    path must compute the same decomposition — same algorithm, same seeds;
+    only float summation order differs (numpy sequential vs Spark avg)."""
+    import pandas as pd
+
+    t = np.arange(300).astype(float)
+    x = np.sin(2 * np.pi * 0.06 * t) + 0.3 * np.sin(2 * np.pi * 0.011 * t)
+    ts = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "time": t, "value": x})
+    )
+    kw = dict(ensemble_size=12, random_seed=5, max_modes=3)
+    ens = CEEMDAN(strategy="ensemble", **kw)(ts).toPandas()
+    loc = CEEMDAN(strategy="local", **kw)(ts).toPandas()
+    pe = ens.pivot_table(index="time", columns="mode", values="value").sort_index()
+    pl = loc.pivot_table(index="time", columns="mode", values="value").sort_index()
+    assert list(pe.columns) == list(pl.columns)
+    for k in pe.columns:
+        denom = np.linalg.norm(pe[k]) or 1.0
+        assert np.linalg.norm(pe[k] - pl[k]) / denom < 1e-6, f"mode {k}"
