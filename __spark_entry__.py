@@ -984,18 +984,86 @@ WHERE ix::DOUBLE / (s1.sz + s2.sz - ix)::DOUBLE >= 0.5
 
 
 def q_acf_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the zero-padded-FFT autocorrelation equals the direct lagged product
+    # sum exactly (up to ~1e-12 FFT roundoff, absorbed by round 6), so the
+    # oracle computes the same quantity positionally; lags are reported as
+    # time offsets t − tmin, reference core.py:578-608
     a = acf_fft(_ts(spark, sf_dir), max_lag=10)
     return a.select("series_id", "lag", F.round("acf", 6).alias("acf"))
 
 
+SQL_ACF_FFT = f"""
+WITH {TS_SQL},
+mu AS (SELECT series_id, avg(value) AS mu FROM ts GROUP BY 1),
+pos AS (
+  SELECT t.series_id,
+         row_number() OVER (PARTITION BY t.series_id ORDER BY t."time") - 1 AS pos,
+         t."time" AS tt,
+         t.value - mu.mu AS v
+  FROM ts t JOIN mu USING (series_id)
+),
+tmin AS (SELECT series_id, min(tt) AS tmin FROM pos GROUP BY 1),
+lags AS (SELECT unnest(range(10)) AS lag),
+prods AS (
+  SELECT p.series_id, l.lag, sum(p.v * q.v) AS num
+  FROM pos p CROSS JOIN lags l
+  JOIN pos q ON q.series_id = p.series_id AND q.pos = p.pos + l.lag
+  GROUP BY 1, 2
+),
+den AS (SELECT series_id, num AS den FROM prods WHERE lag = 0),
+lt AS (
+  SELECT p.series_id, p.pos AS lag, p.tt - tm.tmin AS time_lag
+  FROM pos p JOIN tmin tm USING (series_id) WHERE p.pos < 10
+)
+SELECT p.series_id AS series_id, lt.time_lag AS lag, round(p.num / d.den, 6) AS acf
+FROM prods p JOIN den d USING (series_id)
+JOIN lt ON lt.series_id = p.series_id AND lt.lag = p.lag
+"""
+
+
 def q_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = ops_windows.find_peaks_prominence(_ts(spark, sf_dir))
+    # time passes through the UDF bit-identical to the oracle's arithmetic —
+    # rounding would CREATE tie mismatches, so don't
     return p.select(
-        "series_id",
-        F.round("time", 9).alias("time"),
-        "value",
-        F.round("prominence", 6).alias("prominence"),
+        "series_id", "time", "value", F.round("prominence", 6).alias("prominence")
     )
+
+
+# scipy-style prominence, declaratively: for each strict local max, the
+# nearest strictly-higher sample bounds each side; prominence = peak − the
+# higher of the two interval minima. The peaks×positions join is quadratic
+# per series but oracle-only (the engine runs the linear walk in Arrow).
+SQL_PEAK_PROMINENCE = f"""
+WITH {TS_SQL},
+pos AS (
+  SELECT series_id, row_number() OVER w - 1 AS pos, "time" AS t, value AS v
+  FROM ts WINDOW w AS (PARTITION BY series_id ORDER BY "time")
+),
+pk AS (
+  SELECT series_id, pos, t, v FROM (
+    SELECT series_id, pos, t, v, lag(v) OVER w AS pv, lead(v) OVER w AS nv
+    FROM pos WINDOW w AS (PARTITION BY series_id ORDER BY pos)
+  ) WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+),
+bounds AS (
+  SELECT p.series_id, p.pos, p.t, p.v,
+         max(q.pos) FILTER (q.pos < p.pos AND q.v > p.v) AS lb,
+         min(q.pos) FILTER (q.pos > p.pos AND q.v > p.v) AS rb
+  FROM pk p JOIN pos q USING (series_id)
+  GROUP BY 1, 2, 3, 4
+),
+prom AS (
+  SELECT b.series_id, b.pos, b.t, b.v,
+         min(q.v) FILTER (q.pos >= coalesce(b.lb + 1, 0) AND q.pos <= b.pos) AS lmin,
+         min(q.v) FILTER (q.pos >= b.pos AND q.pos <= coalesce(b.rb - 1, 9223372036854775807)) AS rmin
+  FROM bounds b JOIN pos q USING (series_id)
+  GROUP BY 1, 2, 3, 4, b.lb, b.rb
+)
+SELECT series_id, t AS "time", v AS value,
+       round(v - greatest(lmin, rmin), 6) AS prominence
+FROM prom
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,6 +1090,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 2), 6).alias("f1"),
         F.round(F.element_at("features", 4), 6).alias("f3"),
     )
+
+
+# the payloads are synthesized deterministically from media_id, so the oracle
+# derives the expected decoded features analytically: image = BMP dims/solid
+# green mean, audio = WAV frame count/rate/duration, video = the stub's
+# byte-histogram formula. An end-to-end check that the real parsers recover
+# exactly what the generators encoded.
+SQL_MULTIMODAL_FEATURES = """
+WITH ids AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind
+  FROM documents
+),
+vid AS (
+  SELECT media_id,
+         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 0) / 64.0 AS f0,
+         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 1) / 64.0 AS f1,
+         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 3) / 64.0 AS f3
+  FROM ids, (SELECT unnest(range(64)) AS i) r
+  WHERE kind = 'video' GROUP BY 1
+)
+SELECT ids.media_id, kind,
+       round(CASE kind WHEN 'image' THEN (4 + ids.media_id % 5)::DOUBLE
+                       WHEN 'audio' THEN 256.0
+                       ELSE vid.f0 END, 6) AS f0,
+       round(CASE kind WHEN 'image' THEN (3 + ids.media_id % 4)::DOUBLE
+                       WHEN 'audio' THEN 8000.0
+                       ELSE vid.f1 END, 6) AS f1,
+       round(CASE kind WHEN 'image' THEN ((ids.media_id * 7) % 256)::DOUBLE
+                       WHEN 'audio' THEN 0.032
+                       ELSE vid.f3 END, 6) AS f3
+FROM ids LEFT JOIN vid ON vid.media_id = ids.media_id
+"""
 
 
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1753,4 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "interp_nearest": SQL_INTERP_NEAREST,
         "cosine_neardup": SQL_COSINE_NEARDUP,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "acf_fft": SQL_ACF_FFT,
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "peak_prominence": SQL_PEAK_PROMINENCE,
     }
