@@ -1,8 +1,9 @@
 from periodicity_spark.streaming.ops import (
     events_stream,
+    stream_dedup,
     stream_downsample,
     stream_ffill,
     stream_sessionize,
 )
 
-__all__ = ["events_stream", "stream_downsample", "stream_sessionize", "stream_ffill"]
+__all__ = ["events_stream", "stream_dedup", "stream_downsample", "stream_sessionize", "stream_ffill"]

@@ -122,3 +122,20 @@ def stream_ffill(events: DataFrame, null_every: int = 7) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming exact-dedup for ingestion pipelines: drops events whose key
+    has already been seen within the watermark horizon
+    (dropDuplicatesWithinWatermark — state is bounded by the watermark, so
+    it runs forever on an unbounded stream; plain dropDuplicates would grow
+    state without bound). Default key = (series_id, ts): the at-least-once
+    delivery dedup. Pass e.g. a content hash column for payload-level dedup
+    — the streaming twin of pipeline.dedup.exact_duplicates."""
+    if keys is None:
+        keys = ["series_id", "ts"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -56,3 +56,25 @@ def test_stream_ffill(spark):
     total_nulls = out.filter(F.col("value").isNull()).count()
     assert total_nulls > 0
     assert nulls_unfilled < total_nulls
+
+
+def test_stream_dedup(spark):
+    from periodicity_spark.streaming import stream_dedup
+
+    ev = events_stream(spark, SF)
+    # duplicate the stream at the source: union with itself → every event
+    # arrives twice; dedup must return each exactly once
+    doubled = ev.unionByName(ev)
+    _run(stream_dedup(doubled, keys=["series_id", "ts", "value"]), "dd_out")
+    got = spark.sql("SELECT count(*) AS n FROM dd_out").collect()[0]["n"]
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select(
+            F.concat_ws("/", F.col("user_id"), F.col("event_type")),
+            "ts",
+            "value",
+        )
+        .distinct()
+        .count()
+    )
+    assert got == want
