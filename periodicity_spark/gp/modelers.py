@@ -170,6 +170,7 @@ def celerite_map(
     init: str | float | None = "gls",
     max_iter: int = 300,
     n_starts: int = 1,
+    loocv: bool = False,
 ) -> DataFrame:
     """Per-series celerite-style O(N) GP MAP fit (reference CeleriteModeler /
     BrownianGP / HarmonicGP, gp.py:340-538) — the scale path for long series:
@@ -186,9 +187,14 @@ def celerite_map(
     multimodal in period) — starts fan out as (series, start) Spark groups
     and reduce by min-NLL, so extra starts cost wall-clock only when the
     cluster is saturated. This is the parallelism the reference's serial
-    minimize() loop doesn't have."""
+    minimize() loop doesn't have.
+
+    ``loocv=True`` appends the log leave-one-out CV score of the fitted
+    model (reference CeleriteModeler.loocv, gp.py:387-396) — O(N²·J) per
+    series, a model-comparison diagnostic for moderate N, not a fit-loop
+    objective."""
     ensure_worker_imports(ts.sparkSession)
-    ec, kern, init_mode, mi = err_col, kernel, init, max_iter
+    ec, kern, init_mode, mi, lcv = err_col, kernel, init, max_iter, loocv
     ns = max(int(n_starts), 1)
     # period-coordinate start points, centered on the prior median
     start_us = [50.0] if ns == 1 else [35.0 + 30.0 * i / (ns - 1) for i in range(ns)]
@@ -207,7 +213,9 @@ def celerite_map(
             if ec is not None and ec in pdf
             else np.full(len(y), max(1e-3, 0.05 * np.std(y)))
         )
-        cols = ["series_id", "period_map", "nll", "mean", "sigma", "jitter"]
+        cols = ["series_id", "period_map", "nll", "mean", "sigma", "jitter"] + (
+            ["loocv"] if lcv else []
+        )
         if len(y) < 12 or np.std(y) == 0:
             return pd.DataFrame(columns=cols)
         if init_mode == "gls":
@@ -218,20 +226,28 @@ def celerite_map(
         params, nll = celerite_map_fit(
             t, y, err, kernel=kern, init_period=p0, max_iter=mi, u0_period=u0p
         )
-        return pd.DataFrame(
-            {
-                "series_id": [pdf["series_id"].iloc[0]],
-                "period_map": [float(params["period"])],
-                "nll": [float(nll)],
-                "mean": [float(params["mean"])],
-                "sigma": [float(params["sigma"])],
-                "jitter": [float(params["jitter"])],
-            }
-        )
+        out = {
+            "series_id": [pdf["series_id"].iloc[0]],
+            "period_map": [float(params["period"])],
+            "nll": [float(nll)],
+            "mean": [float(params["mean"])],
+            "sigma": [float(params["sigma"])],
+            "jitter": [float(params["jitter"])],
+        }
+        if lcv:
+            from periodicity_spark.gp.celerite import celerite_loocv, params_to_coeffs
 
+            k = params_to_coeffs(kern, params)
+            out["loocv"] = [
+                celerite_loocv(t, y, err**2 + params["jitter"], k, params["mean"])
+            ]
+        return pd.DataFrame(out)
+
+    extra = ["loocv"] if loocv else []
     schema = (
         "series_id string, period_map double, nll double, mean double, "
         "sigma double, jitter double"
+        + (", loocv double" if loocv else "")
     )
     src = ts.filter(F.col("value").isNotNull())
     if ns == 1:
@@ -242,14 +258,15 @@ def celerite_map(
         .groupBy("series_id", "_start")
         .applyInPandas(_per_group, schema)
     )
-    best = fits.groupBy("series_id").agg(F.min(F.struct("nll", "period_map", "mean", "sigma", "jitter")).alias("_b"))
+    fields = ["period_map", "mean", "sigma", "jitter"] + extra
+    best = fits.groupBy("series_id").agg(
+        F.min(F.struct("nll", *fields)).alias("_b")
+    )
     return best.select(
         "series_id",
         F.col("_b.period_map").alias("period_map"),
         F.col("_b.nll").alias("nll"),
-        F.col("_b.mean").alias("mean"),
-        F.col("_b.sigma").alias("sigma"),
-        F.col("_b.jitter").alias("jitter"),
+        *[F.col(f"_b.{c}").alias(c) for c in ["mean", "sigma", "jitter"] + extra],
     )
 
 

@@ -50,3 +50,28 @@ def test_gaussian_prior_mixture(spark):
     best = dens.loc[dens["density"].idxmax()]
     # prior peaks at the true 60-sample period (log 60 ≈ 4.09)
     assert np.exp(best["log_p"]) == pytest.approx(60.0, rel=0.15)
+
+
+def test_celerite_map_loocv_column(spark):
+    """loocv=True appends the log-LOO-CV score (finite, and bounded above by
+    ~the model's mean log-density); schema without the flag is unchanged."""
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    t = np.sort(rng.uniform(0, 30, 150))
+    y = np.sin(2 * np.pi * t / 5.0) + 0.1 * rng.standard_normal(len(t))
+    ts = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "time": t, "value": y})
+    )
+    from periodicity_spark.gp import celerite_map
+
+    base = celerite_map(ts, kernel="brownian", init=None, max_iter=60)
+    assert "loocv" not in base.columns
+    row = (
+        celerite_map(ts, kernel="brownian", init=None, max_iter=60, loocv=True)
+        .collect()[0]
+    )
+    assert np.isfinite(row["loocv"])
+    # LOO predictive log-density can't beat the joint fit per point by much;
+    # sanity-bound it to the same order as -nll
+    assert row["loocv"] < 0 or abs(row["loocv"]) < abs(row["nll"]) * 10
