@@ -1487,6 +1487,60 @@ FROM r WHERE rank <= 3
 )
 
 
+def q_psort_by_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.spectral.periodogram_ops import psort_by_prominence
+
+    pg = _gls_pg(spark, sf_dir)
+    out = psort_by_prominence(pg, k=3)
+    return out.select(
+        "series_id",
+        "rank",
+        "period",
+        F.round("power", 6).alias("power"),
+        F.round("prominence", 6).alias("prominence"),
+    )
+
+
+SQL_PSORT_BY_PROMINENCE = _gls_sql(
+    """
+, pos AS (
+  SELECT series_id, row_number() OVER w - 1 AS pos, frequency, power
+  FROM pw WINDOW w AS (PARTITION BY series_id ORDER BY frequency)
+),
+pk AS (
+  SELECT series_id, pos, frequency, power FROM (
+    SELECT series_id, pos, frequency, power,
+           lag(power) OVER w AS pp, lead(power) OVER w AS pn
+    FROM pos WINDOW w AS (PARTITION BY series_id ORDER BY pos)
+  ) WHERE pp IS NOT NULL AND pn IS NOT NULL AND power > pp AND power > pn
+),
+bounds AS (
+  SELECT p.series_id, p.pos, p.frequency, p.power,
+         max(q.pos) FILTER (q.pos < p.pos AND q.power > p.power) AS lb,
+         min(q.pos) FILTER (q.pos > p.pos AND q.power > p.power) AS rb
+  FROM pk p JOIN pos q USING (series_id) GROUP BY 1, 2, 3, 4
+),
+prom AS (
+  SELECT b.series_id, b.frequency, b.power,
+         b.power - greatest(
+           min(q.power) FILTER (q.pos >= coalesce(b.lb + 1, 0) AND q.pos <= b.pos),
+           min(q.power) FILTER (q.pos >= b.pos AND q.pos <= coalesce(b.rb - 1, 9223372036854775807))
+         ) AS prominence
+  FROM bounds b JOIN pos q USING (series_id)
+  GROUP BY 1, 2, 3, b.lb, b.rb
+),
+r AS (
+  SELECT series_id, frequency, power, prominence,
+         row_number() OVER (PARTITION BY series_id ORDER BY prominence DESC, frequency ASC) AS rank
+  FROM prom
+)
+SELECT series_id, rank, 1.0 / frequency AS period,
+       round(power, 6) AS power, round(prominence, 6) AS prominence
+FROM r WHERE rank <= 3
+"""
+)
+
+
 def q_periods_at_half_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.spectral.periodogram_ops import periods_at_half_max
 
@@ -1809,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_ivf": q_simsearch_ivf,
         "cosine_neardup": q_cosine_neardup,
         "ngram_jaccard": q_ngram_jaccard,
+        "psort_by_prominence": q_psort_by_prominence,
     }
 
 
@@ -1859,4 +1914,5 @@ def oracle_sql() -> dict[str, str]:
         "acf_fft": SQL_ACF_FFT,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "peak_prominence": SQL_PEAK_PROMINENCE,
+        "psort_by_prominence": SQL_PSORT_BY_PROMINENCE,
     }

@@ -85,3 +85,33 @@ def periods_at_half_max(pg: DataFrame) -> DataFrame:
             / F.max(F.when(F.col("frequency") <= F.col("_fpeak"), F.col("frequency")))
         ).alias("upper_period"),
     )
+
+
+def psort_by_prominence(pg: DataFrame, k: int | None = None) -> DataFrame:
+    """Peak periods ranked by scipy-style prominence instead of height
+    (reference core.py:948-950) — prominence separates genuine spectral
+    structure from shoulders on a tall peak. The prominence walk is linear
+    per series (Arrow kernel, find_peaks_prominence); ranking is a window.
+    → (series_id, rank, period, power, prominence)."""
+    from periodicity_spark.operators.windows import find_peaks_prominence
+
+    peaks = find_peaks_prominence(pg, order_col="frequency", value="power")
+    w = Window.partitionBy("series_id").orderBy(
+        F.desc("prominence"), F.asc("frequency")
+    )
+    ranked = peaks.withColumn("rank", F.row_number().over(w))
+    if k is not None:
+        ranked = ranked.filter(F.col("rank") <= k)
+    return ranked.select(
+        "series_id",
+        "rank",
+        (1.0 / F.col("frequency")).alias("period"),
+        "power",
+        "prominence",
+    )
+
+
+def period_at_highest_prominence(pg: DataFrame) -> DataFrame:
+    """→ (series_id, period): period of the most prominent peak
+    (reference core.py:957-961)."""
+    return psort_by_prominence(pg, k=1).select("series_id", "period")

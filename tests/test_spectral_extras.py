@@ -77,3 +77,33 @@ def test_bootstrap_fap_fal(spark):
     assert f <= 0.1
     lvl = fal(reps, 0.05).collect()[0]["fal"]
     assert 0.0 < lvl < 1.0
+
+
+def test_psort_by_prominence_separates_shoulder_from_peak(spark):
+    """A tall peak with a shoulder and a smaller isolated peak: height
+    ranking puts the shoulder 2nd, prominence ranking puts the isolated
+    peak 2nd (the whole point of prominence sorting)."""
+    import pandas as pd
+
+    from periodicity_spark.spectral.periodogram_ops import (
+        period_at_highest_prominence,
+        psort_by_peak,
+        psort_by_prominence,
+    )
+
+    freq = [0.1 * (i + 1) for i in range(12)]
+    #                 main peak     shoulder         isolated peak
+    power = [0.0, 0.1, 10.0, 8.0, 8.5, 0.2, 0.1, 0.05, 4.0, 0.1, 0.05, 0.0]
+    pg = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "frequency": freq, "power": power})
+    )
+    by_height = psort_by_peak(pg, k=3).toPandas().sort_values("rank")
+    by_prom = psort_by_prominence(pg, k=3).toPandas().sort_values("rank")
+    # height rank 2 is the shoulder (power 8.5); prominence rank 2 is the
+    # isolated 4.0 peak (shoulder's prominence is only 8.5 - 8.0 = 0.5)
+    assert by_height.iloc[1]["power"] == 8.5
+    assert by_prom.iloc[1]["power"] == 4.0
+    assert by_prom.iloc[2]["power"] == 8.5
+    assert by_prom.iloc[2]["prominence"] == pytest.approx(0.5)
+    top = period_at_highest_prominence(pg).collect()[0]
+    assert top["period"] == pytest.approx(1.0 / 0.3)
