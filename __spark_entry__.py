@@ -1541,6 +1541,42 @@ FROM r WHERE rank <= 3
 )
 
 
+def q_pg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from periodicity_spark.functions.stats import pg_stats
+
+    return pg_stats(_gls_pg(spark, sf_dir)).select(
+        "series_id", "fmax", "pmax", "median_df", "median_dp", "is_uniform_f", "df"
+    )
+
+
+SQL_PG_STATS = _gls_sql(
+    """
+, d AS (
+  SELECT series_id, frequency, power,
+         frequency - lag(frequency) OVER w AS df_i,
+         (1.0 / frequency) - (1.0 / lag(frequency) OVER w) AS dp_i
+  FROM pw WINDOW w AS (PARTITION BY series_id ORDER BY frequency)
+),
+m AS (
+  SELECT series_id, median(df_i) AS median_df, -median(dp_i) AS median_dp
+  FROM d GROUP BY 1
+),
+a AS (
+  SELECT d.series_id,
+         max_by(frequency, power) AS fmax,
+         max_by(1.0 / frequency, power) AS pmax,
+         bool_and(CASE WHEN df_i IS NULL THEN TRUE
+                       ELSE abs(df_i - m.median_df) <= 1e-08 + 1e-05 * abs(m.median_df)
+                  END) AS is_uniform_f
+  FROM d JOIN m USING (series_id) GROUP BY 1
+)
+SELECT a.series_id, fmax, pmax, m.median_df, m.median_dp, is_uniform_f,
+       CASE WHEN is_uniform_f THEN m.median_df END AS df
+FROM a JOIN m USING (series_id)
+"""
+)
+
+
 def q_periods_at_half_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.spectral.periodogram_ops import periods_at_half_max
 
@@ -1864,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "psort_by_prominence": q_psort_by_prominence,
+        "pg_stats": q_pg_stats,
     }
 
 
@@ -1915,4 +1952,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "peak_prominence": SQL_PEAK_PROMINENCE,
         "psort_by_prominence": SQL_PSORT_BY_PROMINENCE,
+        "pg_stats": SQL_PG_STATS,
     }

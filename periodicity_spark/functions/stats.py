@@ -64,3 +64,44 @@ def series_stats(ts: DataFrame) -> DataFrame:
         "series_id", "n", "n_value", "mean", "std", "vmin", "vmax",
         "tmin", "tmax", "baseline", "median_dt", "is_uniform", "dt",
     )
+
+
+def pg_stats(pg: DataFrame) -> DataFrame:
+    """Per-series FSeries accessors as one aggregation (reference
+    core.py:913-942): → (series_id, fmax, pmax, median_df, median_dp,
+    is_uniform_f, df). ``fmax``/``pmax`` are the frequency/period at max
+    power; ``median_df``/``median_dp`` the median grid steps (dp negated
+    like the reference, since period decreases as frequency increases);
+    ``df`` is NULL when the frequency grid is non-uniform (the reference
+    raises — callers assert on is_uniform_f)."""
+    w = Window.partitionBy("series_id").orderBy("frequency")
+    diffs = pg.select(
+        "series_id",
+        "frequency",
+        "power",
+        (F.col("frequency") - F.lag("frequency").over(w)).alias("df_i"),
+        ((1.0 / F.col("frequency")) - (1.0 / F.lag("frequency").over(w))).alias("dp_i"),
+    )
+    med = diffs.groupBy("series_id").agg(
+        F.median("df_i").alias("median_df"),
+        (-F.median("dp_i")).alias("median_dp"),
+    )
+    agg = (
+        diffs.join(med, "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.max_by("frequency", "power").alias("fmax"),
+            F.max_by(1.0 / F.col("frequency"), F.col("power")).alias("pmax"),
+            F.first("median_df").alias("median_df"),
+            F.first("median_dp").alias("median_dp"),
+            F.min(
+                F.when(F.col("df_i").isNull(), True).otherwise(
+                    F.abs(F.col("df_i") - F.col("median_df"))
+                    <= _ATOL + _RTOL * F.abs(F.col("median_df"))
+                )
+            ).alias("is_uniform_f"),
+        )
+    )
+    return agg.withColumn(
+        "df", F.when(F.col("is_uniform_f"), F.col("median_df"))
+    )
