@@ -43,6 +43,8 @@ HEADLINE = [
     "gls_fast",
     "cosine_neardup",
     "ngram_jaccard",
+    "psort_by_prominence",
+    "pg_stats",
 ]
 
 
@@ -52,8 +54,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footers once with a trivial job
+    # warm the JVM, scheduler, and parquet footers once (uncounted) so the
+    # first timed query measures the engine, not one-time session costs
     spark.range(1).count()
+    for t in ("events", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
