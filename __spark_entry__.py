@@ -1827,6 +1827,440 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+# --- round-3 contract coverage: previously query-less operators --------------
+
+
+def q_teo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Teager Energy Operator (reference core.py:528-535) — two chained
+    # derivative windows; arithmetic transliterated on both engines, so the
+    # doubles are bit-identical and no rounding is applied.
+    out = ops_windows.teo(_ts(spark, sf_dir))
+    return out.select("series_id", "time", "value")
+
+
+SQL_TEO = f"""
+WITH {TS_SQL},
+w1 AS (
+  SELECT series_id, "time", value,
+         lag(value) OVER win AS vp, lead(value) OVER win AS vn,
+         lag("time") OVER win AS tp, lead("time") OVER win AS tn
+  FROM ts WINDOW win AS (PARTITION BY series_id ORDER BY "time")
+),
+d1 AS (
+  SELECT series_id, "time", value,
+         CASE WHEN tp IS NULL THEN (vn - value) / (tn - "time")
+              WHEN tn IS NULL THEN (value - vp) / ("time" - tp)
+              ELSE (vn - vp) / (tn - tp) END AS d1
+  FROM w1
+),
+w2 AS (
+  SELECT series_id, "time", value, d1,
+         lag(d1) OVER win AS dp, lead(d1) OVER win AS dn,
+         lag("time") OVER win AS tp, lead("time") OVER win AS tn
+  FROM d1 WINDOW win AS (PARTITION BY series_id ORDER BY "time")
+)
+SELECT series_id, "time",
+       d1 * d1 - value * (CASE WHEN tp IS NULL THEN (dn - d1) / (tn - "time")
+                               WHEN tn IS NULL THEN (d1 - dp) / ("time" - tp)
+                               ELSE (dn - dp) / (tn - tp) END) AS value
+FROM w2
+"""
+
+
+def q_convolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric 3-tap FIR, mirror edges (reference convolve, core.py:442-457)
+    # — exercises the kernel flip; identical mul/add order on both engines
+    out = ops_clean.convolve(_ts(spark, sf_dir), [0.5, 0.3, 0.2])
+    return out.select("series_id", "time", "value")
+
+
+SQL_CONVOLVE = f"""
+WITH {TS_SQL},
+t0 AS (
+  SELECT series_id, "time", value,
+         row_number() OVER w AS rn, count(*) OVER (PARTITION BY series_id) AS n,
+         min("time") OVER (PARTITION BY series_id) AS tmin,
+         max("time") OVER (PARTITION BY series_id) AS tmax
+  FROM ts WINDOW w AS (PARTITION BY series_id ORDER BY "time")
+),
+padded AS (
+  SELECT series_id, "time", value, 0 AS pad FROM ts
+  UNION ALL
+  SELECT series_id, 2 * tmin - "time", value, 1 FROM t0 WHERE rn = 2
+  UNION ALL
+  SELECT series_id, 2 * tmax - "time", value, 1 FROM t0 WHERE rn = n - 1
+),
+conv AS (
+  SELECT series_id, "time", pad,
+         0.0 + 0.2 * lag(value) OVER w + 0.3 * value + 0.5 * lead(value) OVER w AS v
+  FROM padded WINDOW w AS (PARTITION BY series_id ORDER BY "time")
+)
+SELECT series_id, "time", v AS value FROM conv WHERE pad = 0
+"""
+
+
+def q_pad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # np.pad(reflect) row generation (reference core.py:726-739) — padded
+    # times are window arithmetic on existing doubles: bit-exact, no rounding
+    out = ops_windows.pad_reflect(_ts(spark, sf_dir), 2)
+    return out.select("series_id", "time", "value")
+
+
+SQL_PAD = f"""
+WITH {TS_SQL},
+t0 AS (
+  SELECT series_id, "time", value,
+         row_number() OVER w AS rn, count(*) OVER (PARTITION BY series_id) AS n,
+         min("time") OVER (PARTITION BY series_id) AS tmin,
+         max("time") OVER (PARTITION BY series_id) AS tmax
+  FROM ts WINDOW w AS (PARTITION BY series_id ORDER BY "time")
+)
+SELECT series_id, 2 * tmin - "time" AS "time", value FROM t0 WHERE rn >= 2 AND rn <= 3
+UNION ALL
+SELECT series_id, "time", value FROM ts
+UNION ALL
+SELECT series_id, 2 * tmax - "time" AS "time", value FROM t0 WHERE rn >= n - 2 AND rn <= n - 1
+"""
+
+
+GLS_WINDOW_NF = 64
+
+
+def q_gls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spectral window function (reference spectral.py:165-167): GLS of the
+    # constant-1 signal, fit_mean=False; YY is exactly 1 so the normalized
+    # power needs no division tweak
+    from periodicity_spark.spectral.gls import GLS
+
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_WINDOW_NF)
+    pg = GLS().window(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
+
+
+SQL_GLS_WINDOW = f"""
+WITH {TS_SQL},
+pre AS (
+  SELECT series_id, count(*)::DOUBLE AS n
+  FROM ts GROUP BY 1 HAVING count(*) >= {GLS_MIN_N}
+),
+grid AS (SELECT {GLS_FMIN} + {GLS_DF} * unnest(range({GLS_WINDOW_NF})) AS frequency),
+z AS (
+  SELECT t.series_id, g.frequency, 1.0 / p.n AS w,
+         sin(2 * pi() * g.frequency * t."time") AS s,
+         cos(2 * pi() * g.frequency * t."time") AS c
+  FROM ts t JOIN pre p USING (series_id) CROSS JOIN grid g
+),
+sums AS (
+  SELECT series_id, frequency,
+    sum(w * s) AS s1, sum(w * c) AS c1,
+    sum(w * (2 * s * c)) AS s2, sum(w * (1 - 2 * s * s)) AS c2
+  FROM z GROUP BY series_id, frequency
+),
+fin AS (SELECT series_id, frequency, s1, c1, s2, c2, s2 / c2 AS t2w FROM sums)
+SELECT series_id, frequency, round(
+    pow(c1 * (sqrt(0.5) * sqrt(1 + 1 / sqrt(1 + t2w * t2w))) + s1 * (sqrt(0.5) * sign(t2w / sqrt(1 + t2w * t2w)) * sqrt(1 - 1 / sqrt(1 + t2w * t2w))), 2)
+    / (0.5 * (1 + c2 * (1 / sqrt(1 + t2w * t2w)) + s2 * (t2w / sqrt(1 + t2w * t2w))))
+    +
+    pow(s1 * (sqrt(0.5) * sqrt(1 + 1 / sqrt(1 + t2w * t2w))) - c1 * (sqrt(0.5) * sign(t2w / sqrt(1 + t2w * t2w)) * sqrt(1 - 1 / sqrt(1 + t2w * t2w))), 2)
+    / (0.5 * (1 - c2 * (1 / sqrt(1 + t2w * t2w)) - s2 * (t2w / sqrt(1 + t2w * t2w)))), 6) AS power
+FROM fin
+"""
+
+
+def q_coi_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cone-of-influence predicate (reference mask_coi, timefrequency.py:256-262)
+    # over a native TF lattice (ts × fixed power-of-two frequencies, so
+    # 1/frequency is exact); counts per (series, frequency) keep rows bounded
+    from periodicity_spark.timefrequency import with_coi_mask
+
+    freqs = spark.createDataFrame(
+        [(0.25,), (0.5,), (1.0,), (2.0,), (4.0,)], "frequency double"
+    )
+    tf = (
+        _ts(spark, sf_dir)
+        .crossJoin(F.broadcast(freqs))
+        .select("series_id", "time", "frequency")
+    )
+    out = with_coi_mask(tf)
+    return out.groupBy("series_id", "frequency").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("in_coi").cast("long")).alias("n_in_coi"),
+    )
+
+
+SQL_COI_MASK = f"""
+WITH {TS_SQL},
+b AS (SELECT series_id, min("time") AS t0, max("time") AS t1 FROM ts GROUP BY 1),
+f AS (SELECT unnest([0.25, 0.5, 1.0, 2.0, 4.0]) AS frequency),
+tf AS (
+  SELECT t.series_id, t."time", f.frequency, b.t0, b.t1
+  FROM ts t CROSS JOIN f JOIN b ON t.series_id = b.series_id
+)
+SELECT series_id, frequency, count(*)::BIGINT AS n_rows,
+       sum((sqrt(2) * (1.0 / frequency) < least("time" - t0, t1 - "time"))::BIGINT)::BIGINT AS n_in_coi
+FROM tf GROUP BY 1, 2
+"""
+
+
+def q_orthogonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # orthogonality (pairwise Pearson) matrix (reference
+    # decomposition.py:361-375) driven by a native mode stack (value / lag /
+    # rolling mean) so the corr self-join has an exact SQL twin; the
+    # EMD-backed input path is exercised rows-only via q_emd
+    from periodicity_spark.decomposition.emd import orthogonality_matrix
+
+    ts = _ts(spark, sf_dir)
+    w = Window.partitionBy("series_id").orderBy("time")
+    m1 = ts.select("series_id", "time", F.lit(1).alias("mode"), F.col("value"))
+    m2 = ts.select(
+        "series_id", "time", F.lit(2).alias("mode"),
+        F.lag("value").over(w).alias("value"),
+    )
+    m3 = ts.select(
+        "series_id", "time", F.lit(3).alias("mode"),
+        F.avg("value").over(w.rowsBetween(-1, 1)).alias("value"),
+    )
+    modes = m1.unionByName(m2).unionByName(m3)
+    out = orthogonality_matrix(modes)
+    return out.select(
+        "series_id", "mode_i", "mode_j", F.round("corr", 6).alias("corr")
+    )
+
+
+SQL_ORTHOGONALITY = f"""
+WITH {TS_SQL},
+m AS (
+  SELECT series_id, "time", 1 AS mode, value FROM ts
+  UNION ALL
+  SELECT series_id, "time", 2 AS mode,
+         lag(value) OVER (PARTITION BY series_id ORDER BY "time") AS value
+  FROM ts
+  UNION ALL
+  SELECT series_id, "time", 3 AS mode,
+         avg(value) OVER (PARTITION BY series_id ORDER BY "time"
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS value
+  FROM ts
+)
+SELECT a.series_id, a.mode AS mode_i, b.mode AS mode_j,
+       round(corr(a.value, b.value), 6) AS corr
+FROM m a JOIN m b ON a.series_id = b.series_id AND a."time" = b."time"
+GROUP BY 1, 2, 3
+"""
+
+
+def q_lmd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Local Mean Decomposition (reference decomposition.py:146-229) —
+    # iterative sifting kernel, rows-only; aggregated so the row count is a
+    # stable per-(series, mode) summary
+    from periodicity_spark.decomposition.emd import lmd_modes
+
+    modes = lmd_modes(_ts(spark, sf_dir))
+    return modes.groupBy("series_id", "mode").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("amp") * F.col("func")), 6).alias("recon_sum"),
+    )
+
+
+def q_ceemdan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CEEMDAN (reference decomposition.py:231-359) via the bucketed "local"
+    # strategy — the many-small-series shape; per-mode energies, rows-only
+    # (white-noise ensemble — no SQL twin; differentials in tests/)
+    from periodicity_spark.decomposition.ceemdan import CEEMDAN
+
+    modes = CEEMDAN(ensemble_size=8, random_seed=7, strategy="local")(
+        _ts(spark, sf_dir)
+    )
+    return modes.groupBy("series_id", "mode").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value") * F.col("value")), 6).alias("energy"),
+    )
+
+
+def q_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # db4 wavelet shrinkage (reference timefrequency.py:151-159), σ from the
+    # per-series robust noise estimate — DWT kernel path, rows-only
+    from periodicity_spark.timefrequency import denoise as tf_denoise
+
+    out = tf_denoise(_ts(spark, sf_dir))
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+def q_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inverse CWT (reference reconstruct, timefrequency.py:162-167) over the
+    # coefficient-carrying WPS rows — FFT-convolution kernel upstream, so
+    # rows-only; the roundtrip invariant is unit-tested
+    from periodicity_spark.timefrequency import reconstruct as tf_reconstruct
+    from periodicity_spark.timefrequency import wps as tf_wps
+
+    tf = tf_wps(_ts(spark, sf_dir), [0.5, 1.0, 2.0, 4.0, 8.0], with_coefs=True)
+    out = tf_reconstruct(tf)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+# --- round-3: streaming contract queries --------------------------------------
+# Each runs the Structured Streaming graph over the events parquet with an
+# availableNow trigger into a memory sink, then returns the drained batch
+# result — so the STREAMING plan (watermarks, windows, state) is what the
+# correctness gate checks, against the same DuckDB oracles as the batch ops.
+
+EPOCH_US = 1704067200000000  # 2024-01-01, the `time`-column origin
+DAY_US = 86400000000.0
+
+
+def _run_stream(out: DataFrame, mode: str) -> DataFrame:
+    import uuid
+
+    name = "q" + uuid.uuid4().hex[:10]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out.sparkSession.table(name)
+
+
+def _ts_days(col: str):
+    return (F.unix_micros(F.col(col)) - F.lit(EPOCH_US)) / F.lit(DAY_US)
+
+
+def q_stream_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tumbling-window mean (streaming twin of downsample, SURVEY §2.11);
+    # complete output mode so end-of-stream windows are emitted
+    from periodicity_spark.streaming.ops import events_stream, stream_downsample
+
+    out = stream_downsample(events_stream(spark, sf_dir))
+    tbl = _run_stream(out, "complete")
+    return tbl.select(
+        "series_id",
+        _ts_days("t_start").alias("t_start"),
+        _ts_days("t_end").alias("t_end"),
+        F.round("value", 6).alias("value"),
+        F.col("n"),
+    )
+
+
+SQL_STREAM_DOWNSAMPLE = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+b AS (SELECT series_id, us // 86400000000 AS day, value FROM e)
+SELECT series_id,
+       (day * 86400000000 - {EPOCH_US}) / {DAY_US} AS t_start,
+       ((day + 1) * 86400000000 - {EPOCH_US}) / {DAY_US} AS t_end,
+       round(avg(value), 6) AS value,
+       count(*)::BIGINT AS n
+FROM b GROUP BY series_id, day
+"""
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window segmentation (streaming split()); append mode emits the
+    # sessions the advancing watermark has finalized — the oracle applies the
+    # same cutoff (session end ≤ max event time − watermark delay)
+    from periodicity_spark.streaming.ops import events_stream, stream_sessionize
+
+    out = stream_sessionize(events_stream(spark, sf_dir))
+    tbl = _run_stream(out, "append")
+    return tbl.select(
+        "series_id",
+        _ts_days("t_start").alias("t_start"),
+        _ts_days("t_end").alias("t_end"),
+        F.col("n"),
+        F.round("mean_value", 6).alias("mean_value"),
+    )
+
+
+SQL_STREAM_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+mx AS (SELECT max(us) AS maxus FROM e),
+o AS (
+  SELECT series_id, us, value,
+         CASE WHEN us - lag(us) OVER (PARTITION BY series_id ORDER BY us)
+                   >= 21600000000 THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT series_id, us, value,
+         sum(brk) OVER (PARTITION BY series_id ORDER BY us) AS seg
+  FROM o
+),
+agg AS (
+  SELECT series_id, seg, min(us) AS start_us, max(us) + 21600000000 AS end_us,
+         count(*)::BIGINT AS n, round(avg(value), 6) AS mean_value
+  FROM s GROUP BY 1, 2
+)
+SELECT series_id,
+       (start_us - {EPOCH_US}) / {DAY_US} AS t_start,
+       (end_us - {EPOCH_US}) / {DAY_US} AS t_end,
+       n, mean_value
+FROM agg, mx WHERE end_us <= maxus - 172800000000
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermark-bounded exactly-once dedup on a DOUBLED stream (two file
+    # sources unioned): every event arrives twice, the state drops the copy
+    from periodicity_spark.streaming.ops import events_stream, stream_dedup
+
+    doubled = events_stream(spark, sf_dir).unionByName(
+        events_stream(spark, sf_dir)
+    )
+    out = stream_dedup(doubled)
+    tbl = _run_stream(out, "append")
+    return tbl.select(
+        "series_id", _ts_days("ts").alias("time"), F.col("value")
+    )
+
+
+SQL_STREAM_DEDUP = f"""
+WITH {TS_SQL}
+SELECT DISTINCT series_id, "time", value FROM ts
+"""
+
+
+def q_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stateful forward-fill (applyInPandasWithState): every 7th event value
+    # is nulled upstream, the state carries the last non-null across batches
+    from periodicity_spark.streaming.ops import events_stream, stream_ffill
+
+    ev = events_stream(spark, sf_dir, keep_event_id=True)
+    ev = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double")).otherwise(
+            F.col("value")
+        ),
+    ).drop("event_id")
+    out = stream_ffill(ev)
+    tbl = _run_stream(out, "append")
+    return tbl.select(
+        "series_id", _ts_days("ts").alias("time"), F.col("filled")
+    )
+
+
+SQL_STREAM_FFILL = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         epoch_us(ts) AS us,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT series_id, (us - {EPOCH_US}) / {DAY_US} AS "time",
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY series_id ORDER BY us
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM e
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1901,6 +2335,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "psort_by_prominence": q_psort_by_prominence,
         "pg_stats": q_pg_stats,
+        # round 3 — previously query-less operators
+        "teo": q_teo,
+        "convolve": q_convolve,
+        "pad": q_pad,
+        "gls_window": q_gls_window,
+        "coi_mask": q_coi_mask,
+        "orthogonality": q_orthogonality,
+        "lmd": q_lmd,
+        "ceemdan": q_ceemdan,
+        "denoise": q_denoise,
+        "reconstruct": q_reconstruct,
+        # round 3 — streaming graphs drained through a memory sink
+        "stream_downsample": q_stream_downsample,
+        "stream_sessionize": q_stream_sessionize,
+        "stream_dedup": q_stream_dedup,
+        "stream_ffill": q_stream_ffill,
     }
 
 
@@ -1953,4 +2403,14 @@ def oracle_sql() -> dict[str, str]:
         "peak_prominence": SQL_PEAK_PROMINENCE,
         "psort_by_prominence": SQL_PSORT_BY_PROMINENCE,
         "pg_stats": SQL_PG_STATS,
+        "teo": SQL_TEO,
+        "convolve": SQL_CONVOLVE,
+        "pad": SQL_PAD,
+        "gls_window": SQL_GLS_WINDOW,
+        "coi_mask": SQL_COI_MASK,
+        "orthogonality": SQL_ORTHOGONALITY,
+        "stream_downsample": SQL_STREAM_DOWNSAMPLE,
+        "stream_sessionize": SQL_STREAM_SESSIONIZE,
+        "stream_dedup": SQL_STREAM_DEDUP,
+        "stream_ffill": SQL_STREAM_FFILL,
     }

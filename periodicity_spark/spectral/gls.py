@@ -211,8 +211,19 @@ class GLS:
             grid = uniform_freq_grid(spark, self.fmin, df, nf)
         return gls_periodogram(ts, freq_grid=grid, n=self.n, psd=self.psd, fit_mean=fit_mean, err_col=err_col)
 
-    def window(self, ts: DataFrame) -> DataFrame:
+    def window(
+        self,
+        ts: DataFrame,
+        freq_grid: DataFrame | None = None,
+        min_count: int | None = None,
+    ) -> DataFrame:
         """Spectral window (reference spectral.py:165-167): GLS of the
-        constant-1 signal with fit_mean=False."""
+        constant-1 signal with fit_mean=False. An explicit ``freq_grid``
+        skips the data-dependent default-grid stats pass."""
         ones = ts.withColumn("value", F.lit(1.0))
+        if freq_grid is not None:
+            return gls_periodogram(
+                ones, freq_grid=freq_grid, psd=self.psd, fit_mean=False,
+                min_count=min_count,
+            )
         return self(ones, fit_mean=False)

@@ -29,10 +29,12 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, keep_event_id: bool = False
+) -> DataFrame:
     """readStream over the events parquet (file-source streaming — swap for
     kafka in production; the query graph is identical). Emits
-    (series_id, ts timestamp, value)."""
+    (series_id, ts timestamp, value [, event_id])."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source needs a directory; pathGlobFilter selects only
     # the events table out of the shared sf dir
@@ -41,11 +43,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.select(
+    cols = [
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
         F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        "value",
-    )
+        F.col("value"),
+    ]
+    if keep_event_id:
+        cols.append(F.col("event_id"))
+    return raw.select(*cols)
 
 
 def stream_downsample(
@@ -98,21 +103,25 @@ def stream_ffill(events: DataFrame, null_every: int = 7) -> DataFrame:
         import pandas as pd
 
         last = state.get[0] if state.exists else None
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            filled = []
-            for v in pdf["value"]:
-                if v is not None and v == v:  # not NaN
-                    last = float(v)
-                filled.append(last)
-            yield pd.DataFrame(
-                {
-                    "series_id": key[0],
-                    "ts": pdf["ts"],
-                    "value": pdf["value"],
-                    "filled": filled,
-                }
-            )
+        # Concatenate the group's Arrow chunks BEFORE sorting: a group larger
+        # than maxRecordsPerBatch arrives as several chunks in arbitrary row
+        # order, and chunk-local sorts would fill across a broken timeline.
+        # State memory stays bounded by the per-(group, micro-batch) row
+        # count, which the watermark bounds in turn.
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        filled = []
+        for v in pdf["value"]:
+            if v is not None and v == v:  # not NaN
+                last = float(v)
+            filled.append(last)
+        yield pd.DataFrame(
+            {
+                "series_id": key[0],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "filled": filled,
+            }
+        )
         state.update((last,))
 
     return events.groupBy("series_id").applyInPandasWithState(

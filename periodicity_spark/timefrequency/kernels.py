@@ -176,7 +176,13 @@ def denoise_db4(x: np.ndarray, sigma: float, detrend: bool = False) -> np.ndarra
     n = len(x)
     threshold = sigma * np.sqrt(2 * np.log(n))
     levels = max(1, int(np.log2(max(n, 8))) - 3)
+    # periodized DWT needs an even length at every level: extend by
+    # repeating the last sample (pywt periodization convention for odd
+    # signals) up to a multiple of 2^levels, trim back on return
+    m = -(-n // (1 << levels)) * (1 << levels)
     approx = x.astype(float)
+    if m > n:
+        approx = np.concatenate([approx, np.full(m - n, approx[-1])])
     details = []
     for _ in range(levels):
         if len(approx) < len(_DB4_LO):

@@ -95,6 +95,52 @@ def reconstruct(tf_with_coefs: DataFrame, B: float = 2.0) -> DataFrame:
     )
 
 
+def denoise(
+    ts: DataFrame, sigma: float | None = None, detrend: bool = False
+) -> DataFrame:
+    """Wavelet-shrinkage denoising (reference denoise(),
+    timefrequency.py:151-159): periodized db4 wavedec → soft-threshold
+    σ√(2 ln N) on the detail coefficients → waverec, via the package's own
+    db4 DWT (timefrequency/kernels.py). σ defaults to the per-series robust
+    noise estimate (operators.clean.estimate_noise), broadcast-joined so the
+    two passes stay one job. The shrinkage itself is whole-series sequential
+    → bucketed Arrow stage (grouped_apply). → (series_id, time, value)."""
+    from periodicity_spark.operators.clean import estimate_noise
+    from periodicity_spark.session import grouped_apply
+
+    base = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
+    if sigma is None:
+        sg = estimate_noise(base).select("series_id", F.col("noise").alias("_sigma"))
+        # LEFT join + 0-fallback: series the noise estimator can't score
+        # (constant / too short) pass through unshrunk instead of vanishing
+        base = base.join(F.broadcast(sg), "series_id", "left").withColumn(
+            "_sigma", F.coalesce(F.col("_sigma"), F.lit(0.0))
+        )
+    else:
+        base = base.withColumn("_sigma", F.lit(float(sigma)))
+    det = bool(detrend)
+
+    def _per_series(pdf):
+        import pandas as pd
+        from periodicity_spark.timefrequency.kernels import denoise_db4
+
+        pdf = pdf.sort_values("time")
+        y = denoise_db4(
+            pdf["value"].to_numpy(dtype=float),
+            float(pdf["_sigma"].iloc[0]),
+            detrend=det,
+        )
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "time": pdf["time"].to_numpy(dtype=float),
+                "value": y,
+            }
+        )
+
+    return grouped_apply(base, _per_series, "series_id string, time double, value double")
+
+
 def with_coi_mask(tf: DataFrame) -> DataFrame:
     """Adds ``in_coi``: √2·period < min(t − tmin, tmax − t)
     (reference mask_coi, timefrequency.py:256-262). Pure column predicate
