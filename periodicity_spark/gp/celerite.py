@@ -258,6 +258,85 @@ def celerite_nll(t, y, diag, k: CeleriteCoeffs, mean: float = 0.0) -> float:
     return nll if np.isfinite(nll) else 1e25
 
 
+def celerite_nll_batch(t, y, diag, ks, means) -> np.ndarray:
+    """NLL for B parameter sets over ONE series in a single O(N) sweep.
+
+    The semiseparable Cholesky recursion is sequential in N, so its cost is
+    dominated by Python-interpreter overhead per sample. Vectorizing the
+    batch axis (every op works on (B, J, J) instead of (J, J)) pays that
+    overhead once per batch — measured ~8× per-eval speedup at B=8, which is
+    what makes the MCMC sampler (half-ensemble proposals arrive together)
+    O(N)-practical (reference mcmc(), gp.py:428-484, leans on emcee +
+    celerite2's C++ core for the same reason).
+
+    t: (N,) times; y: (N,) values; diag: (B, N) per-walker noise diagonals;
+    ks: B CeleriteCoeffs with IDENTICAL term structure (true within a kernel
+    family — brownian is always 2 real + 1 complex, rotation 2 complex);
+    means: (B,). → (B,) NLLs; non-positive-definite entries get 1e25.
+    """
+    B = len(ks)
+    N = len(t)
+    nr, nc = len(ks[0].ar), len(ks[0].ac)
+    J = nr + 2 * nc
+    diag = np.asarray(diag, float).reshape(B, N)
+    means = np.asarray(means, float).reshape(B)
+
+    U = np.empty((B, N, J))
+    V = np.empty((B, N, J))
+    P = np.empty((B, N - 1, J))
+    dt = np.diff(t)
+    var = np.empty(B)
+    for b, k in enumerate(ks):
+        if len(k.ar) != nr or len(k.ac) != nc:
+            raise ValueError("celerite_nll_batch needs identical term structures")
+        if nr:
+            U[b, :, :nr] = k.ar
+            V[b, :, :nr] = 1.0
+            P[b, :, :nr] = np.exp(-k.cr[None, :] * dt[:, None])
+        if nc:
+            arg = k.dc[None, :] * t[:, None]
+            cosd, sind = np.cos(arg), np.sin(arg)
+            U[b, :, nr:nr + nc] = k.ac * cosd + k.bc * sind
+            U[b, :, nr + nc:] = k.ac * sind - k.bc * cosd
+            V[b, :, nr:nr + nc] = cosd
+            V[b, :, nr + nc:] = sind
+            ec = np.exp(-k.cc[None, :] * dt[:, None])
+            P[b, :, nr:nr + nc] = ec
+            P[b, :, nr + nc:] = ec
+        var[b] = k.variance
+
+    A = diag + var[:, None]
+    r = y[None, :] - means[:, None]
+    ok = A[:, 0] > 0
+    Dp = np.where(ok, A[:, 0], 1.0)     # D[n-1] running value
+
+    Wp = V[:, 0] / Dp[:, None]          # W[n-1] running value
+    zp = r[:, 0]                        # z[n-1] running value
+    S = np.zeros((B, J, J))
+    f = np.zeros((B, J))
+    z2_over_d = zp * zp / Dp            # running Σ z²/D
+    logdet = np.log(Dp)                 # running Σ log D
+    for n in range(1, N):
+        p = P[:, n - 1]
+        # forward substitution first — it needs W[n-1], z[n-1]
+        f = p * (f + Wp * zp[:, None])
+        S += Dp[:, None, None] * (Wp[:, :, None] * Wp[:, None, :])
+        S *= p[:, :, None] * p[:, None, :]
+        Un = U[:, n]
+        SU = np.einsum("bij,bj->bi", S, Un)
+        Dn = A[:, n] - np.einsum("bi,bi->b", Un, SU)
+        ok &= Dn > 0
+        Dn = np.where(Dn > 0, Dn, 1.0)
+        zn = r[:, n] - np.einsum("bi,bi->b", Un, f)
+        z2_over_d += zn * zn / Dn
+        logdet += np.log(Dn)
+        Wp = (V[:, n] - SU) / Dn[:, None]
+        Dp, zp = Dn, zn
+    nll = 0.5 * (z2_over_d + logdet + N * LN2PI)
+    nll = np.where(ok & np.isfinite(nll), nll, 1e25)
+    return nll
+
+
 def celerite_solve(t, diag, k: CeleriteCoeffs, y: np.ndarray) -> np.ndarray | None:
     """x = K⁻¹ y in O(N·J²): forward, scale, backward substitution."""
     fac = celerite_factor(t, diag, k)
@@ -309,7 +388,25 @@ def default_period_ppf(init_period: float, n: int):
     mu = math.log(init_period)
 
     def ppf(u):
-        return math.exp(norm_ppf(u, mu, sd))
+        return np.exp(norm_ppf(u, mu, sd))
+
+    return ppf
+
+
+def make_ppf(x, pdf):
+    """Empirical percent-point function (inverse CDF) for an arbitrary
+    sampled PDF (reference make_ppf, gp.py:45-67): cumsum the PDF values,
+    normalize, and interpolate the inverse. Grid-spacing-agnostic, exactly
+    like the reference (the caller picks the x grid; the tutorial feeds the
+    data-driven make_gaussian_prior mixture evaluated on a period grid, so
+    MAP/MCMC period priors become data-driven)."""
+    x = np.asarray(x, float)
+    pdf = np.asarray(pdf, float)
+    cdf = np.cumsum(pdf)
+    cdf = cdf / cdf[-1]
+
+    def ppf(q):
+        return np.interp(q, cdf, x)
 
     return ppf
 
@@ -366,6 +463,8 @@ def celerite_map_fit(
     max_iter: int = 300,
     n_restarts: int = 4,
     u0_period: float | None = None,
+    period_ppf=None,
+    return_u: bool = False,
 ):
     """MAP fit in the unit hypercube (reference minimize(), gp.py:405-416;
     Nelder-Mead replaces scipy's L-BFGS-B — no scipy in this image). The
@@ -374,7 +473,11 @@ def celerite_map_fit(
     fixture: single-run NM stalls ~95 nats short of the L-BFGS-B optimum,
     restarts close the gap). ``u0_period`` sets the period coordinate of the
     start point (multi-start over the multimodal period axis).
-    → (params dict, nll)."""
+
+    ``period_ppf`` overrides the default log-normal period quantile with an
+    arbitrary inverse CDF — pass make_ppf(periods, prior_density) to use the
+    data-driven make_gaussian_prior mixture (reference gp.py:45-67,341-359).
+    → (params dict, nll) or (params, nll, u) with ``return_u``."""
     from periodicity_spark.operators.iir import nelder_mead
 
     ndim = KERNEL_NDIM[kernel]
@@ -387,7 +490,7 @@ def celerite_map_fit(
     if init_period is None:
         dtm = float(np.median(np.diff(t)))
         init_period = math.sqrt(n) * dtm  # gp.py:351
-    ppf = default_period_ppf(init_period, n)
+    ppf = period_ppf if period_ppf is not None else default_period_ppf(init_period, n)
 
     def nll_u(u):
         if np.any(u <= 0.01) or np.any(u >= 99.99):
@@ -410,4 +513,81 @@ def celerite_map_fit(
         else:
             break
     params = transform(best_u, y_mean, y_sigma, jitter, ppf)
+    if return_u:
+        return params, float(best_nll), best_u
     return params, float(best_nll)
+
+
+def celerite_mcmc_sample(
+    t: np.ndarray,
+    y: np.ndarray,
+    err: np.ndarray,
+    kernel: str = "brownian",
+    init_period: float | None = None,
+    n_walkers: int = 16,
+    n_steps: int = 1000,
+    burn: int = 200,
+    seed: int | None = 42,
+    psd_at: np.ndarray | None = None,
+    period_ppf=None,
+    map_max_iter: int = 300,
+):
+    """Posterior sampling of a celerite-family GP (reference mcmc(),
+    gp.py:428-484): MAP fit seeds a walker ball (soln.x + 1e-3·N(0,1),
+    gp.py:468-470), the stretch-move ensemble samples the unit hypercube
+    with a flat prior (log_prob, gp.py:417-425), and every likelihood is the
+    O(N·J²) celerite NLL — evaluated BATCHED across the half-ensemble
+    (celerite_nll_batch), which is what replaces emcee+celerite2's C++ core.
+
+    ``psd_at``: cyclic frequencies at which to evaluate the kernel PSD per
+    posterior sample (the reference's per-sample blobs, gp.py:426,480).
+
+    → (periods [S], psds [S, F] | None) with S = n_walkers·(n_steps−burn).
+    """
+    from periodicity_spark.gp.kernels import ensemble_sampler_batch
+
+    ndim = KERNEL_NDIM[kernel]
+    transform = PRIOR_TRANSFORMS[kernel]
+    y_mean = float(np.mean(y))
+    y_sigma = float(np.std(y))
+    jitter = max(float(np.min(err)) ** 2, 1e-12)
+    n = len(y)
+    if init_period is None:
+        dtm = float(np.median(np.diff(t)))
+        init_period = math.sqrt(n) * dtm
+    ppf = period_ppf if period_ppf is not None else default_period_ppf(init_period, n)
+    err2 = err * err
+
+    def log_prob_batch(us):
+        us = np.atleast_2d(us)
+        out = np.full(len(us), -np.inf)
+        valid = np.all((us > 0.01) & (us < 99.99), axis=1)
+        if valid.any():
+            ks, means, diags = [], [], []
+            for u in us[valid]:
+                p = transform(u, y_mean, y_sigma, jitter, ppf)
+                ks.append(params_to_coeffs(kernel, p))
+                means.append(p["mean"])
+                diags.append(err2 + p["jitter"])
+            nll = celerite_nll_batch(t, y, np.array(diags), ks, np.array(means))
+            out[valid] = np.where(nll < 1e24, -nll, -np.inf)
+        return out
+
+    _, _, u_map = celerite_map_fit(
+        t, y, err, kernel=kernel, init_period=init_period,
+        max_iter=map_max_iter, period_ppf=period_ppf, return_u=True,
+    )
+    rng = np.random.default_rng(seed)
+    walkers = u_map + 1e-3 * rng.standard_normal((n_walkers, ndim))
+    chain = ensemble_sampler_batch(log_prob_batch, walkers, n_steps, rng)
+    flat = chain[burn:].reshape(-1, ndim)
+    pidx = 3 if kernel == "brownian" else 2
+    periods = np.asarray(ppf(np.clip(flat[:, pidx], 0.01, 99.99) / 100.0), float)
+    psds = None
+    if psd_at is not None:
+        psd_at = np.asarray(psd_at, float)
+        psds = np.empty((len(flat), len(psd_at)))
+        for i, u in enumerate(flat):
+            p = transform(np.clip(u, 0.01, 99.99), y_mean, y_sigma, jitter, ppf)
+            psds[i] = params_to_coeffs(kernel, p).psd(psd_at)
+    return periods, psds

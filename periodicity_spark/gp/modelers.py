@@ -163,6 +163,42 @@ def gp_map(ts: DataFrame, err_col: str | None = None) -> DataFrame:
     )
 
 
+def _with_period_prior(src: DataFrame, period_prior: DataFrame | None) -> DataFrame:
+    """Attach the per-series data-driven period prior as array columns.
+
+    ``period_prior``: (series_id, log_p, density) — the output of
+    gaussian_prior_density over the make_gaussian_prior_mixture components.
+    Kernels rebuild the reference's make_ppf empirical inverse CDF from the
+    arrays (gp.py:45-67), so the MAP/MCMC period prior comes from the
+    ACF-quality mixture instead of the default log-normal."""
+    if period_prior is None:
+        return src
+    pp = (
+        period_prior.groupBy("series_id")
+        .agg(F.sort_array(F.collect_list(F.struct("log_p", "density"))).alias("_pp"))
+        .select(
+            "series_id",
+            F.transform("_pp", lambda s: F.exp(s["log_p"])).alias("_pp_x"),
+            F.transform("_pp", lambda s: s["density"]).alias("_pp_d"),
+        )
+    )
+    return src.join(F.broadcast(pp), "series_id", "left")
+
+
+def _prior_ppf_from_pdf(pdf):
+    """make_ppf over the joined (_pp_x, _pp_d) arrays, or None."""
+    import numpy as np
+
+    if "_pp_x" not in pdf.columns:
+        return None
+    x = pdf["_pp_x"].iloc[0]
+    if x is None or len(x) == 0:
+        return None
+    from periodicity_spark.gp.celerite import make_ppf
+
+    return make_ppf(np.asarray(x, float), np.asarray(pdf["_pp_d"].iloc[0], float))
+
+
 def celerite_map(
     ts: DataFrame,
     kernel: str = "brownian",
@@ -171,6 +207,7 @@ def celerite_map(
     max_iter: int = 300,
     n_starts: int = 1,
     loocv: bool = False,
+    period_prior: DataFrame | None = None,
 ) -> DataFrame:
     """Per-series celerite-style O(N) GP MAP fit (reference CeleriteModeler /
     BrownianGP / HarmonicGP, gp.py:340-538) — the scale path for long series:
@@ -224,7 +261,8 @@ def celerite_map(
             p0 = init_mode  # float or None (reference √N·dt default)
         u0p = float(pdf["_start"].iloc[0]) if "_start" in pdf else None
         params, nll = celerite_map_fit(
-            t, y, err, kernel=kern, init_period=p0, max_iter=mi, u0_period=u0p
+            t, y, err, kernel=kern, init_period=p0, max_iter=mi, u0_period=u0p,
+            period_ppf=_prior_ppf_from_pdf(pdf),
         )
         out = {
             "series_id": [pdf["series_id"].iloc[0]],
@@ -249,7 +287,7 @@ def celerite_map(
         "sigma double, jitter double"
         + (", loocv double" if loocv else "")
     )
-    src = ts.filter(F.col("value").isNotNull())
+    src = _with_period_prior(ts.filter(F.col("value").isNotNull()), period_prior)
     if ns == 1:
         return src.groupBy("series_id").applyInPandas(_per_group, schema)
     starts = ts.sparkSession.createDataFrame([(u,) for u in start_us], "_start double")
