@@ -1442,6 +1442,25 @@ def q_gp_map_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     return celerite_map(ts.join(F.broadcast(big), "series_id"))
 
 
+def q_gp_mcmc_celerite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # posterior period sampling with the batched O(N·J²) celerite NLL
+    # (gp/celerite.py:521 celerite_mcmc_sample) — the scale path the dense
+    # O(N³) sampler can't walk; reference CeleriteModeler.mcmc
+    # (src/periodicity/gp.py:428-484). Rows-only: MCMC isn't SQL.
+    from periodicity_spark.gp import celerite_mcmc
+
+    ts = _ts(spark, sf_dir)
+    big = (
+        ts.groupBy("series_id").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), "series_id").limit(4).select("series_id")
+    )
+    return celerite_mcmc(
+        ts.join(F.broadcast(big), "series_id"),
+        kernel="brownian", n_walkers=8, n_steps=60, burn=20, seed=42,
+        map_max_iter=60,
+    )
+
+
 def q_gaussian_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
@@ -2323,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psd": q_psd,
         "gls_bootstrap_fap": q_gls_bootstrap_fap,
         "gp_map_period": q_gp_map_period,
+        "gp_mcmc_celerite": q_gp_mcmc_celerite,
         "gaussian_prior": q_gaussian_prior,
         "envelope": q_envelope,
         "tf_downsample": q_tf_downsample,

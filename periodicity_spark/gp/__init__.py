@@ -1,5 +1,6 @@
 from periodicity_spark.gp.modelers import (
     celerite_map,
+    celerite_mcmc,
     gaussian_prior_density,
     gp_map,
     gp_mcmc_period,
@@ -8,6 +9,7 @@ from periodicity_spark.gp.modelers import (
 
 __all__ = [
     "celerite_map",
+    "celerite_mcmc",
     "gp_map",
     "gp_mcmc_period",
     "make_gaussian_prior_mixture",

@@ -126,7 +126,10 @@ def ensemble_sampler_batch(log_prob_batch, x0: np.ndarray, n_steps: int, rng, a:
             partners = other[rng.integers(0, len(other), len(idx))]
             proposals = x[partners] + z[:, None] * (x[idx] - x[partners])
             lp_new = np.asarray(log_prob_batch(proposals), float)
-            log_accept = (ndim - 1) * np.log(z) + lp_new - lp[idx]
+            # −inf − −inf (both walker states out of support) is NaN; the
+            # comparison below already rejects NaN — just mute the warning
+            with np.errstate(invalid="ignore"):
+                log_accept = (ndim - 1) * np.log(z) + lp_new - lp[idx]
             acc = np.log(rng.random(len(idx))) < log_accept
             x[idx[acc]] = proposals[acc]
             lp[idx[acc]] = lp_new[acc]
@@ -151,7 +154,8 @@ def ensemble_sampler(log_prob, x0: np.ndarray, n_steps: int, rng, a: float = 2.0
             proposals = x[partners] + z[:, None] * (x[idx] - x[partners])
             for j, i in enumerate(idx):
                 lp_new = log_prob(proposals[j])
-                log_accept = (ndim - 1) * np.log(z[j]) + lp_new - lp[i]
+                with np.errstate(invalid="ignore"):
+                    log_accept = (ndim - 1) * np.log(z[j]) + lp_new - lp[i]
                 if np.log(rng.random()) < log_accept:
                     x[i] = proposals[j]
                     lp[i] = lp_new

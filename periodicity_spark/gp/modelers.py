@@ -308,6 +308,112 @@ def celerite_map(
     )
 
 
+def celerite_mcmc(
+    ts: DataFrame,
+    kernel: str = "brownian",
+    err_col: str | None = None,
+    init: str | float | None = "gls",
+    n_walkers: int = 16,
+    n_steps: int = 1000,
+    burn: int = 200,
+    seed: int = 42,
+    psd_at=None,
+    period_prior: DataFrame | None = None,
+    map_max_iter: int = 300,
+    return_draws: bool = False,
+) -> DataFrame:
+    """Per-series posterior sampling of a celerite-family GP (reference
+    CeleriteModeler.mcmc, gp.py:428-484) — the scale path for long series:
+    every walker step evaluates the O(N·J²) semiseparable NLL, batched
+    across the half-ensemble (celerite_nll_batch), so a 10⁵-sample light
+    curve samples where the dense O(N³) kernel of gp_mcmc_period(kernel=
+    "qp") cannot.
+
+    → (series_id, period_median, period_p16, period_p84, n_draws) by
+    default. ``psd_at`` (cyclic frequencies) appends ``psd_median`` — the
+    per-frequency posterior-median PSD array (the reference's per-sample
+    blobs, gp.py:426,480, reduced to their robust summary).
+    ``return_draws=True`` returns the raw posterior instead — one row per
+    draw (series_id, draw, period[, psd]) with the per-sample PSD blob as
+    an array column, the faithful analogue of the reference's
+    (trace, sampler.get_blobs()) pair.
+
+    ``init`` / ``period_prior`` as in celerite_map: "gls" seeds init_period
+    with the engine's own periodogram; period_prior attaches the data-driven
+    make_gaussian_prior mixture as the period quantile (make_ppf)."""
+    ensure_worker_imports(ts.sparkSession)
+    ec, kern, init_mode = err_col, kernel, init
+    nw, nst, nb, sd, mmi = n_walkers, n_steps, burn, seed, map_max_iter
+    freqs = None if psd_at is None else [float(f) for f in psd_at]
+    draws = return_draws
+
+    if draws:
+        cols = ["series_id", "draw", "period"] + (["psd"] if freqs else [])
+        schema = "series_id string, draw int, period double" + (
+            ", psd array<double>" if freqs else ""
+        )
+    else:
+        cols = ["series_id", "period_median", "period_p16", "period_p84", "n_draws"] + (
+            ["psd_median"] if freqs else []
+        )
+        schema = (
+            "series_id string, period_median double, period_p16 double, "
+            "period_p84 double, n_draws long"
+            + (", psd_median array<double>" if freqs else "")
+        )
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.gp.celerite import celerite_mcmc_sample
+        from periodicity_spark.gp.kernels import gls_best_period
+
+        pdf = pdf.sort_values("time")
+        t = pdf["time"].to_numpy(float)
+        y = pdf["value"].to_numpy(float)
+        err = (
+            pdf[ec].to_numpy(float)
+            if ec is not None and ec in pdf
+            else np.full(len(y), max(1e-3, 0.05 * np.std(y)))
+        )
+        if len(y) < 12 or np.std(y) == 0:
+            return pd.DataFrame(columns=cols)
+        if init_mode == "gls":
+            p0 = float(gls_best_period(t, y))
+        else:
+            p0 = init_mode  # float or None (reference √N·dt default)
+        periods, psds = celerite_mcmc_sample(
+            t, y, err, kernel=kern, init_period=p0, n_walkers=nw,
+            n_steps=nst, burn=nb, seed=sd,
+            psd_at=None if freqs is None else np.asarray(freqs),
+            period_ppf=_prior_ppf_from_pdf(pdf), map_max_iter=mmi,
+        )
+        sid = pdf["series_id"].iloc[0]
+        if draws:
+            out = {
+                "series_id": sid,
+                "draw": np.arange(len(periods), dtype="int32"),
+                "period": periods,
+            }
+            if freqs:
+                out["psd"] = list(psds)
+            return pd.DataFrame(out)
+        q16, q50, q84 = np.percentile(periods, [16, 50, 84])
+        out = {
+            "series_id": [sid],
+            "period_median": [float(q50)],
+            "period_p16": [float(q16)],
+            "period_p84": [float(q84)],
+            "n_draws": [len(periods)],
+        }
+        if freqs:
+            out["psd_median"] = [np.median(psds, axis=0).tolist()]
+        return pd.DataFrame(out)
+
+    src = _with_period_prior(ts.filter(F.col("value").isNotNull()), period_prior)
+    return src.groupBy("series_id").applyInPandas(_per_series, schema)
+
+
 def gp_mcmc_period(
     ts: DataFrame,
     n_walkers: int = 16,
@@ -315,10 +421,22 @@ def gp_mcmc_period(
     burn: int = 50,
     seed: int = 42,
     err_col: str | None = None,
+    kernel: str = "qp",
 ) -> DataFrame:
     """Per-series posterior period summary via the stretch-move ensemble
     sampler (reference mcmc(), gp.py:259-291): → (series_id, period_median,
-    period_p16, period_p84)."""
+    period_p16, period_p84).
+
+    ``kernel``: "qp" is the reference QuasiPeriodicGP — an exact dense
+    Cholesky NLL per walker step, O(N³), fine for the ≤few-thousand-sample
+    series it targets. "brownian" / "harmonic" route to the celerite
+    O(N·J²) sampler (celerite_mcmc) — same output columns, holds for
+    10⁵-sample series."""
+    if kernel != "qp":
+        return celerite_mcmc(
+            ts, kernel=kernel, err_col=err_col, n_walkers=n_walkers,
+            n_steps=n_steps, burn=burn, seed=seed,
+        ).select("series_id", "period_median", "period_p16", "period_p84")
     ensure_worker_imports(ts.sparkSession)
     ec = err_col
     nw, ns, nb, sd = n_walkers, n_steps, burn, seed
