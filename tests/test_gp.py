@@ -174,6 +174,88 @@ def test_celerite_nll_batch_1e5_smoke():
     assert time.time() - t0 < 60.0
 
 
+def test_make_ppf_numpy_oracle():
+    """make_ppf (gp/celerite.py) vs an independent NumPy construction of the
+    same empirical inverse CDF (reference make_ppf, gp.py:45-67):
+    cumsum-normalize, then inverse-interpolate."""
+    from periodicity_spark.gp.celerite import make_ppf
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0.0, 10.0, 500)
+    pdf = np.exp(-0.5 * ((x - 4.0) / 1.3) ** 2) + 0.2 * rng.random(500)
+    ppf = make_ppf(x, pdf)
+    cdf = np.cumsum(np.asarray(pdf, float))
+    cdf = cdf / cdf[-1]
+    q = np.linspace(0.001, 0.999, 97)
+    np.testing.assert_allclose(ppf(q), np.interp(q, cdf, x), rtol=0, atol=1e-12)
+    # monotone, and the median of a symmetric-ish pdf sits near its mode
+    assert np.all(np.diff(ppf(q)) >= 0)
+
+
+def test_make_ppf_point_mass():
+    """A pdf concentrated at two grid points maps quantiles onto exactly
+    those x values (mass 0.25 / 0.75)."""
+    from periodicity_spark.gp.celerite import make_ppf
+
+    x = np.linspace(0, 100, 1001)
+    pdf = np.zeros(1001)
+    pdf[200] = 1.0  # x=20, mass .25
+    pdf[700] = 3.0  # x=70, mass .75
+    ppf = make_ppf(x, pdf)
+    assert ppf(0.2) == pytest.approx(20.0, abs=0.2)
+    assert ppf(0.9) == pytest.approx(70.0, abs=0.2)
+
+
+@pytest.fixture(scope="module")
+def alias_prior(spark):
+    """(series_id, log_p, density): a narrow Gaussian prior at log(20) —
+    twice the true period of the period-10 fixtures."""
+    grid = np.linspace(np.log(2.0), np.log(60.0), 400)
+    dens = np.exp(-0.5 * ((grid - np.log(20.0)) / 0.02) ** 2)
+    return spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "log_p": grid, "density": dens})
+    )
+
+
+def test_celerite_map_period_prior_shifts_map(spark, alias_prior):
+    """End-to-end period_prior path (celerite_map → _with_period_prior →
+    make_ppf): with the default log-normal prior the MAP lands on the true
+    period 10; a data-driven prior pinned at 20 moves the period quantile's
+    entire range there, so the MAP must follow. Reference: data-driven
+    make_gaussian_prior mixture fed through make_ppf (gp.py:45-67,341-359)."""
+    from periodicity_spark.gp import celerite_map
+
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 90, 300))
+    y = np.sin(2 * np.pi * t / 10.0) + 0.1 * rng.standard_normal(len(t))
+    ts = spark.createDataFrame(pd.DataFrame({"series_id": "s", "time": t, "value": y}))
+
+    base = celerite_map(ts, kernel="brownian", init="gls", max_iter=120).collect()[0]
+    assert base["period_map"] == pytest.approx(10.0, rel=0.2)
+
+    shifted = celerite_map(
+        ts, kernel="brownian", init="gls", max_iter=120, period_prior=alias_prior
+    ).collect()[0]
+    assert shifted["period_map"] == pytest.approx(20.0, rel=0.05)
+
+
+def test_celerite_mcmc_period_prior(spark, alias_prior):
+    """The same prior drives the sampler: every posterior draw's period comes
+    from the data-driven ppf, so the whole posterior sits at 20."""
+    from periodicity_spark.gp import celerite_mcmc
+
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 90, 200))
+    y = np.sin(2 * np.pi * t / 10.0) + 0.1 * rng.standard_normal(len(t))
+    ts = spark.createDataFrame(pd.DataFrame({"series_id": "s", "time": t, "value": y}))
+    row = celerite_mcmc(
+        ts, kernel="brownian", init=10.0, n_walkers=8, n_steps=60, burn=20,
+        seed=42, map_max_iter=60, period_prior=alias_prior,
+    ).collect()[0]
+    assert row["period_median"] == pytest.approx(20.0, rel=0.05)
+    assert row["period_p16"] == pytest.approx(20.0, rel=0.1)
+
+
 def test_celerite_map_loocv_column(spark):
     """loocv=True appends the log-LOO-CV score (finite, and bounded above by
     ~the model's mean log-density); schema without the flag is unchanged."""
