@@ -1132,7 +1132,7 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = simsearch.cosine_topk_lsh(emb, probes, k=5, n_planes=8, dim=64)
+    out = simsearch.cosine_topk_lsh(emb, probes, k=5, dim=64)
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -1842,7 +1842,7 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = simsearch.cosine_topk_ivf(emb, probes, k=5, n_centroids=16, n_probe=4)
+    out = simsearch.cosine_topk_ivf(emb, probes, k=5, n_centroids=16)
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 

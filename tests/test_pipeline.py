@@ -19,26 +19,68 @@ def _probes(emb):
     )
 
 
-def test_ivf_recall_vs_bruteforce(spark, emb):
-    exact = simsearch.cosine_topk_bruteforce(emb, _probes(emb), k=5).toPandas()
-    approx = simsearch.cosine_topk_ivf(
-        emb, _probes(emb), k=5, n_centroids=8, n_probe=4
-    ).toPandas()
-    # recall@5 of the IVF path vs brute force
+def _probes32(emb):
+    return emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def _recall(exact, approx):
     hits = 0
     for qid in exact["qid"].unique():
         e = set(exact[exact["qid"] == qid]["vec_id"])
         a = set(approx[approx["qid"] == qid]["vec_id"])
         hits += len(e & a) / len(e)
-    recall = hits / exact["qid"].nunique()
-    assert recall >= 0.5  # n_probe=4 of 8 lists → at least half the truth
+    return hits / exact["qid"].nunique()
 
 
-def test_lsh_candidates_subset_of_bruteforce_order(spark, emb):
-    lsh = simsearch.cosine_topk_lsh(emb, _probes(emb), k=5, n_planes=6).toPandas()
-    # ranks well-formed per qid
+@pytest.fixture(scope="module")
+def exact10(spark, emb):
+    return simsearch.cosine_topk_bruteforce(emb, _probes32(emb), k=10).toPandas()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb, exact10):
+    """Measured IVF recall at the reported defaults (deterministic: seeded
+    centroids, fixed data). The sf0.001 embeddings have weak cluster
+    structure, so recall tracks the touched-list fraction — 0.794 measured
+    at 16 lists / 8 probed; a higher-probe setting buys 0.87+."""
+    approx = simsearch.cosine_topk_ivf(emb, _probes32(emb), k=10).toPandas()
+    assert _recall(exact10, approx) >= 0.75
+    high = simsearch.cosine_topk_ivf(emb, _probes32(emb), k=10, n_probe=10).toPandas()
+    assert _recall(exact10, high) >= 0.85
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb, exact10):
+    """Measured multi-table LSH recall at the reported 16×4 default: 0.878
+    (single-table at 8 planes measures 0.016 on the same probes — the angle
+    distribution here is hard: true top-10 neighbors average cosine 0.296).
+    Also checks the candidate set stays a strict subset of the corpus and
+    ranks are well-formed."""
+    lsh = simsearch.cosine_topk_lsh(emb, _probes32(emb), k=10).toPandas()
+    assert _recall(exact10, lsh) >= 0.85
     for qid, g in lsh.groupby("qid"):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
+
+
+def test_lsh_candidate_fraction_bounded(spark, emb):
+    """The bucket join prunes: candidates per probe stay well under the
+    corpus size (measured ~64% at 16×4 on this hard angle distribution;
+    near-duplicate regimes prune far harder — see the docstring formula)."""
+    bud = simsearch.multi_table_buckets(16, 4, 42, 64)
+    csig = emb.select(
+        F.col("vec_id"), F.posexplode(bud(F.col("embedding"))).alias("table", "bucket")
+    )
+    psig = _probes32(emb).select(
+        F.col("qid"), F.posexplode(bud(F.col("qvec"))).alias("table", "bucket")
+    )
+    ncand = (
+        csig.join(F.broadcast(psig), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+        .count()
+    )
+    assert ncand / 32 < 0.75 * 500
 
 
 def test_minhash_finds_planted_duplicates(spark):
