@@ -82,6 +82,7 @@ def gls_periodogram(
     fit_mean: bool = True,
     err_col: str | None = None,
     min_count: int | None = None,
+    broadcast_stats: bool | None = True,
 ) -> DataFrame:
     """Distributed exact GLS (path a).
 
@@ -96,6 +97,12 @@ def gls_periodogram(
     mean-subtracted values), and the main grid-join aggregation. The stats
     side is broadcast; the only big shuffle is the (series, frequency)
     aggregate of the six trig sums.
+
+    broadcast_stats: the per-series stats side is ONE ROW PER SERIES — tiny
+    for any realistic series count, so the default forces the broadcast
+    hint. At extreme cardinality (~10⁸ series ≈ 4 GB of stats) pass None to
+    drop the hint and let AQE pick broadcast-vs-shuffle from the measured
+    size at runtime, or False to force the shuffle join.
     """
     ts = ts.filter(F.col("value").isNotNull())
     werr = (
@@ -123,14 +130,22 @@ def gls_periodogram(
     )
     consts = pre.select("series_id", "wsum", "YY")
 
+    def _hint(df):
+        return F.broadcast(df) if broadcast_stats else df
+
+    if broadcast_stats is False:
+        # force the shuffle join even if AQE would broadcast
+        pre = pre.hint("shuffle_hash")
+        consts = consts.hint("shuffle_hash")
+
     if freq_grid is None:
         freq_grid = default_freq_grid(ts, n=n)
     if "series_id" in freq_grid.columns:
-        joined = base.join(F.broadcast(pre), "series_id").join(
+        joined = base.join(_hint(pre), "series_id").join(
             freq_grid, "series_id"
         )
     else:
-        joined = base.join(F.broadcast(pre), "series_id").crossJoin(
+        joined = base.join(_hint(pre), "series_id").crossJoin(
             F.broadcast(freq_grid)
         )
 
@@ -156,7 +171,7 @@ def gls_periodogram(
         F.sum(w * y * c).alias("Ch"),
     )
 
-    sums = sums.join(F.broadcast(consts), "series_id")
+    sums = sums.join(_hint(consts), "series_id")
 
     # Power finish — column transliteration of reference spectral.py:113-132.
     if fit_mean:

@@ -1,0 +1,109 @@
+"""Plan-regression guard: the physical properties PLANS.md documents are
+asserted here, so a code change that degrades a flagship plan (a join losing
+its broadcast to a sort-merge, a filter no longer reaching the scan, an
+accidental cartesian) fails pytest instead of surfacing at 100 TB.
+
+Each query is executed once at sf0.001 so the ADAPTIVE final plan is
+inspected — several joins carry no static hint by design (AQE promotes them
+at runtime from measured sizes; at corpus scale the same plan degrades
+gracefully to a shuffle join instead of OOMing a forced broadcast).
+"""
+
+import pytest
+
+import __spark_entry__ as E
+
+# join-bearing flagship queries; everything here must finish with zero
+# sort-merge joins and zero cartesians in the adaptive final plan
+GUARDED = [
+    "gls_power",
+    "gls_best_period",
+    "pdm_theta",
+    "stringlength",
+    "downsample_daily",
+    "dedup_exact",
+    "dedup_minhash",
+    "simhash_neardup",
+    "ngram_jaccard",
+    "simsearch_topk",
+    "simsearch_lsh",
+    "text_stats",
+    "acf_fft",
+    "tpch_q1",
+]
+
+# deliberate all-pairs baseline: its cartesian is the documented exception
+CARTESIAN_OK = {"cosine_neardup"}
+
+
+def _final_plan(spark, sf_dir, name):
+    df = E.queries()[name](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan
+    return plan
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_no_sortmerge_or_cartesian(name, spark, sf_dir):
+    plan = _final_plan(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, f"{name}: sort-merge join crept in"
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product crept in"
+    # NOTE: BroadcastNestedLoopJoin is NOT banned — a broadcast cross join
+    # (the grid fan-out in GLS/PDM/StringLength) physically IS one, with the
+    # provably-tiny side broadcast. The dangerous shape is the un-broadcast
+    # CartesianProduct, which is banned above.
+
+
+def test_cosine_neardup_single_deliberate_cartesian(spark, sf_dir):
+    """The one documented all-pairs join (at test size AQE builds it as a
+    broadcast nested-loop; at corpus size it stays a partitioned cartesian).
+    The plan string renders the adaptive tree twice, so assert presence and
+    absence, not counts."""
+    plan = _final_plan(spark, sf_dir, "cosine_neardup")
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, sf_dir):
+    """The shipdate RANGE predicate must reach the parquet scan, and column
+    pruning must hold (a Q1 scan reading l_comment is wrong)."""
+    plan = _final_plan(spark, sf_dir, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    assert "l_comment" not in plan
+
+
+def test_ts_queries_push_value_notnull(spark, sf_dir):
+    """The NULL-drop at the head of every TSeries pipeline must reach the
+    events scan as a pushed filter, not a post-scan Filter."""
+    plan = _final_plan(spark, sf_dir, "gls_power")
+    assert "IsNotNull(value)" in plan
+
+
+def test_gls_stats_side_stays_broadcast(spark, sf_dir):
+    """The per-series stats join (one row per series) must build a broadcast
+    hash table by default — and honor the size-guard escape hatches."""
+    from periodicity_spark.sources.ingest import ts_from_events
+    from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
+
+    ts = ts_from_events(spark, sf_dir)
+    grid = uniform_freq_grid(spark, 0.05, 0.01, 16)
+
+    df = gls_periodogram(ts, freq_grid=grid)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # stats, consts (grid may fold in)
+
+    shuf = gls_periodogram(ts, freq_grid=grid, broadcast_stats=False)
+    shuf.collect()
+    splan = shuf._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in splan
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        df.toPandas().sort_values(["series_id", "frequency"]).reset_index(drop=True),
+        shuf.toPandas().sort_values(["series_id", "frequency"]).reset_index(drop=True),
+        check_exact=False,
+        rtol=1e-12,
+    )
