@@ -1067,11 +1067,12 @@ FROM prom
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL decode for audio (RIFF/WAVE PCM parse) and image (24-bpp BMP
-    # parse); video remains the labeled stub. Payloads are genuine format
-    # bytes built by synthesize_media keyed on doc_id, so the decoded
-    # features (sample rate, duration, dimensions, channel means) are
-    # deterministic and verifiable.
+    # REAL decode for all three modalities: RIFF/WAVE PCM (audio), 24-bpp
+    # BMP (image), YUV4MPEG2 (video). Payloads are genuine format bytes
+    # built by synthesize_media keyed on doc_id, so the decoded features
+    # (sample rate, dimensions, frame rate) are deterministic and the
+    # oracle derives them analytically — the parsers must recover exactly
+    # what the generators encoded.
     from periodicity_spark.pipeline.multimodal import synthesize_media
 
     d = _docs(spark, sf_dir)
@@ -1094,9 +1095,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the payloads are synthesized deterministically from media_id, so the oracle
 # derives the expected decoded features analytically: image = BMP dims/solid
-# green mean, audio = WAV frame count/rate/duration, video = the stub's
-# byte-histogram formula. An end-to-end check that the real parsers recover
-# exactly what the generators encoded.
+# green mean, audio = WAV frame count/rate/duration, video = Y4M dims/frame
+# rate. An end-to-end check that the real parsers recover exactly what the
+# generators encoded.
 SQL_MULTIMODAL_FEATURES = """
 WITH ids AS (
   SELECT doc_id AS media_id,
@@ -1104,26 +1105,18 @@ WITH ids AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind
   FROM documents
-),
-vid AS (
-  SELECT media_id,
-         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 0) / 64.0 AS f0,
-         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 1) / 64.0 AS f1,
-         sum(((media_id * 31 + i) % 256) / 255.0) FILTER (i % 8 = 3) / 64.0 AS f3
-  FROM ids, (SELECT unnest(range(64)) AS i) r
-  WHERE kind = 'video' GROUP BY 1
 )
-SELECT ids.media_id, kind,
-       round(CASE kind WHEN 'image' THEN (4 + ids.media_id % 5)::DOUBLE
+SELECT media_id, kind,
+       round(CASE kind WHEN 'image' THEN (4 + media_id % 5)::DOUBLE
                        WHEN 'audio' THEN 256.0
-                       ELSE vid.f0 END, 6) AS f0,
-       round(CASE kind WHEN 'image' THEN (3 + ids.media_id % 4)::DOUBLE
+                       ELSE (8 + 2 * (media_id % 4))::DOUBLE END, 6) AS f0,
+       round(CASE kind WHEN 'image' THEN (3 + media_id % 4)::DOUBLE
                        WHEN 'audio' THEN 8000.0
-                       ELSE vid.f1 END, 6) AS f1,
-       round(CASE kind WHEN 'image' THEN ((ids.media_id * 7) % 256)::DOUBLE
+                       ELSE (6 + 2 * (media_id % 3))::DOUBLE END, 6) AS f1,
+       round(CASE kind WHEN 'image' THEN ((media_id * 7) % 256)::DOUBLE
                        WHEN 'audio' THEN 0.032
-                       ELSE vid.f3 END, 6) AS f3
-FROM ids LEFT JOIN vid ON vid.media_id = ids.media_id
+                       ELSE 25.0 END, 6) AS f3
+FROM ids
 """
 
 

@@ -9,9 +9,12 @@ Decode status (honest accounting):
 - ``image`` — REAL decode: uncompressed 24-bpp BMP parser (BITMAPFILEHEADER
   + BITMAPINFOHEADER, bottom-up rows, 4-byte row padding) → dimensions,
   per-channel means, luma stats.
-- ``video`` — STUB: no container/codec lib in this image; a clearly-marked
-  deterministic byte-histogram fake keeps the plumbing testable. Swap for
-  ffmpeg in production.
+- ``video`` — REAL decode: YUV4MPEG2 (Y4M) parser (header tags + planar
+  YUV 4:2:0 frames, stdlib-only) → dimensions, frame count, fps, luma
+  stats, temporal motion proxy, duration. Y4M is the standard UNCOMPRESSED
+  video interchange format (ffmpeg/x264 pipelines emit it), so this is a
+  genuine demuxer for the no-codec-libs regime; compressed containers
+  (mp4/webm) still need ffmpeg in production.
 
 Malformed payloads decode to NULL features (the negative path), never throw.
 """
@@ -138,22 +141,72 @@ def decode_bmp(payload: bytes) -> list[float] | None:
         return None
 
 
-def _fake_decode(payload: bytes, n_features: int = N_FEATURES) -> list[float] | None:
-    """STUB (video only): deterministic byte-histogram moments — no codec lib
-    in this image. Stable across runs/executors; swap for a real demuxer in
-    production."""
-    if payload is None or len(payload) == 0:
+def decode_y4m(payload: bytes) -> list[float] | None:
+    """YUV4MPEG2 → [width, height, n_frames, fps, mean_luma, std_luma,
+    mean_frame_diff, duration_s]. Parses the stream header (W/H/F tags;
+    C tag accepted for any 4:2:0 variant, the Y4M default) and every
+    FRAME's planar YUV420 payload; luma stats are over all Y-plane pixels,
+    mean_frame_diff is the mean absolute per-pixel luma change between
+    consecutive frames (a motion proxy; 0.0 for a single frame). None if
+    the payload is not well-formed Y4M."""
+    import numpy as np
+
+    try:
+        if payload is None or len(payload) < 10 or payload[0:9] != b"YUV4MPEG2":
+            return None
+        nl = payload.index(b"\n")
+        width = height = 0
+        fnum, fden = 0, 1
+        for tag in payload[9:nl].split(b" "):
+            if not tag:
+                continue
+            if tag[0:1] == b"W":
+                width = int(tag[1:])
+            elif tag[0:1] == b"H":
+                height = int(tag[1:])
+            elif tag[0:1] == b"F":
+                num, den = tag[1:].split(b":")
+                fnum, fden = int(num), int(den)
+            elif tag[0:1] == b"C" and not tag[1:].startswith(b"420"):
+                return None  # only 4:2:0 subsampling supported
+        if width <= 0 or height <= 0 or fnum <= 0 or fden <= 0:
+            return None
+        ysize = width * height
+        frame_size = ysize + 2 * ((width // 2) * (height // 2))
+        pos = nl + 1
+        lumas = []
+        while pos < len(payload):
+            fnl = payload.index(b"\n", pos)
+            if payload[pos:pos + 5] != b"FRAME":
+                return None
+            body = payload[fnl + 1:fnl + 1 + frame_size]
+            if len(body) < frame_size:
+                return None
+            lumas.append(np.frombuffer(body, dtype="u1", count=ysize).astype(float))
+            pos = fnl + 1 + frame_size
+        if not lumas:
+            return None
+        y = np.stack(lumas)  # (F, W*H)
+        fps = fnum / fden
+        diff = float(np.abs(np.diff(y, axis=0)).mean()) if len(lumas) > 1 else 0.0
+        return [
+            float(width),
+            float(height),
+            float(len(lumas)),
+            fps,
+            float(y.mean()),
+            float(y.std()),
+            diff,
+            len(lumas) / fps,
+        ]
+    except Exception:
         return None
-    acc = [0.0] * n_features
-    for i, b in enumerate(payload):
-        acc[i % n_features] += b / 255.0
-    return [x / max(len(payload), 1) for x in acc]
 
 
 DECODERS: dict[str, Callable[[bytes], list[float] | None]] = {
-    "image": decode_bmp,   # real
-    "audio": decode_wav,   # real
-    "video": _fake_decode,  # stub
+    "image": decode_bmp,  # real
+    "audio": decode_wav,  # real
+    "video": decode_y4m,  # real (uncompressed Y4M)
 }
 
 
@@ -197,9 +250,9 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
     """Deterministic media fixture generator: (media_id, kind) → MEDIA_SCHEMA
     rows with REAL format payloads — a PCM16 sine WAV for audio (frequency
     keyed by media_id), a solid-color 24-bpp BMP for image (color keyed by
-    media_id), raw id-derived bytes for video (the stub path). Exists so
-    decode tests and the contract query exercise genuine parsers without
-    shipping binary fixtures."""
+    media_id), a YUV4MPEG2 clip for video (dims/frame count/per-frame luma
+    keyed by media_id). Exists so decode tests and the contract query
+    exercise genuine parsers without shipping binary fixtures."""
     from periodicity_spark.session import ensure_worker_imports
 
     ensure_worker_imports(ids.sparkSession)
@@ -222,8 +275,13 @@ def synthesize_media(ids: DataFrame) -> DataFrame:
                     payload = make_bmp(w, h, rgb=(mid % 256, (mid * 7) % 256, (mid * 13) % 256))
                     meta = {"format": "bmp24"}
                 else:
-                    payload = bytes([(mid * 31 + i) % 256 for i in range(64)])
-                    meta = {"n_frames": str(mid % 100)}
+                    w, h = 8 + 2 * (mid % 4), 6 + 2 * (mid % 3)
+                    nfr = 2 + mid % 3
+                    payload = make_y4m(
+                        w, h, n_frames=nfr,
+                        luma=[(mid * 17 + k * 40) % 256 for k in range(nfr)],
+                    )
+                    meta = {"n_frames": str(nfr), "format": "y4m"}
                 rows.append((mid, kind, payload, meta))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
@@ -256,6 +314,28 @@ def make_bmp(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
     header = b"BM" + struct.pack("<IHHI", 14 + len(dib) + len(pixels), 0, 0, 14 + len(dib))
     return header + dib + pixels
+
+
+def make_y4m(
+    width: int,
+    height: int,
+    n_frames: int = 2,
+    fps: tuple[int, int] = (25, 1),
+    luma: list[int] | None = None,
+) -> bytes:
+    """Minimal valid YUV4MPEG2 clip (fixture helper): planar 4:2:0 frames
+    with a solid luma per frame (``luma[k]``, default ramp) and neutral
+    chroma (128)."""
+    if luma is None:
+        luma = [(40 * k) % 256 for k in range(n_frames)]
+    header = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C420jpeg\n"
+    csize = (width // 2) * (height // 2)
+    out = [header.encode()]
+    for k in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(bytes([luma[k] % 256]) * (width * height))
+        out.append(b"\x80" * (2 * csize))
+    return b"".join(out)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

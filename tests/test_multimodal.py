@@ -1,5 +1,5 @@
-"""Multimodal decode tests: real WAV/BMP parsers (stdlib-only), the labeled
-video stub, negative paths, and the Spark mapInPandas plumbing."""
+"""Multimodal decode tests: real WAV/BMP/Y4M parsers (stdlib-only), negative
+paths, and the Spark mapInPandas plumbing."""
 
 import math
 
@@ -10,10 +10,12 @@ import pytest
 from periodicity_spark.pipeline.multimodal import (
     decode_bmp,
     decode_wav,
+    decode_y4m,
     extract_features,
     frame_sample_plan,
     make_bmp,
     make_wav,
+    make_y4m,
     synthesize_media,
 )
 
@@ -61,6 +63,33 @@ def test_decode_bmp_negative_paths():
     assert decode_bmp(bmp[: len(bmp) - 10]) is None        # truncated pixels
 
 
+def test_decode_y4m_exact():
+    feats = decode_y4m(make_y4m(16, 8, n_frames=3, fps=(30, 1), luma=[10, 50, 90]))
+    w, h, nfr, fps, mean_luma, std_luma, diff, duration = feats
+    assert (w, h, nfr, fps) == (16.0, 8.0, 3.0, 30.0)
+    assert mean_luma == pytest.approx((10 + 50 + 90) / 3)
+    # solid frames: per-pixel std equals the std of the 3 frame values
+    assert std_luma == pytest.approx(np.std([10, 50, 90]))
+    assert diff == pytest.approx(40.0)  # constant +40 luma step per frame
+    assert duration == pytest.approx(3 / 30)
+    # single frame → zero motion, duration 1/fps
+    one = decode_y4m(make_y4m(8, 6, n_frames=1, luma=[77]))
+    assert one[2] == 1.0 and one[6] == 0.0 and one[4] == 77.0
+
+
+def test_decode_y4m_negative_paths():
+    assert decode_y4m(None) is None
+    assert decode_y4m(b"") is None
+    assert decode_y4m(b"not video") is None
+    assert decode_y4m(make_wav(100.0)) is None                # wrong format
+    clip = make_y4m(8, 6, n_frames=2)
+    assert decode_y4m(clip[: len(clip) - 5]) is None          # truncated frame
+    assert decode_y4m(clip.replace(b"C420jpeg", b"C444\x20\x20\x20\x20")) is None  # unsupported subsampling
+    assert decode_y4m(b"YUV4MPEG2 W0 H6 F25:1\n") is None     # bad dims
+    # header only, zero frames
+    assert decode_y4m(b"YUV4MPEG2 W8 H6 F25:1\n") is None
+
+
 def test_extract_features_spark(spark):
     ids = spark.createDataFrame(
         pd.DataFrame(
@@ -78,7 +107,10 @@ def test_extract_features_spark(spark):
     assert by_id[1].features[0] == 256.0 and by_id[1].features[1] == 8000.0
     # image: real decode — dims keyed by media_id (w=4+id%5, h=3+id%4)
     assert by_id[2].features[0] == 6.0 and by_id[2].features[1] == 5.0
-    # video: stub returns a full-length vector
+    # video: real Y4M decode — dims keyed by media_id (w=8+2*(id%4),
+    # h=6+2*(id%3)), 25 fps
+    assert by_id[3].features[0] == 14.0 and by_id[3].features[1] == 6.0
+    assert by_id[3].features[3] == 25.0
     assert len(by_id[3].features) == 8
     # cross-check against the local decoders (same payload bytes)
     pay = {r.media_id: r.payload for r in media.collect()}
