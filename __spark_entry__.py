@@ -469,8 +469,17 @@ def _gls_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gls_power and gls_best_period are two projections of the SAME
     # periodogram — persist it once per (session, sf_dir) so the second
     # query reuses the aggregate instead of recomputing the full grid scan
-    # (a subplan memo; Spark does not reuse results across actions itself)
-    key = (id(spark), sf_dir)
+    # (a subplan memo; Spark does not reuse results across actions itself).
+    # The session key is a uuid pinned on the session object — id(spark) can
+    # be recycled by the allocator after a session is garbage-collected,
+    # which would hand a dead session's persisted plan to a new one.
+    skey = getattr(spark, "_ps_gls_cache_key", None)
+    if skey is None:
+        import uuid
+
+        skey = uuid.uuid4().hex
+        spark._ps_gls_cache_key = skey
+    key = (skey, sf_dir)
     if key not in _GLS_PG_CACHE:
         grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
         pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)

@@ -337,11 +337,9 @@ def celerite_nll_batch(t, y, diag, ks, means) -> np.ndarray:
     return nll
 
 
-def celerite_solve(t, diag, k: CeleriteCoeffs, y: np.ndarray) -> np.ndarray | None:
-    """x = K⁻¹ y in O(N·J²): forward, scale, backward substitution."""
-    fac = celerite_factor(t, diag, k)
-    if fac is None:
-        return None
+def _solve_factored(fac, y: np.ndarray) -> np.ndarray:
+    """x = K⁻¹ y from an existing factorization: forward, scale, backward
+    substitution — O(N·J) per right-hand side."""
     U, P, D, W = fac
     N, J = U.shape
     z = np.empty(N)
@@ -360,20 +358,30 @@ def celerite_solve(t, diag, k: CeleriteCoeffs, y: np.ndarray) -> np.ndarray | No
     return x
 
 
+def celerite_solve(t, diag, k: CeleriteCoeffs, y: np.ndarray) -> np.ndarray | None:
+    """x = K⁻¹ y in O(N·J²): factor + substitutions."""
+    fac = celerite_factor(t, diag, k)
+    if fac is None:
+        return None
+    return _solve_factored(fac, y)
+
+
 def celerite_loocv(t, y, diag, k: CeleriteCoeffs, mean: float = 0.0) -> float:
     """Log leave-one-out CV score (reference loocv, gp.py:394-403):
     −½ Σ [q²ᵢ/cᵢ − log cᵢ] − N/2·log 2π with q = K⁻¹r, c = diag(K⁻¹).
-    Like the reference, diag(K⁻¹) costs N solves → O(N²·J); a small-N
-    model-comparison diagnostic, not a fit-loop objective."""
+    The factorization is computed ONCE and reused across the N unit-vector
+    solves for diag(K⁻¹) (each O(N·J)), so the whole score is O(N²·J) — a
+    small-N model-comparison diagnostic, not a fit-loop objective."""
     n = len(y)
-    q = celerite_solve(t, diag, k, y - mean)
-    if q is None:
+    fac = celerite_factor(t, diag, k)
+    if fac is None:
         return float("-inf")
+    q = _solve_factored(fac, y - mean)
     c = np.empty(n)
     e = np.zeros(n)
     for i in range(n):
         e[i] = 1.0
-        c[i] = celerite_solve(t, diag, k, e)[i]
+        c[i] = _solve_factored(fac, e)[i]
         e[i] = 0.0
     return float(-0.5 * (np.sum(q * q / c) - np.sum(np.log(c)) + n * LN2PI))
 

@@ -172,20 +172,30 @@ def gls_auto(
     nf: int,
     fit_mean: bool = True,
     avg_points_threshold: int = 4096,
+    target_tasks: int | None = None,
 ) -> DataFrame:
     """Strategy pick (the engine-level analog of the reference's conv-vs-FFT
     choice, timefrequency.py:212-218): long series × dense grid → per-series
     O(N log N) UDF; many short series → distributed O(N·F) codegen path.
     On the fast path, when there are fewer series than would fill the
     cluster, the frequency grid is sharded (grid_chunks) so even a single
-    series fans out across tasks."""
+    series fans out across tasks.
+
+    ``target_tasks`` pins the fan-out explicitly; the default (None) derives
+    it from the session's defaultParallelism, which is environment-dependent
+    BY DESIGN — chunking changes the task layout only, never the values
+    (each grid chunk is an independent exact computation), so the same query
+    returns identical numbers on a laptop and a 1000-executor cluster. Pin
+    it when reproducible STAGE GRAPHS (e.g. plan-diffing across machines)
+    matter."""
     stats = ts.groupBy("series_id").agg(F.count("value").alias("n")).agg(
         F.avg("n").alias("avg_n"), F.count(F.lit(1)).alias("n_series")
     ).collect()[0]
     avg_n = stats["avg_n"] or 0
     n_series = stats["n_series"] or 0
     if avg_n * nf > avg_points_threshold * 64 and avg_n > avg_points_threshold:
-        target_tasks = ts.sparkSession.sparkContext.defaultParallelism * 2
+        if target_tasks is None:
+            target_tasks = ts.sparkSession.sparkContext.defaultParallelism * 2
         want = -(-target_tasks // max(n_series, 1))  # ceil
         chunks = max(1, min(want, 32, nf // 256))
         return gls_periodogram_fast(ts, fmin, df, nf, fit_mean, grid_chunks=chunks)

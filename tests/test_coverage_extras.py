@@ -152,3 +152,54 @@ def test_ceemdan_postprocess(spark):
         np.linalg.norm((piv[0].to_numpy() - hi)[10:-10]) / np.linalg.norm(hi[10:-10])
         < 0.05
     )
+
+
+def test_mirror_fill_oracle_cascade_guard():
+    """The mirror_fill DuckDB oracle resolves cascaded fills TWO passes deep
+    (a gap whose mirror source lies inside another gap). The sequential
+    engine kernel cascades arbitrarily deep, so the oracle is only exact
+    while the compared data contains no depth-3 chains. This guard asserts
+    that domain of validity for the SFs the oracle actually runs at
+    (pytest contract sf0.001, driver compare sf0.01) — if the testdata
+    generator ever changes, this fails loudly instead of the contract
+    mismatching mysteriously. (sf0.1 is bench-only — it HAS depth-3 chains,
+    measured 8 — which is why the oracle must never be compared there.)"""
+    import duckdb
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/events.parquet')"
+        )
+        df = con.execute(
+            """
+            SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+                   (epoch_us(ts) - 1704067200000000)::DOUBLE / 86400000000.0 AS t,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+            FROM events ORDER BY series_id, t
+            """
+        ).df()
+        depth3 = 0
+        for _, g in df.groupby("series_id"):
+            isnull = np.isnan(g["value"].to_numpy(float))
+            nulls = set(np.where(isnull)[0])
+            ids = np.where(np.diff(isnull))[0] + 1
+            ids = np.concatenate([[0], ids]) if isnull[0] else ids
+            runs = [(ids[2 * i], ids[2 * i + 1]) for i in range(len(ids) // 2)]
+
+            def srcs(s, e, n=len(isnull)):
+                gap = e - s
+                return [
+                    *range(max(0, s - gap // 2), s),
+                    *range(e + 1, min(n, e + gap // 2 + 1)),
+                ]
+
+            for s, e in runs:
+                for x in srcs(s, e):
+                    if x not in nulls:
+                        continue
+                    for s2, e2 in runs:
+                        if s2 <= x < e2 and any(y in nulls for y in srcs(s2, e2)):
+                            depth3 += 1
+        assert depth3 == 0, f"sf{sf}: {depth3} depth-3 mirror chains — oracle needs a 3rd pass"
