@@ -5,12 +5,22 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is timed as a full action (plan → execute → count the result) —
 cold plans, shared warm JVM, matching how the driver's per-round BENCH runs.
+
+Noise hygiene (round 4): the whole suite runs $SPARK_GRAFT_BENCH_REPS times
+(default 3) inside one session and "queries" reports the PER-QUERY MEDIAN —
+r2's numbers were ±50% load noise, which single-pass timing can't separate
+from structural change. The raw per-rep numbers ship in "query_runs" and the
+1-minute load average at start/end in "load_avg", so a future round can tell
+machine pressure from regressions without cross-referencing old rounds.
+The GLS periodogram memo is cleared between reps — every rep pays the same
+cold materialization the anchors paid.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -45,12 +55,27 @@ HEADLINE = [
     "ngram_jaccard",
     "psort_by_prominence",
     "pg_stats",
+    # round-4 addition: the ANN scale path (multi-table LSH)
+    "simsearch_lsh",
 ]
+
+
+def _clear_memo() -> None:
+    """Unpersist the GLS periodogram memo so each rep pays the same cold
+    materialization (reps would otherwise reuse rep 1's persisted plan and
+    report near-zero gls_* times, breaking the r1-r3 anchors)."""
+    for df in entrymod._GLS_PG_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    entrymod._GLS_PG_CACHE.clear()
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -60,14 +85,20 @@ def main() -> None:
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    load_start = os.getloadavg()[0]
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for rep in range(reps):
+        _clear_memo()
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            runs[name].append(dt)
+            print(f"# rep{rep} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    load_end = os.getloadavg()[0]
 
+    timings = {name: round(statistics.median(ts), 3) for name, ts in runs.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,6 +107,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": runs,
+                "reps": reps,
+                "load_avg": {"start": round(load_start, 2), "end": round(load_end, 2)},
                 "sf": sf,
             }
         )
