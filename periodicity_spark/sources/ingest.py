@@ -29,26 +29,58 @@ EVENTS_EPOCH_US = 1704067200000000
 US_PER_DAY = 86400000000.0
 
 
+def epoch_us_expr(df: DataFrame, col: str = "ts"):
+    """Epoch-microseconds BIGINT from whatever physical type the events
+    timestamp arrives as. The engine must ingest the data the environment
+    serves — micro- OR nano-resolution parquet timestamps:
+
+    - ``timestamp_ntz`` (parquet TIMESTAMP(MICROS/NANOS, isAdjustedToUTC=
+      false), Spark 4 default read): wall-clock diff against the NTZ epoch
+      literal. Deliberately timezone-INDEPENDENT — no NTZ→TZ cast, so the
+      result cannot shift under a session timezone other than UTC, and it
+      matches DuckDB's ``epoch_us(ts)`` on the same naive column exactly.
+    - ``timestamp`` (instant-typed column): ``unix_micros`` — already an
+      absolute instant, also tz-independent.
+    - ``bigint`` (legacy ``spark.sql.legacy.parquet.nanosAsLong`` read of a
+      TIMESTAMP(NANOS) column): integer-truncate nanos→micros, matching
+      DuckDB's micro truncation of the same column.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":
+        return F.expr(f"{col} div 1000")
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+        )
+    if dtype == "timestamp":
+        return F.unix_micros(F.col(col))
+    raise TypeError(
+        f"events.{col} has unsupported type {dtype!r}; "
+        "expected timestamp, timestamp_ntz, or bigint (nanos-as-long)"
+    )
+
+
+def _events_day_axis(ev: DataFrame):
+    """Double days since 2024-01-01: (epoch_us − EVENTS_EPOCH_US) / 86400e6."""
+    return (epoch_us_expr(ev) - F.lit(EVENTS_EPOCH_US)).cast("double") / F.lit(
+        US_PER_DAY
+    )
+
+
 def ts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) → ts rows.
 
     series_id = '<user_id>/<event_type>'; time = DAYS since 2024-01-01 UTC.
-
-    The testdata's ``ts`` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    unless ``spark.sql.legacy.parquet.nanosAsLong`` is set (runtime conf).
-    DuckDB truncates the same column to microseconds, so we truncate too
-    (integer ``div 1000``) — both engines then see the identical double:
-    time = (epoch_us − EVENTS_EPOCH_US) / 86400e6.
+    ``ts`` may be parquet TIMESTAMP(MICROS), TIMESTAMP(NANOS), or a raw
+    nanos long — see epoch_us_expr. The reference uses plain float time
+    axes (data/__init__.py:20-22); this is the Spark ingestion boundary
+    that produces them.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    time = (
-        (F.expr("ts div 1000") - F.lit(EVENTS_EPOCH_US)).cast("double")
-        / F.lit(US_PER_DAY)
-    )
     return ev.select(
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
-        time.alias("time"),
+        _events_day_axis(ev).alias("time"),
         F.col("value").alias("value"),
     )
 
@@ -57,11 +89,7 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full events table + the aligned double ``time`` column (days)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
-    time = (
-        (F.expr("ts div 1000") - F.lit(EVENTS_EPOCH_US)).cast("double")
-        / F.lit(US_PER_DAY)
-    )
-    return ev.withColumn("time", time)
+    return ev.withColumn("time", _events_day_axis(ev))
 
 
 def ts_from_parquet(

@@ -15,18 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from periodicity_spark.sources.ingest import epoch_us_expr
 
 
 def events_stream(
@@ -34,18 +24,29 @@ def events_stream(
 ) -> DataFrame:
     """readStream over the events parquet (file-source streaming — swap for
     kafka in production; the query graph is identical). Emits
-    (series_id, ts timestamp, value [, event_id])."""
+    (series_id, ts timestamp, value [, event_id]).
+
+    The read schema is inferred from a batch read of the same files rather
+    than hard-coded: a wrong hard-coded ``ts`` type (e.g. nanos LongType vs
+    the data's timestamp[us]) makes the vectorized parquet reader yield ZERO
+    rows silently — empty aggregates that look like "no data", the worst
+    streaming failure mode. Inference tracks whatever physical type the
+    environment serves; epoch_us_expr then normalizes it tz-independently.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source needs a directory; pathGlobFilter selects only
     # the events table out of the shared sf dir
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     cols = [
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        F.timestamp_micros(epoch_us_expr(raw)).alias("ts"),
         F.col("value"),
     ]
     if keep_event_id:

@@ -36,13 +36,31 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def ingest_ok(spark, sf_dir):
+    """Fail ONCE, pointedly, if events ingestion itself is broken — without
+    this, an ingest-level schema drift surfaces as dozens of identical
+    parametrized failures (r4 post-mortem). Module-scoped: the error is
+    cached, so the remaining tests report one-line setup errors."""
+    from periodicity_spark.sources.ingest import ts_from_events
+
+    try:
+        ts_from_events(spark, sf_dir).limit(1).collect()
+    except Exception as e:  # noqa: BLE001 — any ingest error is the headline
+        pytest.fail(
+            f"events ingestion broken at {sf_dir} — fix "
+            f"periodicity_spark/sources/ingest.py before anything else: {e}",
+            pytrace=False,
+        )
+
+
 def test_every_oracle_has_a_query():
     missing = sorted(set(ORACLES) - set(QUERIES))
     assert not missing, f"oracle_sql() without queries() entry: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_contract_query(name, spark, sf_dir, duck):
+def test_contract_query(name, spark, sf_dir, duck, ingest_ok):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
         # rows-only contract: the driver only asserts the query runs and
