@@ -31,6 +31,7 @@ from periodicity_spark.phase.pdm import pdm_theta
 from periodicity_spark.phase.stringlength import string_length
 from periodicity_spark.pipeline import dedup, simsearch, text as text_ops
 from periodicity_spark.pipeline.multimodal import extract_features
+from periodicity_spark.session import persisted
 from periodicity_spark.sources.ingest import events_with_time, ts_from_events
 from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
 from periodicity_spark.spectral.periodogram_ops import period_at_highest_peak
@@ -462,35 +463,14 @@ FROM s
 """
 
 
-_GLS_PG_CACHE: dict = {}
-
-
 def _gls_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gls_power and gls_best_period are two projections of the SAME
     # periodogram — persist it once per (session, sf_dir) so the second
     # query reuses the aggregate instead of recomputing the full grid scan
-    # (a subplan memo; Spark does not reuse results across actions itself).
-    # The session key is a uuid pinned on the session object — id(spark) can
-    # be recycled by the allocator after a session is garbage-collected,
-    # which would hand a dead session's persisted plan to a new one.
-    skey = getattr(spark, "_ps_gls_cache_key", None)
-    if skey is None:
-        import uuid
-
-        skey = uuid.uuid4().hex
-        spark._ps_gls_cache_key = skey
-    key = (skey, sf_dir)
-    if key not in _GLS_PG_CACHE:
-        grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-        pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
-        for old in _GLS_PG_CACHE.values():  # one live entry — free stale persists
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        _GLS_PG_CACHE.clear()
-        _GLS_PG_CACHE[key] = pg.persist()
-    return _GLS_PG_CACHE[key]
+    # (engine-level memo: periodicity_spark.session.persisted).
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
+    return persisted(pg, f"gls_pg:{sf_dir}")
 
 
 def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,24 +478,10 @@ def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
 
 
-def _gls_sql(select_clause: str, tail: str = "") -> str:
-    return f"""
-WITH {TS_SQL},
-pre AS (
-  SELECT series_id, count(*)::DOUBLE AS n,
-         sum(value) / sum(1.0) AS ybar,
-         sum(value * value) / sum(1.0) - (sum(value) / sum(1.0)) * (sum(value) / sum(1.0)) AS yyv
-  FROM ts GROUP BY 1 HAVING count(*) >= {GLS_MIN_N}
-),
-t2 AS (SELECT ts.* FROM ts JOIN pre USING (series_id)),
-yy2 AS (SELECT series_id, yyv FROM pre),
-grid AS (SELECT {GLS_FMIN} + {GLS_DF} * unnest(range({GLS_NF})) AS frequency),
-z AS (
-  SELECT t.series_id, g.frequency, 1.0 / p.n AS w, t.value - p.ybar AS y,
-         sin(2 * pi() * g.frequency * t."time") AS s,
-         cos(2 * pi() * g.frequency * t."time") AS c
-  FROM t2 t JOIN pre p USING (series_id) CROSS JOIN grid g
-),
+# sums→power finish shared by every GLS oracle (fit_mean=True normalized
+# power; same algebra as spectral/gls.py:165-199). Expects CTEs ``z``
+# (series_id, frequency, w, y, s, c) and ``yy2`` (series_id, yyv) upstream.
+_GLS_TAIL_SQL = """
 sums AS (
   SELECT series_id, frequency,
     sum(w * s) AS s1,
@@ -545,6 +511,28 @@ pw AS (
     ) / yyv AS power
   FROM fin
 )
+"""
+
+
+def _gls_sql(select_clause: str, tail: str = "") -> str:
+    return f"""
+WITH {TS_SQL},
+pre AS (
+  SELECT series_id, count(*)::DOUBLE AS n,
+         sum(value) / sum(1.0) AS ybar,
+         sum(value * value) / sum(1.0) - (sum(value) / sum(1.0)) * (sum(value) / sum(1.0)) AS yyv
+  FROM ts GROUP BY 1 HAVING count(*) >= {GLS_MIN_N}
+),
+t2 AS (SELECT ts.* FROM ts JOIN pre USING (series_id)),
+yy2 AS (SELECT series_id, yyv FROM pre),
+grid AS (SELECT {GLS_FMIN} + {GLS_DF} * unnest(range({GLS_NF})) AS frequency),
+z AS (
+  SELECT t.series_id, g.frequency, 1.0 / p.n AS w, t.value - p.ybar AS y,
+         sin(2 * pi() * g.frequency * t."time") AS s,
+         cos(2 * pi() * g.frequency * t."time") AS c
+  FROM t2 t JOIN pre p USING (series_id) CROSS JOIN grid g
+),
+{_GLS_TAIL_SQL}
 {select_clause}
 {tail}
 """
@@ -576,6 +564,102 @@ best AS (
 SELECT series_id, 1.0 / frequency AS period FROM best WHERE rn = 1
 """
 )
+
+
+def q_gls_default_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLS on the REFERENCE default grid (spectral.py:88-97): per-series
+    df = 1/(5·baseline), fmin = df/2, fmax = 1/(2·median_dt) — the
+    data-dependent grid path (spectral/gls.py:default_freq_grid), which the
+    fixed-grid queries above never exercise. Daily-downsampled (median_dt=1
+    → fmax=0.5) and restricted to user_id ≤ 2 so the per-series grid stays
+    oracle-tractable; values rounded 6dp pre-GLS identically on both engines.
+    """
+    ev = events_with_time(spark, sf_dir).filter(F.col("user_id") <= 2)
+    ts = ev.select(
+        F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
+        F.col("time"),
+        F.col("value"),
+    )
+    day = ops_resample.downsample(ts, 1.0).select(
+        "series_id", "time", F.round("value", 6).alias("value")
+    )
+    # the default-grid path reads its input several times (grid stats, GLS
+    # stats, the grid join itself) — persist the small downsampled series so
+    # the events scan + downsample aggregate run once, not ~6× (plan audit:
+    # 12 scans / 44 exchanges unpersisted → 1 scan of events persisted)
+    day = persisted(day, f"gdg_day:{sf_dir}")
+    pg = gls_periodogram(day, freq_grid=None, n=5.0, min_count=GLS_MIN_N)
+    # On a uniformly-resampled series the grid's endpoint fmax = 1/(2·dt) IS
+    # the Nyquist frequency, where the GLS normal equations are singular
+    # (SS→0; power is 0/0 noise and cross-engine fp order decides the sign).
+    # Drop the degenerate endpoint rows with a cutoff strictly between grid
+    # points — frequencies are bit-identical on both engines, so the filter
+    # selects the same rows.
+    pg = pg.filter(F.col("frequency") < 0.4995)
+    return pg.select(
+        "series_id",
+        F.round("frequency", 9).alias("frequency"),
+        F.round("power", 6).alias("power"),
+    )
+
+
+SQL_GLS_DEFAULT_GRID = f"""
+WITH ts0 AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         (epoch_us(ts) - 1704067200000000)::DOUBLE / 86400000000.0 AS "time",
+         value
+  FROM events WHERE user_id <= 2
+),
+st0 AS (SELECT series_id, min("time") AS tmin, max("time") AS tmax FROM ts0 GROUP BY 1),
+b AS (
+  SELECT t.series_id, st0.tmin,
+         greatest(ceil((t."time" - st0.tmin) / ((st0.tmax - st0.tmin) / ceil((st0.tmax - st0.tmin) / 1.0)::BIGINT)) - 1, 0)::BIGINT AS bucket,
+         t.value
+  FROM ts0 t JOIN st0 USING (series_id)
+  WHERE st0.tmax > st0.tmin
+),
+ts AS (
+  SELECT series_id, tmin + bucket * 1.0 AS "time", round(avg(value), 6) AS value
+  FROM b GROUP BY series_id, tmin, bucket
+),
+d AS (
+  SELECT series_id, "time" - lag("time") OVER (PARTITION BY series_id ORDER BY "time") AS dt_i
+  FROM ts
+),
+med AS (SELECT series_id, median(dt_i) AS median_dt FROM d WHERE dt_i IS NOT NULL GROUP BY 1),
+gstat AS (SELECT series_id, max("time") - min("time") AS baseline FROM ts GROUP BY 1),
+gp AS (
+  SELECT g.series_id,
+         1.0 / (g.baseline * 5.0) AS df,
+         0.5 * (1.0 / (g.baseline * 5.0)) AS fmin,
+         0.5 / m.median_dt AS fmax
+  FROM gstat g JOIN med m USING (series_id)
+),
+grid AS (
+  SELECT series_id, fmin + k * df AS frequency
+  FROM (
+    SELECT series_id, fmin, df,
+           unnest(range(ceil((fmax + df - fmin) / df)::BIGINT)) AS k
+    FROM gp
+  )
+),
+pre AS (
+  SELECT series_id, count(*)::DOUBLE AS n,
+         sum(value) / sum(1.0) AS ybar,
+         sum(value * value) / sum(1.0) - (sum(value) / sum(1.0)) * (sum(value) / sum(1.0)) AS yyv
+  FROM ts GROUP BY 1 HAVING count(*) >= {GLS_MIN_N}
+),
+yy2 AS (SELECT series_id, yyv FROM pre),
+z AS (
+  SELECT t.series_id, g.frequency, 1.0 / p.n AS w, t.value - p.ybar AS y,
+         sin(2 * pi() * g.frequency * t."time") AS s,
+         cos(2 * pi() * g.frequency * t."time") AS c
+  FROM ts t JOIN pre p USING (series_id) JOIN grid g USING (series_id)
+),
+{_GLS_TAIL_SQL}
+SELECT series_id, round(frequency, 9) AS frequency, round(power, 6) AS power
+FROM pw WHERE frequency < 0.4995
+"""
 
 
 def q_stringlength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,6 +892,80 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY 1
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.quality_score — composite length × token-length ×
+    stopword heuristic, all native expressions (no Python in the path)."""
+    out = text_ops.quality_score(_docs(spark, sf_dir))
+    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, length(text) AS n_chars FROM documents
+),
+s AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) / len(toks)::DOUBLE AS avg_token_len,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) / len(toks)::DOUBLE AS sw_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(
+         least(n_tokens / 64.0, 1.0)
+         * (CASE WHEN avg_token_len >= 2.5 AND avg_token_len <= 8.0 THEN 1.0 ELSE 0.5 END)
+         * least(sw_ratio * 5.0, 1.0),
+       6) AS quality
+FROM s
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.language_id — stopword-vote n-gram heuristic; argmax
+    language with lexicographic tie-break."""
+    out = text_ops.language_id(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "predicted_lang", F.round("score", 6).alias("score")
+    )
+
+
+SQL_LANG_ID = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' '))::DOUBLE AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) / n AS s_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) / n AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','y'], x))) / n AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) / n AS s_fr,
+    len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) / n AS s_zh
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+            WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang,
+       round(greatest(s_de, s_en, s_es, s_fr, s_zh), 6) AS score
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.fingerprint — md5 of lowercased whitespace-collapsed
+    text: the canonical fuzzy-exact dedup key."""
+    return text_ops.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+FROM documents
 """
 
 
@@ -2310,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polyfit": q_polyfit,
         "gls_power": q_gls_power,
         "gls_best_period": q_gls_best_period,
+        "gls_default_grid": q_gls_default_grid,
         "psort_by_peak": q_psort_by_peak,
         "periods_at_half_max": q_periods_at_half_max,
         "downsample_median": q_downsample_median,
@@ -2321,6 +2480,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -2395,6 +2557,7 @@ def oracle_sql() -> dict[str, str]:
         "polyfit": SQL_POLYFIT,
         "gls_power": SQL_GLS_POWER,
         "gls_best_period": SQL_GLS_BEST_PERIOD,
+        "gls_default_grid": SQL_GLS_DEFAULT_GRID,
         "stringlength": SQL_STRINGLENGTH,
         "pdm_theta": SQL_PDM_THETA,
         "tpch_q1": SQL_TPCH_Q1,
@@ -2403,6 +2566,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
+        "text_quality": SQL_TEXT_QUALITY,
+        "lang_id": SQL_LANG_ID,
+        "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,

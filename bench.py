@@ -57,19 +57,24 @@ HEADLINE = [
     "pg_stats",
     # round-4 addition: the ANN scale path (multi-table LSH)
     "simsearch_lsh",
+    # round-5 addition: GLS on the reference default (per-series) grid
+    "gls_default_grid",
 ]
 
 
 def _clear_memo() -> None:
-    """Unpersist the GLS periodogram memo so each rep pays the same cold
-    materialization (reps would otherwise reuse rep 1's persisted plan and
-    report near-zero gls_* times, breaking the r1-r3 anchors)."""
-    for df in entrymod._GLS_PG_CACHE.values():
+    """Unpersist the session persist-memo (GLS periodogram etc.) so each rep
+    pays the same cold materialization (reps would otherwise reuse rep 1's
+    persisted plan and report near-zero gls_* times, breaking the r1-r3
+    anchors)."""
+    from periodicity_spark import session as _s
+
+    for df in _s._PERSIST_MEMO.values():
         try:
             df.unpersist()
         except Exception:
             pass
-    entrymod._GLS_PG_CACHE.clear()
+    _s._PERSIST_MEMO.clear()
 
 
 def main() -> None:

@@ -55,16 +55,26 @@ def stopword_ratio(
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Composite quality heuristic in [0,1]: length score × stopword presence
-    × mean-token-length plausibility. → (doc_id, quality)."""
-    ts = token_stats(docs, id_col, text_col)
-    sr = stopword_ratio(docs, None, id_col, text_col)
-    j = ts.join(sr, "doc_id")
-    len_score = F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0))
-    tok_score = F.when(
-        (F.col("avg_token_len") >= 2.5) & (F.col("avg_token_len") <= 8.0), 1.0
-    ).otherwise(0.5)
-    sw_score = F.least(F.col("sw_ratio") * 5.0, F.lit(1.0))
-    return j.select("doc_id", (len_score * tok_score * sw_score).alias("quality"))
+    × mean-token-length plausibility. → (doc_id, quality).
+
+    Every factor is a per-row expression, so the whole score is ONE
+    projection over one scan — no token_stats⋈stopword_ratio self-join
+    (which would scan the corpus twice and shuffle for the equi-join)."""
+    toks = _tokens(text_col)
+    n_tokens = F.size(toks)
+    total_tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    avg_token_len = total_tok_chars / n_tokens.cast("double")
+    sw_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+        / n_tokens.cast("double")
+    )
+    len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
+    tok_score = F.when((avg_token_len >= 2.5) & (avg_token_len <= 8.0), 1.0).otherwise(0.5)
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (len_score * tok_score * sw_score).alias("quality"),
+    )
 
 
 def language_id(

@@ -61,6 +61,40 @@ def ensure_worker_imports(spark) -> None:
     spark._ps_pyfiles_added = True
 
 
+_PERSIST_MEMO: dict = {}
+
+
+def persisted(df, key: str):
+    """Session-scoped persist memo: returns ONE persisted DataFrame per
+    (session, key). The key must fully determine the plan — a hit returns
+    the memoized DataFrame and ignores the freshly-built ``df`` argument.
+    Entries persisted under dead sessions are evicted on the next miss.
+
+    Spark does not reuse results across actions; callers that derive several
+    outputs from one expensive subplan (e.g. two projections of the same
+    periodogram) should route it through here. The session component of the
+    memo key is a uuid pinned on the session object — ``id(spark)`` can be
+    recycled by the allocator after a session is garbage-collected, which
+    would hand a dead session's persisted plan to a new one.
+    """
+    spark = df.sparkSession
+    skey = getattr(spark, "_ps_persist_memo_key", None)
+    if skey is None:
+        import uuid
+
+        skey = uuid.uuid4().hex
+        spark._ps_persist_memo_key = skey
+    full = (skey, key)
+    if full not in _PERSIST_MEMO:
+        for old_key in [k for k in _PERSIST_MEMO if k[0] != skey or k[1] == key]:
+            try:
+                _PERSIST_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass
+        _PERSIST_MEMO[full] = df.persist()
+    return _PERSIST_MEMO[full]
+
+
 def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     """applyInPandas over per-series kernels with COARSE grouping: rows are
     bucketed by a hash of series_id (~4 buckets per core by default) and the

@@ -50,6 +50,34 @@ def test_ivf_recall_vs_bruteforce(spark, emb, exact10):
     assert _recall(exact10, high) >= 0.85
 
 
+def test_ivf_recall_on_clustered_corpus(spark):
+    """IVF in its OWN regime: a corpus with real cluster structure (the
+    sf0.001 embeddings are near-isotropic, so the 0.794 measured there is the
+    operator's floor, not its behavior at scale). 8 well-separated planted
+    clusters, 100 points each — nearest neighbors live inside the probe's
+    cluster, so probing the nearest lists must recover ≥0.95 of the exact
+    top-10."""
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 8, 100
+    centers = rng.normal(size=(n_clusters, dim)) * 10.0
+    pts = np.concatenate(
+        [c + rng.normal(size=(per, dim)) for c in centers]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(pts)), "embedding": [row.tolist() for row in pts]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    probes = corpus.filter((F.col("vec_id") % per) < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = simsearch.cosine_topk_bruteforce(corpus, probes, k=10).toPandas()
+    approx = simsearch.cosine_topk_ivf(
+        corpus, probes, k=10, n_centroids=8, n_probe=2
+    ).toPandas()
+    r = _recall(exact, approx)
+    assert r >= 0.95, f"clustered-corpus IVF recall@10 = {r:.3f} < 0.95"
+
+
 def test_lsh_recall_vs_bruteforce(spark, emb, exact10):
     """Measured multi-table LSH recall at the reported 16×4 default: 0.878
     (single-table at 8 planes measures 0.016 on the same probes — the angle

@@ -30,6 +30,11 @@ GUARDED = [
     "text_stats",
     "acf_fft",
     "tpch_q1",
+    # round 5
+    "gls_default_grid",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
