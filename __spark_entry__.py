@@ -969,6 +969,20 @@ FROM documents
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.token_counts — whitespace + BPE-ish-regex token
+    budgeting per document."""
+    return text_ops.token_counts(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -2483,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "token_counts": q_token_counts,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -2569,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": SQL_TEXT_QUALITY,
         "lang_id": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "token_counts": SQL_TOKEN_COUNTS,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,

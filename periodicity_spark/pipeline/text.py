@@ -108,6 +108,26 @@ def language_id(
     return scored.select("doc_id", pred.alias("predicted_lang"), best.alias("score"))
 
 
+# GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
+# non-alphanumeric marks. Counts approximate BPE token counts well enough
+# for corpus budgeting without a vocabulary.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus token budgeting: → (doc_id, ws_tokens, bpe_tokens).
+    ``ws_tokens`` = whitespace split count; ``bpe_tokens`` = BPE-ish
+    pre-tokenizer match count (BPE_TOKEN_RE). Native regexp — JVM-side,
+    one scan, no Python."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased, whitespace-collapsed
     text. → (doc_id, fingerprint). The canonical key for fuzzy-exact dedup."""

@@ -110,11 +110,14 @@ def ts_from_parquet(
     if sentinel is not None:
         value = F.when(value == F.lit(float(sentinel)), F.lit(None)).otherwise(value)
     value = F.when(F.isnan(value), F.lit(None)).otherwise(value)
-    time = F.col(time_col)
     if dict(df.dtypes)[time_col].startswith("timestamp"):
-        time = time.cast("double")
+        # timestamp-typed axis → double SECONDS since epoch, via the same
+        # tz-independent micros conversion the events path uses (a plain
+        # .cast("double") is illegal on TIMESTAMP_NTZ and tz-dependent
+        # through the NTZ→TZ route)
+        time = epoch_us_expr(df, time_col).cast("double") / F.lit(1e6)
     else:
-        time = time.cast("double")
+        time = F.col(time_col).cast("double")
     return df.select(
         F.col(series_col).cast("string").alias("series_id"),
         time.alias("time"),

@@ -95,6 +95,22 @@ def test_events_time_is_session_timezone_independent(spark, sf_dir):
     assert utc == shifted, "events time axis shifts with session timezone"
 
 
+def test_ts_from_parquet_accepts_timestamp_axis(spark, tmp_path):
+    """The generic loader converts a timestamp-typed time column to double
+    SECONDS tz-independently (same epoch_us_expr path as events)."""
+    from periodicity_spark.sources.ingest import ts_from_parquet
+
+    src = spark.sql(
+        "select 's' as series_id, "
+        "timestamp_ntz'2024-01-01 00:00:10' as time, 1.0 as value"
+    )
+    p = str(tmp_path / "ts.parquet")
+    src.write.parquet(p)
+    row = ts_from_parquet(spark, p).collect()[0]
+    assert row.time == 1704067210.0
+    assert row.value == 1.0
+
+
 def test_ts_from_events_yields_rows_with_finite_time(spark, sf_dir):
     ts = ts_from_events(spark, sf_dir)
     assert ts.columns == ["series_id", "time", "value"]
