@@ -983,6 +983,38 @@ FROM documents
 """
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.winnow_fingerprints — winnowing rolling-hash document
+    fingerprints (Schleimer et al. 2003), k=5-gram polynomial hashes,
+    window-4 minima. One scan, zero shuffles, all codegen."""
+    return text_ops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+SQL_WINNOW_FP = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(s) - 4 >= 1 THEN
+           list_transform(range(1, length(s) - 3),
+             i -> list_reduce(
+                    list_transform(range(0, 5), j -> ascii(substr(s, i + j, 1))::BIGINT),
+                    (acc, c) -> (acc * 257 + c) % 2147483647))
+         ELSE [] END AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           w -> list_min(list_slice(hs, w, w + 3)))) AS fps
+  FROM h WHERE len(hs) >= 1
+)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -2498,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
+        "winnow_fp": q_winnow_fp,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -2585,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
+        "winnow_fp": SQL_WINNOW_FP,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,

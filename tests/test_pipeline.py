@@ -50,6 +50,33 @@ def test_ivf_recall_vs_bruteforce(spark, emb, exact10):
     assert _recall(exact10, high) >= 0.85
 
 
+def test_winnow_guarantee_and_edges(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents sharing a
+    substring of length ≥ k+window−1 (= 8 at the 5/4 defaults) share at
+    least one fingerprint. Edges: docs shorter than k yield no rows; a doc
+    of exactly k chars yields exactly one."""
+    from periodicity_spark.pipeline.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated alpha text block one"),
+            (2, "zzz THE SHARED SUBSTRING zzz padding here"),
+            (3, "yyy the shared substring yyy other words"),
+            (4, "abc"),
+            (5, "abcde"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs).toPandas()
+    by_doc = {d: set(g.fp) for d, g in fp.groupby("doc_id")}
+    assert 4 not in by_doc and len(by_doc[5]) == 1
+    assert by_doc[2] & by_doc[3], "shared 8+-char substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[2]) or len(by_doc[1] & by_doc[2]) <= 1
+    # determinism
+    fp2 = winnow_fingerprints(docs).toPandas()
+    assert sorted(map(tuple, fp.values.tolist())) == sorted(map(tuple, fp2.values.tolist()))
+
+
 def test_ivf_recall_on_clustered_corpus(spark):
     """IVF in its OWN regime: a corpus with real cluster structure (the
     sf0.001 embeddings are near-isotropic, so the 0.794 measured there is the
