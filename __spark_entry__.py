@@ -1333,6 +1333,70 @@ FROM ids
 """
 
 
+def _media_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+    )
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.multimodal.resize_images — real BMP decode + box-average
+    luma thumbnail (8×8), one row per thumbnail pixel. The synthesized
+    images are solid-color, so the oracle derives every pixel's luma
+    analytically from the media_id-keyed color."""
+    from periodicity_spark.pipeline.multimodal import resize_images, synthesize_media
+
+    out = resize_images(synthesize_media(_media_ids(spark, sf_dir)))
+    return out.select(
+        "media_id", "width", "height", "py", "px",
+        F.round("luma", 6).alias("luma"),
+    )
+
+
+SQL_IMAGE_RESIZE = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT media_id, r1.range AS py, r2.range AS px FROM ids, range(8) r1, range(8) r2)
+SELECT media_id,
+       (4 + media_id % 5)::INT AS width,
+       (3 + media_id % 4)::INT AS height,
+       py::INT AS py, px::INT AS px,
+       round(0.299 * (media_id % 256) + 0.587 * ((media_id * 7) % 256)
+             + 0.114 * ((media_id * 13) % 256), 6) AS luma
+FROM px
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.multimodal.sample_frames — real Y4M decode, every 2nd frame's
+    luma stats. Synthesized videos have 4 solid-luma frames at 25 fps, so
+    frame means/stds derive analytically."""
+    from periodicity_spark.pipeline.multimodal import sample_frames, synthesize_media
+
+    out = sample_frames(synthesize_media(_media_ids(spark, sf_dir)))
+    return out.select(
+        "media_id", "frame_index",
+        F.round("t_sec", 6).alias("t_sec"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+        F.round("std_luma", 6).alias("std_luma"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+WITH vids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id, unnest([0, 2]) AS frame_index FROM vids)
+SELECT media_id, frame_index::INT AS frame_index,
+       round(frame_index / 25.0, 6) AS t_sec,
+       round(((media_id * 17 + frame_index * 40) % 256)::DOUBLE, 6) AS mean_luma,
+       0.0 AS std_luma
+FROM f
+"""
+
+
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -2531,6 +2595,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "winnow_fp": q_winnow_fp,
+        "image_resize": q_image_resize,
+        "frame_sample": q_frame_sample,
         "simsearch_topk": q_simsearch_topk,
         "simhash": q_simhash,
         "simhash_neardup": q_simhash_neardup,
@@ -2619,6 +2685,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
         "winnow_fp": SQL_WINNOW_FP,
+        "image_resize": SQL_IMAGE_RESIZE,
+        "frame_sample": SQL_FRAME_SAMPLE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,

@@ -208,11 +208,62 @@ def rolling_median3_residual(ts: DataFrame) -> DataFrame:
     return ts.select("series_id", "time", (v - med3).alias("value"))
 
 
+def estimate_noise_local(
+    ts: DataFrame, sigma: float = 3.0, n_iter: int = 3
+) -> DataFrame:
+    """Single-pass Arrow twin of estimate_noise: the median3 residual AND the
+    whole sigma-clip iteration run per series inside one bucketed kernel
+    (grouped_apply), so the operator is ONE scan + one narrow shuffle — no
+    driver loop, no residual cache to spill at 100 TB. Same math as the
+    distributed version (reference core.py:369-399); differential-tested
+    against it. Returns (series_id, noise)."""
+    from periodicity_spark.session import grouped_apply
+
+    sg, ni = float(sigma), int(n_iter)
+
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("time")
+        v = pdf["value"].to_numpy(dtype=float)
+        if len(v) == 0:
+            return None
+        # median3 with reflect edges (edge median = median(x0, x0, x1));
+        # NULL-valued neighbors coalesce to the center value, matching the
+        # window formulation's F.coalesce(F.lag(...), value) — null rows stay
+        # in the neighborhood, their own residual drops below
+        prev = np.concatenate(([np.nan], v[:-1]))
+        nxt = np.concatenate((v[1:], [np.nan]))
+        prev = np.where(np.isnan(prev), v, prev)
+        nxt = np.where(np.isnan(nxt), v, nxt)
+        med3 = np.maximum(np.minimum(prev, v), np.minimum(np.maximum(prev, v), nxt))
+        r = v - med3
+        r = r[~np.isnan(r)]
+        if len(r) == 0:
+            return None
+        kept = r
+        sd = 0.0
+        for _ in range(ni):
+            if len(kept) == 0:
+                # distributed twin: an aggregate over an empty kept set emits
+                # no stats row, so the series drops out (σ=0 constant series)
+                return None
+            mu, sd = float(np.mean(kept)), float(np.std(kept))
+            kept = r[np.abs(r - mu) < sg * sd]
+        return pd.DataFrame(
+            {"series_id": [pdf["series_id"].iloc[0]], "noise": [sd / 0.893421]}
+        )
+
+    return grouped_apply(ts, _per_series, "series_id string, noise double")
+
+
 def estimate_noise(ts: DataFrame, sigma: float = 3.0, n_iter: int = 3) -> DataFrame:
     """k-sigma-clipped std of the median-filter residual, ÷0.893421
     (reference core.py:369-399). The clip loop is a driver loop of n_iter
     cheap aggregate jobs over the cached residual — each job is one shuffle.
-    Returns (series_id, noise)."""
+    Returns (series_id, noise). For the one-pass kernel form (no driver
+    loop, no cache) see estimate_noise_local."""
     residue = rolling_median3_residual(ts).withColumnRenamed("value", "_r")
     residue = residue.filter(F.col("_r").isNotNull())
     residue.cache()

@@ -95,9 +95,10 @@ def decode_wav(payload: bytes) -> list[float] | None:
         return None
 
 
-def decode_bmp(payload: bytes) -> list[float] | None:
-    """Uncompressed 24-bpp BMP → [width, height, mean_r, mean_g, mean_b,
-    mean_luma, std_luma, aspect]. None if not a well-formed 24-bpp BMP."""
+def bmp_pixels(payload: bytes):
+    """Uncompressed 24-bpp BMP → float (H, W, 3) BGR array, top-down row
+    order. None if not well-formed. Shared parser for decode_bmp and
+    resize_images."""
     import struct
 
     import numpy as np
@@ -124,7 +125,19 @@ def decode_bmp(payload: bytes) -> list[float] | None:
         rows = rows.reshape(h, stride)[:, : width * 3].reshape(h, width, 3)
         if not flipped:
             rows = rows[::-1]  # bottom-up storage → top-down
-        bgr = rows.astype(float)
+        return rows.astype(float)
+    except Exception:
+        return None
+
+
+def decode_bmp(payload: bytes) -> list[float] | None:
+    """Uncompressed 24-bpp BMP → [width, height, mean_r, mean_g, mean_b,
+    mean_luma, std_luma, aspect]. None if not a well-formed 24-bpp BMP."""
+    try:
+        bgr = bmp_pixels(payload)
+        if bgr is None:
+            return None
+        h, width = bgr.shape[0], bgr.shape[1]
         b, g, r = bgr[..., 0], bgr[..., 1], bgr[..., 2]
         luma = 0.299 * r + 0.587 * g + 0.114 * b
         return [
@@ -141,14 +154,11 @@ def decode_bmp(payload: bytes) -> list[float] | None:
         return None
 
 
-def decode_y4m(payload: bytes) -> list[float] | None:
-    """YUV4MPEG2 → [width, height, n_frames, fps, mean_luma, std_luma,
-    mean_frame_diff, duration_s]. Parses the stream header (W/H/F tags;
-    C tag accepted for any 4:2:0 variant, the Y4M default) and every
-    FRAME's planar YUV420 payload; luma stats are over all Y-plane pixels,
-    mean_frame_diff is the mean absolute per-pixel luma change between
-    consecutive frames (a motion proxy; 0.0 for a single frame). None if
-    the payload is not well-formed Y4M."""
+def y4m_lumas(payload: bytes):
+    """YUV4MPEG2 → (luma frames float (F, H, W), fps). Parses the stream
+    header (W/H/F tags; C tag accepted for any 4:2:0 variant, the Y4M
+    default) and every FRAME's planar YUV420 payload. None if not
+    well-formed. Shared parser for decode_y4m and sample_frames."""
     import numpy as np
 
     try:
@@ -182,22 +192,43 @@ def decode_y4m(payload: bytes) -> list[float] | None:
             body = payload[fnl + 1:fnl + 1 + frame_size]
             if len(body) < frame_size:
                 return None
-            lumas.append(np.frombuffer(body, dtype="u1", count=ysize).astype(float))
+            lumas.append(
+                np.frombuffer(body, dtype="u1", count=ysize)
+                .astype(float)
+                .reshape(height, width)
+            )
             pos = fnl + 1 + frame_size
         if not lumas:
             return None
-        y = np.stack(lumas)  # (F, W*H)
-        fps = fnum / fden
-        diff = float(np.abs(np.diff(y, axis=0)).mean()) if len(lumas) > 1 else 0.0
+        return np.stack(lumas), fnum / fden
+    except Exception:
+        return None
+
+
+def decode_y4m(payload: bytes) -> list[float] | None:
+    """YUV4MPEG2 → [width, height, n_frames, fps, mean_luma, std_luma,
+    mean_frame_diff, duration_s]; luma stats are over all Y-plane pixels,
+    mean_frame_diff is the mean absolute per-pixel luma change between
+    consecutive frames (a motion proxy; 0.0 for a single frame). None if
+    the payload is not well-formed Y4M."""
+    import numpy as np
+
+    try:
+        parsed = y4m_lumas(payload)
+        if parsed is None:
+            return None
+        y, fps = parsed
+        nfr, height, width = y.shape
+        diff = float(np.abs(np.diff(y, axis=0)).mean()) if nfr > 1 else 0.0
         return [
             float(width),
             float(height),
-            float(len(lumas)),
+            float(nfr),
             fps,
             float(y.mean()),
             float(y.std()),
             diff,
-            len(lumas) / fps,
+            nfr / fps,
         ]
     except Exception:
         return None
@@ -244,6 +275,135 @@ def extract_features(media: DataFrame, n_features: int = N_FEATURES) -> DataFram
         ]
     )
     return media.mapInPandas(_batches, out_schema)
+
+
+def box_resize(a, oh: int, ow: int):
+    """Exact area-average (box) resize of a 2-D float array to (oh, ow),
+    via a summed-area table. Output cell (i, j) averages source rows
+    [i·h//oh, (i+1)·h//oh) × cols [j·w//ow, (j+1)·w//ow); degenerate
+    (upscaling) boxes fall back to the single nearest source pixel."""
+    import numpy as np
+
+    h, w = a.shape
+    c = np.zeros((h + 1, w + 1))
+    c[1:, 1:] = np.cumsum(np.cumsum(a, axis=0), axis=1)
+    rb = (np.arange(oh + 1) * h) // oh
+    cb = (np.arange(ow + 1) * w) // ow
+    out = np.empty((oh, ow))
+    for i in range(oh):
+        r0 = rb[i]
+        r1 = max(rb[i + 1], r0 + 1)
+        for j in range(ow):
+            c0 = cb[j]
+            c1 = max(cb[j + 1], c0 + 1)
+            out[i, j] = (c[r1, c1] - c[r0, c1] - c[r1, c0] + c[r0, c0]) / (
+                (r1 - r0) * (c1 - c0)
+            )
+    return out
+
+
+def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
+    """Image resize stage of the training-data pipeline: decode 24-bpp BMP
+    payloads and box-average the luma plane to a fixed (out_h × out_w)
+    thumbnail. → one row per pixel: (media_id, width, height, py, px, luma)
+    — exploded so downstream SQL/dedup can consume it without array
+    columns. Arrow-batched mapInPandas, stateless per batch; non-image /
+    malformed payloads are skipped. At scale this is a pure map stage."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+    ow, oh = int(out_w), int(out_h)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.pipeline.multimodal import bmp_pixels, box_resize
+
+        for pdf in it:
+            mid_o, w_o, h_o, py_o, px_o, lu_o = [], [], [], [], [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                bgr = bmp_pixels(payload)
+                if bgr is None:
+                    continue
+                luma = 0.299 * bgr[..., 2] + 0.587 * bgr[..., 1] + 0.114 * bgr[..., 0]
+                th = box_resize(luma, oh, ow)
+                npx = oh * ow
+                mid_o.extend([int(mid)] * npx)
+                w_o.extend([luma.shape[1]] * npx)
+                h_o.extend([luma.shape[0]] * npx)
+                py_o.extend(np.repeat(np.arange(oh), ow).tolist())
+                px_o.extend(np.tile(np.arange(ow), oh).tolist())
+                lu_o.extend(th.ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mid_o, dtype="int64"),
+                    "width": pd.Series(w_o, dtype="int32"),
+                    "height": pd.Series(h_o, dtype="int32"),
+                    "py": pd.Series(py_o, dtype="int32"),
+                    "px": pd.Series(px_o, dtype="int32"),
+                    "luma": pd.Series(lu_o, dtype="float64"),
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        "media_id long, width int, height int, py int, px int, luma double",
+    )
+
+
+def sample_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Video frame-sampling stage: decode YUV4MPEG2 payloads and emit every
+    ``stride``-th frame's luma statistics — one row per sampled frame:
+    (media_id, frame_index, t_sec, mean_luma, std_luma). The row fan-out
+    (one input video → many frame rows) is the Spark-side shape a real
+    frame-extraction pipeline has; swap the stat columns for decoded
+    tensors at will. Non-video / malformed payloads are skipped."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+    st = max(int(stride), 1)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+        from periodicity_spark.pipeline.multimodal import y4m_lumas
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                parsed = y4m_lumas(payload)
+                if parsed is None:
+                    continue
+                y, fps = parsed
+                for k in range(0, y.shape[0], st):
+                    f = y[k]
+                    rows.append(
+                        (int(mid), k, k / fps, float(f.mean()), float(f.std()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "t_sec", "mean_luma", "std_luma"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_index": "int32",
+                    "t_sec": "float64",
+                    "mean_luma": "float64",
+                    "std_luma": "float64",
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        "media_id long, frame_index int, t_sec double, mean_luma double, std_luma double",
+    )
 
 
 def synthesize_media(ids: DataFrame) -> DataFrame:

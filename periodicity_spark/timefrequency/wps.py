@@ -105,12 +105,18 @@ def denoise(
     noise estimate (operators.clean.estimate_noise), broadcast-joined so the
     two passes stay one job. The shrinkage itself is whole-series sequential
     → bucketed Arrow stage (grouped_apply). → (series_id, time, value)."""
-    from periodicity_spark.operators.clean import estimate_noise
+    from periodicity_spark.operators.clean import estimate_noise_local
     from periodicity_spark.session import grouped_apply
 
     base = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
     if sigma is None:
-        sg = estimate_noise(base).select("series_id", F.col("noise").alias("_sigma"))
+        # one-pass kernel twin: the distributed estimate_noise runs a driver
+        # loop of n_iter aggregate jobs over a cached residual — at 100 TB
+        # that cache spills; the kernel does the whole clip per series in the
+        # same bucketed Arrow stage family the shrinkage below uses
+        sg = estimate_noise_local(base).select(
+            "series_id", F.col("noise").alias("_sigma")
+        )
         # LEFT join + 0-fallback: series the noise estimator can't score
         # (constant / too short) pass through unshrunk instead of vanishing
         base = base.join(F.broadcast(sg), "series_id", "left").withColumn(

@@ -197,6 +197,24 @@ def test_estimate_noise(spark):
     assert noise == pytest.approx(0.25, rel=0.15)
 
 
+def test_estimate_noise_local_differential(spark, sf_dir):
+    """The one-pass Arrow kernel must agree with the distributed driver-loop
+    version on the real events series — including null handling (null
+    neighbors coalesce to the center value) and constant-series dropout."""
+    from periodicity_spark.sources.ingest import ts_from_events
+
+    ts = ts_from_events(spark, sf_dir)
+    dist = {r.series_id: r.noise for r in clean.estimate_noise(ts).collect()}
+    loc = {r.series_id: r.noise for r in clean.estimate_noise_local(ts).collect()}
+    assert set(dist) == set(loc)
+    for sid, n in dist.items():
+        assert loc[sid] == pytest.approx(n, rel=1e-9, abs=1e-12), sid
+    # constant series drops out of BOTH (empty kept set after first clip)
+    const = _ts(spark, np.arange(40, dtype=float), np.full(40, 7.0))
+    assert clean.estimate_noise(const).count() == 0
+    assert clean.estimate_noise_local(const).count() == 0
+
+
 def test_interp_linear_matches_numpy(spark):
     rng = np.random.default_rng(7)
     t = np.sort(rng.uniform(0, 10, 30))

@@ -148,3 +148,67 @@ def test_frame_sample_plan(spark):
     )
     rows = frame_sample_plan(media, every_n=10).collect()
     assert [(r.media_id, r.frame_index) for r in rows] == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_box_resize_gradient_matches_block_means():
+    import numpy as np
+
+    from periodicity_spark.pipeline.multimodal import box_resize
+
+    a = np.arange(12 * 16, dtype=float).reshape(12, 16)
+    out = box_resize(a, 3, 4)
+    # 12x16 -> 3x4 divides evenly: each cell is the mean of a 4x4 block
+    want = a.reshape(3, 4, 4, 4).transpose(0, 2, 1, 3).reshape(3, 4, 16).mean(axis=2)
+    assert np.allclose(out, want, rtol=0, atol=1e-9)
+    # upscale degenerates to nearest pixel, no div-by-zero
+    up = box_resize(np.array([[1.0, 2.0], [3.0, 4.0]]), 4, 4)
+    assert up.shape == (4, 4) and up[0, 0] == 1.0 and up[3, 3] == 4.0
+
+
+def test_resize_images_real_bmp_two_tone(spark):
+    """A half-black / half-white 24-bpp BMP resized 2x2: left column black,
+    right column white — proves real pixel decode + area averaging, not just
+    the solid-color oracle case."""
+    import struct
+
+    import numpy as np
+
+    w, h = 8, 4
+    stride = ((w * 3 + 3) // 4) * 4
+    row = bytes([0, 0, 0] * (w // 2) + [255, 255, 255] * (w // 2))
+    row += b"\x00" * (stride - w * 3)
+    pixels = row * h
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    payload = (
+        b"BM" + struct.pack("<IHHI", 14 + len(dib) + len(pixels), 0, 0, 14 + len(dib))
+        + dib + pixels
+    )
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [7], "kind": ["image"], "payload": [payload], "meta": [{}]}
+        ),
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    from periodicity_spark.pipeline.multimodal import resize_images
+
+    out = resize_images(media, out_w=2, out_h=2).toPandas()
+    assert len(out) == 4 and set(out.width) == {8} and set(out.height) == {4}
+    grid = out.sort_values(["py", "px"]).luma.to_numpy().reshape(2, 2)
+    assert np.allclose(grid[:, 0], 0.0) and np.allclose(grid[:, 1], 255.0)
+
+
+def test_sample_frames_real_y4m_stride(spark):
+    from periodicity_spark.pipeline.multimodal import make_y4m, sample_frames
+
+    payload = make_y4m(8, 6, n_frames=5, luma=[10, 60, 110, 160, 210])
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [3], "kind": ["video"], "payload": [payload], "meta": [{}]}
+        ),
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    rows = sample_frames(media, stride=2).orderBy("frame_index").collect()
+    assert [(r.frame_index, r.mean_luma, r.std_luma) for r in rows] == [
+        (0, 10.0, 0.0), (2, 110.0, 0.0), (4, 210.0, 0.0)
+    ]
+    assert rows[1].t_sec == 2 / 25.0
