@@ -812,8 +812,10 @@ _MH_BANDS = "\n  UNION ALL\n".join(
     for j in range(4)
 )
 
-SQL_DEDUP_MINHASH = f"""
-WITH sh AS (
+# shared CTE prefix: documents → verified minhash near-dup pairs (d1, d2,
+# jaccard). SQL_DEDUP_MINHASH selects the pairs; SQL_DEDUP_COMPONENTS chains
+# a recursive closure on top of the SAME pair derivation.
+_SQL_MINHASH_PAIRS_CTES = f"""sh AS (
   SELECT DISTINCT doc_id,
          ('0x' || substr(md5(substr(text, i::INT, 5)), 1, 15))::BIGINT AS s,
          ('0x' || substr(md5(substr(text, i::INT, 5)), 16, 15))::BIGINT AS s2
@@ -841,11 +843,44 @@ inter AS (
   FROM cand c JOIN sh s1 ON s1.doc_id = c.d1 JOIN sh s2 ON s2.doc_id = c.d2 AND s2.s = s1.s
   GROUP BY 1, 2
 ),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1)
-SELECT i.d1 AS d1, i.d2 AS d2,
-       i.n_both / (z1.n_sh + z2.n_sh - i.n_both)::DOUBLE AS jaccard
-FROM inter i JOIN sizes z1 ON z1.doc_id = i.d1 JOIN sizes z2 ON z2.doc_id = i.d2
-WHERE i.n_both / (z1.n_sh + z2.n_sh - i.n_both)::DOUBLE >= 0.4
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i.d1 AS d1, i.d2 AS d2,
+         i.n_both / (z1.n_sh + z2.n_sh - i.n_both)::DOUBLE AS jaccard
+  FROM inter i JOIN sizes z1 ON z1.doc_id = i.d1 JOIN sizes z2 ON z2.doc_id = i.d2
+  WHERE i.n_both / (z1.n_sh + z2.n_sh - i.n_both)::DOUBLE >= 0.4
+)"""
+
+SQL_DEDUP_MINHASH = f"""
+WITH {_SQL_MINHASH_PAIRS_CTES}
+SELECT d1, d2, jaccard FROM pairs
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.dedup.connected_components over the verified minhash
+    near-dup pairs: every clustered document labeled with its component's
+    minimum doc_id — the keep-one-per-cluster grouping stage."""
+    pairs = dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4
+    )
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component_id
+FROM reach GROUP BY a
 """
 
 
@@ -2588,6 +2623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
@@ -2678,6 +2714,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_components": SQL_DEDUP_COMPONENTS,
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,

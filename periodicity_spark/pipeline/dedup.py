@@ -214,6 +214,75 @@ def minhash_near_duplicates(
     return jaccard_verify(cand, sh, threshold=threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the grouping
+    stage a real dedup pipeline needs AFTER near-dup pair detection: every
+    document in a duplicate cluster maps to the cluster's minimum id, so
+    keep-one-per-component is a trivial filter.
+
+    Min-label propagation (hash-min): labels start as the vertex id; each
+    round every vertex takes the min label over itself and its neighbors —
+    one shuffle join + one aggregate per round, converging in
+    O(component diameter) rounds. Near-dup clusters are small and dense
+    (bucket-capped), so 2-4 rounds is typical; the driver loop checks
+    convergence with a one-row count per round and stops at fixpoint.
+    Persisted label frontiers are released each round.
+
+    → (doc_id, component_id). Only vertices that appear in ``pairs`` are
+    emitted (isolated documents are their own components trivially).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    half = pairs.select(a.alias("src"), b.alias("dst"))
+    edges = half.union(
+        pairs.select(b.alias("src"), a.alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    # every round's frontier is localCheckpoint'd, not merely persisted:
+    # labels_i references labels_{i-1} twice (the propagation join and the
+    # convergence diff), so without lineage TRUNCATION the logical plan
+    # doubles per round and the driver OOMs rendering a 2^rounds tree —
+    # persist only short-circuits compute, not the plan
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "id")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ over tokens of
     (±1 by that bit of the token hash). → (doc_id, simhash).

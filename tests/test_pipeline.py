@@ -39,6 +39,21 @@ def exact10(spark, emb):
     return simsearch.cosine_topk_bruteforce(emb, _probes32(emb), k=10).toPandas()
 
 
+def test_connected_components_chain_and_cliques(spark):
+    """Min-label propagation: a 5-vertex CHAIN (diameter 4 — needs several
+    rounds, not just one), a 2-clique, and an isolated pair. Every vertex
+    must land on its component's minimum id."""
+    pairs = spark.createDataFrame(
+        [(30, 31), (31, 32), (32, 33), (33, 34),  # chain 30-34
+         (1, 2), (2, 3), (1, 3),                  # triangle
+         (100, 101)],
+        "d1 long, d2 long",
+    )
+    got = {r.doc_id: r.component_id for r in dedup.connected_components(pairs).collect()}
+    want = {30: 30, 31: 30, 32: 30, 33: 30, 34: 30, 1: 1, 2: 1, 3: 1, 100: 100, 101: 100}
+    assert got == want
+
+
 def test_ivf_recall_vs_bruteforce(spark, emb, exact10):
     """Measured IVF recall at the reported defaults (deterministic: seeded
     centroids, fixed data). The sf0.001 embeddings have weak cluster
