@@ -57,8 +57,11 @@ HEADLINE = [
     "pg_stats",
     # round-4 addition: the ANN scale path (multi-table LSH)
     "simsearch_lsh",
-    # round-5 addition: GLS on the reference default (per-series) grid
+    # round-5 additions: GLS on the reference default (per-series) grid,
+    # winnowing fingerprints (Arrow kernel), iterative near-dup clustering
     "gls_default_grid",
+    "winnow_fp",
+    "dedup_components",
 ]
 
 

@@ -35,6 +35,8 @@ GUARDED = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "token_counts",
+    "winnow_fp",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
