@@ -789,10 +789,19 @@ FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the verified near-dup pair list feeds BOTH dedup_minhash and
+    # dedup_components — persist it once per (session, sf_dir) so the
+    # clustering query reuses the 4.7 s pair derivation instead of
+    # re-running the whole shingle→sign→bucket→verify pipeline
     pairs = dedup.minhash_near_duplicates(
         _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4
     )
+    return persisted(pairs, f"mh_pairs:{sf_dir}")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _mh_pairs(spark, sf_dir)
     return pairs.select("d1", "d2", "jaccard")
 
 
@@ -861,10 +870,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.dedup.connected_components over the verified minhash
     near-dup pairs: every clustered document labeled with its component's
     minimum doc_id — the keep-one-per-cluster grouping stage."""
-    pairs = dedup.minhash_near_duplicates(
-        _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4
-    )
-    return dedup.connected_components(pairs)
+    return dedup.connected_components(_mh_pairs(spark, sf_dir))
 
 
 SQL_DEDUP_COMPONENTS = f"""
