@@ -39,6 +39,44 @@ def exact10(spark, emb):
     return simsearch.cosine_topk_bruteforce(emb, _probes32(emb), k=10).toPandas()
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Differential on random graphs: min-label propagation must agree with
+    a reference union-find on arbitrary edge lists (cycles, multi-edges,
+    skewed degree distributions included)."""
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n_vertices = int(rng.integers(5, 40))
+        n_edges = int(rng.integers(1, 60))
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_vertices, size=(n_edges, 2))
+        ]
+        parent = list(range(n_vertices))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {}
+        for v in touched:
+            root = find(v)
+            comp_min = min(u for u in touched if find(u) == root)
+            want[v] = comp_min
+        pairs = spark.createDataFrame(edges, "d1 long, d2 long")
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 def test_connected_components_chain_and_cliques(spark):
     """Min-label propagation: a 5-vertex CHAIN (diameter 4 — needs several
     rounds, not just one), a 2-clique, and an isolated pair. Every vertex
