@@ -873,6 +873,38 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(_mh_pairs(spark, sf_dir))
 
 
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.dedup.keep_canonical — the corpus minus non-canonical
+    near-duplicates: the end state of the dedup pipeline
+    (pairs → components → filtered corpus). Returns the surviving doc ids
+    so the oracle compares the keep-set exactly."""
+    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
+    kept = dedup.keep_canonical(_docs(spark, sf_dir), comp)
+    return kept.select("doc_id")
+
+
+SQL_DEDUP_KEEP = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id
+  FROM reach GROUP BY a
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id <> c.component_id
+WHERE c.doc_id IS NULL
+"""
+
+
 SQL_DEDUP_COMPONENTS = f"""
 WITH RECURSIVE {_SQL_MINHASH_PAIRS_CTES},
 edges AS (
@@ -2630,6 +2662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
@@ -2721,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,
+        "dedup_keep": SQL_DEDUP_KEEP,
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,

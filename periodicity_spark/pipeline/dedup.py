@@ -283,6 +283,20 @@ def connected_components(
     )
 
 
+def keep_canonical(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Final dedup stage: drop every document that belongs to a duplicate
+    cluster but is not the cluster's canonical (minimum-id) member. The
+    drop set (components where doc_id ≠ component_id) is a left-anti join
+    key — tiny relative to the corpus, so the join broadcasts and the
+    corpus never shuffles. Returns docs minus non-canonical duplicates."""
+    drop = components.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over word tokens: per bit, sign of Σ over tokens of
     (±1 by that bit of the token hash). → (doc_id, simhash).
