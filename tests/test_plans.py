@@ -37,6 +37,9 @@ GUARDED = [
     "doc_fingerprint",
     "token_counts",
     "winnow_fp",
+    "image_resize",
+    "frame_sample",
+    "dedup_keep",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
