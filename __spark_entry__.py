@@ -30,6 +30,7 @@ from periodicity_spark.operators.acf import acf_fft, acf_lag_grid
 from periodicity_spark.phase.pdm import pdm_theta
 from periodicity_spark.phase.stringlength import string_length
 from periodicity_spark.pipeline import dedup, simsearch, text as text_ops
+from periodicity_spark.pipeline import sample as sample_ops
 from periodicity_spark.pipeline.multimodal import extract_features
 from periodicity_spark.session import persisted
 from periodicity_spark.sources.ingest import events_with_time, ts_from_events
@@ -1085,6 +1086,129 @@ w AS (
   FROM h WHERE len(hs) >= 1
 )
 SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.hash_split — deterministic 90/5/5 train/val/test
+    assignment from a salted md5 bucket of doc_id. Pure projection, zero
+    shuffle; the split is a property of the key, so it is stable under
+    reruns, repartitioning, and late-arriving data."""
+    out = sample_ops.hash_split(
+        _docs(spark, sf_dir), {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+SQL_SAMPLE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 15))::BIGINT
+               % 1000000 AS b
+      FROM documents)
+"""
+
+
+def q_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.dataset_mix — deterministically thin each source so
+    the surviving corpus matches a 50/30/20 src0/src1/src2 mixture at the
+    largest size the data supports. One tiny per-source count aggregate →
+    broadcast rate table → hash filter; the corpus never shuffles."""
+    out = sample_ops.dataset_mix(
+        _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
+SQL_DATASET_MIX = """
+WITH c AS (
+  SELECT source, count(*)::BIGINT AS n,
+         (CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                      ELSE 0.2 END)::DOUBLE AS w
+  FROM documents WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+),
+s AS (SELECT min(n / w) AS scale FROM c),
+r AS (SELECT source, floor(w * scale / n * 1000000)::BIGINT AS keep_below
+      FROM c, s)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
+        % 1000000 < keep_below
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.scrub_pii — regex redaction of emails / phone
+    numbers / IPv4 addresses with <TYPE> placeholders. The corpus is
+    synthetic word salad, so each row plants deterministic PII spans first;
+    the oracle plants the same spans and must strip them identically.
+    Chained regexp_replace: per-row JVM expression, whole-stage codegen."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.ex.org call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return sample_ops.scrub_pii(docs).select(
+        "doc_id", F.col("text").alias("scrubbed")
+    )
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         'u' || doc_id::VARCHAR || '@mail.ex.org call 555-867-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.0.' ||
+         (doc_id % 250)::VARCHAR || ' ' || text AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS scrubbed
+FROM planted
+"""
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.pack_chunks — GPT-style sequence packing: each
+    source's documents concatenate in doc_id order into one token stream
+    cut every 512 tokens. Implemented as a two-phase distributed prefix sum
+    (per-bucket partials → tiny prefix window → broadcast + intra-bucket
+    cumsum) so no single task ever scans a whole group; the oracle is the
+    equivalent single global window."""
+    return sample_ops.pack_chunks(
+        _docs(spark, sf_dir), budget=512, bucket_width=64
+    )
+
+
+SQL_PACK_CHUNKS = """
+WITH t AS (
+  SELECT source AS "group", doc_id AS key,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT "group", key, n_tokens,
+       coalesce(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         AS "offset",
+       (coalesce(sum(n_tokens) OVER (PARTITION BY "group" ORDER BY key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // 512)::BIGINT AS chunk
+FROM t
 """
 
 
@@ -2670,6 +2794,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "winnow_fp": q_winnow_fp,
+        "sample_split": q_sample_split,
+        "dataset_mix": q_dataset_mix,
+        "pii_scrub": q_pii_scrub,
+        "pack_chunks": q_pack_chunks,
         "image_resize": q_image_resize,
         "frame_sample": q_frame_sample,
         "simsearch_topk": q_simsearch_topk,
@@ -2762,6 +2890,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
         "winnow_fp": SQL_WINNOW_FP,
+        "sample_split": SQL_SAMPLE_SPLIT,
+        "dataset_mix": SQL_DATASET_MIX,
+        "pii_scrub": SQL_PII_SCRUB,
+        "pack_chunks": SQL_PACK_CHUNKS,
         "image_resize": SQL_IMAGE_RESIZE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,

@@ -1,0 +1,147 @@
+"""Sampling / mixing / packing / scrubbing (pipeline/sample.py)."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from periodicity_spark.pipeline import sample as S
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_split_partitions_exhaustively(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = S.hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    n = docs.count()
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by.values()) == n  # exhaustive, disjoint (one row → one split)
+    assert set(by) <= {"train", "val", "test"}
+    # 90/5/5 within a loose binomial tolerance at n=500
+    assert by["train"] / n == pytest.approx(0.9, abs=0.06)
+
+
+def test_hash_split_is_deterministic_and_key_stable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    w = {"train": 0.8, "test": 0.2}
+    a = {r["doc_id"]: r["split"] for r in S.hash_split(docs, w).select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in S.hash_split(docs, w).select("doc_id", "split").collect()}
+    assert a == b
+    # assignment is a property of the key alone: a filtered re-run agrees
+    half = S.hash_split(docs.filter(F.col("doc_id") % 2 == 0), w)
+    for r in half.select("doc_id", "split").collect():
+        assert a[r["doc_id"]] == r["split"]
+
+
+def test_hash_sample_rate_and_subset(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    kept = S.hash_sample(docs, 0.3)
+    k = kept.count()
+    assert k / n == pytest.approx(0.3, abs=0.08)
+    # lower rate is a strict subset of higher rate (nested by construction)
+    low = {r["doc_id"] for r in S.hash_sample(docs, 0.1).select("doc_id").collect()}
+    high = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert low <= high
+
+
+def test_dataset_mix_matches_pure_python_differential(spark, sf_dir):
+    """Exact differential: the kept doc_id set must equal a from-scratch
+    hashlib reimplementation of bucket + rate math (tiny corpora make share
+    assertions statistically meaningless — the construction is exact, so
+    test it exactly)."""
+    import hashlib
+    import math
+
+    docs = _docs(spark, sf_dir)
+    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    rows = docs.select("doc_id", "source").collect()
+    counts: dict[str, int] = {}
+    for r in rows:
+        if r["source"] in target:
+            counts[r["source"]] = counts.get(r["source"], 0) + 1
+    scale = min(counts[s] / target[s] for s in target)
+    keep_below = {
+        s: math.floor(target[s] * scale / counts[s] * S.MIX_DENOM) for s in target
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}mix".encode()).hexdigest()
+        return int(h[:15], 16) % S.MIX_DENOM
+
+    expect = {
+        r["doc_id"]
+        for r in rows
+        if r["source"] in target and bucket(r["doc_id"]) < keep_below[r["source"]]
+    }
+    got = {r["doc_id"] for r in S.dataset_mix(docs, target).select("doc_id").collect()}
+    assert got == expect
+    # the binding source (smallest n/w) survives intact
+    binding = min(target, key=lambda s: counts[s] / target[s])
+    kept_binding = (
+        S.dataset_mix(docs, target).filter(F.col("source") == binding).count()
+    )
+    assert kept_binding == counts[binding]
+
+
+def test_pack_chunks_matches_global_cumsum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # bucket_width far below the doc_id range forces many buckets, so the
+    # two-phase prefix sum is actually exercised (not one trivial bucket)
+    out = S.pack_chunks(docs, budget=512, bucket_width=64)
+    naive = (
+        docs.select(
+            F.col("source").alias("group"),
+            F.col("doc_id").alias("key"),
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    Window.partitionBy("group")
+                    .orderBy("key")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("chunk", F.floor(F.col("offset") / F.lit(512)).cast("long"))
+    )
+    diff = out.join(naive.select("group", "key", "offset", "chunk"), ["group", "key"])
+    bad = diff.filter(
+        (out["offset"] != naive["offset"]) | (out["chunk"] != naive["chunk"])
+    ).count()
+    assert bad == 0
+    assert out.count() == docs.count()
+
+
+def test_pack_chunks_offsets_are_contiguous(spark, sf_dir):
+    out = S.pack_chunks(_docs(spark, sf_dir), budget=1000, bucket_width=128)
+    # within a group, next offset = previous offset + previous n_tokens
+    w = Window.partitionBy("group").orderBy("key")
+    gaps = (
+        out.withColumn("_prev_end", F.lag(F.col("offset") + F.col("n_tokens")).over(w))
+        .filter(F.col("_prev_end").isNotNull())
+        .filter(F.col("offset") != F.col("_prev_end"))
+        .count()
+    )
+    assert gaps == 0
+
+
+def test_scrub_pii_redacts_planted_spans(spark):
+    rows = [
+        (1, "write to alice.smith+x@example.co.uk today"),
+        (2, "call 555-867-5309 or 555.1234.5678 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "mixed bob@host.org and 10.0.0.255 and 555-123-4567"),
+        (5, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in S.scrub_pii(df).collect()}
+    assert got[1] == "write to <EMAIL> today"
+    assert got[2] == "call <PHONE> or <PHONE> now"
+    assert got[3] == "server at <IPV4> responded"
+    assert got[4] == "mixed <EMAIL> and <IPV4> and <PHONE>"
+    assert got[5] == "clean text with no pii at all"
