@@ -40,6 +40,12 @@ GUARDED = [
     "image_resize",
     "frame_sample",
     "dedup_keep",
+    # round 5 — sampling/mixing/packing/scrubbing (dataset_mix's rate table
+    # and pack_chunks' bucket-prefix table must stay broadcast)
+    "sample_split",
+    "dataset_mix",
+    "pii_scrub",
+    "pack_chunks",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
