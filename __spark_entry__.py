@@ -31,6 +31,7 @@ from periodicity_spark.phase.pdm import pdm_theta
 from periodicity_spark.phase.stringlength import string_length
 from periodicity_spark.pipeline import dedup, simsearch, text as text_ops
 from periodicity_spark.pipeline import sample as sample_ops
+from periodicity_spark.pipeline import sketch as sketch_ops
 from periodicity_spark.pipeline.multimodal import extract_features
 from periodicity_spark.session import persisted
 from periodicity_spark.sources.ingest import events_with_time, ts_from_events
@@ -1086,6 +1087,69 @@ w AS (
   FROM h WHERE len(hs) >= 1
 )
 SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
+def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.top_keywords — per-doc tf-idf-style keyword extraction
+    ranked entirely in integer space (tf desc, df asc, token asc): exactly
+    reproducible cross-engine, no log/float scoring."""
+    return text_ops.top_keywords(_docs(spark, sf_dir), k=3)
+
+
+SQL_TOP_KEYWORDS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM toks WHERE token <> '' GROUP BY 1, 2
+),
+dfx AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.token, t.tf, d.df,
+         row_number() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.token ASC) AS rank
+  FROM tf t JOIN dfx d USING (token)
+)
+SELECT doc_id, token, tf, df, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sketch.kmv_distinct — K-Minimum-Values distinct-token
+    estimate per source. Deterministic md5 hashing makes the sketch exactly
+    SQL-oracle-able (unlike HLL); the two-level min-k merge is the same
+    algebra a 1000-executor rollup would use."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    # no rounding: every value is a pure function of identical IEEE ops on
+    # identical operands in both engines, so the doubles are bit-identical
+    return sketch_ops.kmv_distinct(toks, "source", "token", k=64)
+
+
+SQL_KMV_DISTINCT = """
+WITH toks AS (
+  SELECT source AS "group", unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT DISTINCT "group",
+         ((('0x' || substr(md5(token), 1, 15))::BIGINT)::DOUBLE + 1.0)
+           / 1152921504606846976.0 AS h
+  FROM toks WHERE token <> ''
+),
+ranked AS (
+  SELECT "group", h,
+         row_number() OVER (PARTITION BY "group" ORDER BY h) AS r
+  FROM hashed
+)
+SELECT "group", count(*)::BIGINT AS n_kept,
+       max(h) AS kth_hash,
+       CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+            ELSE 63.0::DOUBLE / max(h) END AS est_distinct
+FROM ranked WHERE r <= 64 GROUP BY 1
 """
 
 
@@ -2794,6 +2858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "winnow_fp": q_winnow_fp,
+        "top_keywords": q_top_keywords,
+        "kmv_distinct": q_kmv_distinct,
         "sample_split": q_sample_split,
         "dataset_mix": q_dataset_mix,
         "pii_scrub": q_pii_scrub,
@@ -2890,6 +2956,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
         "winnow_fp": SQL_WINNOW_FP,
+        "top_keywords": SQL_TOP_KEYWORDS,
+        "kmv_distinct": SQL_KMV_DISTINCT,
         "sample_split": SQL_SAMPLE_SPLIT,
         "dataset_mix": SQL_DATASET_MIX,
         "pii_scrub": SQL_PII_SCRUB,

@@ -210,3 +210,39 @@ def winnow_fingerprints(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         _batches, "doc_id long, fp long"
     )
+
+
+def top_keywords(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction, tf-idf style: rank each document's
+    tokens by (term frequency DESC, document frequency ASC, token ASC) and
+    keep the top ``k``. → (doc_id, token, tf, df, rank).
+
+    The (tf↓, df↑) lexicographic order is the tf-idf ordering computed
+    ENTIRELY in integers — no log/float scoring, so results are exactly
+    reproducible across engines and runs (ties broken by token).
+
+    Scale shape: the tf aggregate shuffles (doc_id, token) with map-side
+    combine; the document-frequency table is vocabulary-sized (≪ corpus —
+    AQE broadcasts it when it fits, degrades to a shuffle join when not);
+    the rank window partitions per document, so no task ever sees more
+    than one document's token set.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(text_col)).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df_tbl, "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "rank")
+    )

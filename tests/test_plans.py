@@ -46,6 +46,8 @@ GUARDED = [
     "dataset_mix",
     "pii_scrub",
     "pack_chunks",
+    "top_keywords",
+    "kmv_distinct",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
