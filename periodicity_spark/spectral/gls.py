@@ -128,7 +128,28 @@ def gls_periodogram(
         ybar.alias("ybar"),
         (F.col("_swyy") / F.col("wsum") - ybar * ybar).alias("YY"),
     )
-    consts = pre.select("series_id", "wsum", "YY")
+
+    # Integer aggregate keys (measured ~30% off the whole periodogram at
+    # sf0.1): the hot (series, frequency) hash-aggregate probes ~N·F rows,
+    # and hashing/comparing a long beats a string series_id. The code is a
+    # row_number over the stats side — deterministic and collision-free by
+    # construction (unlike a 64-bit hash), and it rides exactly the same
+    # "stats side is tiny" assumption as the broadcast hint, so it is only
+    # used when broadcast_stats is truthy; the extreme-cardinality escape
+    # paths (None/False) keep plain string keys and skip the single-
+    # partition recode window.
+    int_keys = bool(broadcast_stats)
+    if int_keys:
+        from pyspark.sql import Window
+
+        pre = pre.withColumn(
+            "_code", F.row_number().over(Window.orderBy("series_id"))
+        )
+        key = "_code"
+    else:
+        key = "series_id"
+    consts_cols = [key, "wsum", "YY"] + (["series_id"] if int_keys else [])
+    consts = pre.select(*consts_cols)
 
     def _hint(df):
         return F.broadcast(df) if broadcast_stats else df
@@ -140,7 +161,18 @@ def gls_periodogram(
 
     if freq_grid is None:
         freq_grid = default_freq_grid(ts, n=n)
-    if "series_id" in freq_grid.columns:
+    per_series_grid = "series_id" in freq_grid.columns
+    # Global grids also swap the double frequency key for the grid row index
+    # (the frequency VALUE maps back from the tiny indexed grid afterwards,
+    # so output doubles are bit-identical to the string-keyed plan).
+    index_grid = int_keys and not per_series_grid
+    if index_grid:
+        from pyspark.sql import Window
+
+        freq_grid = freq_grid.withColumn(
+            "_k", F.row_number().over(Window.orderBy("frequency"))
+        )
+    if per_series_grid:
         joined = base.join(_hint(pre), "series_id").join(
             freq_grid, "series_id"
         )
@@ -149,20 +181,21 @@ def gls_periodogram(
             F.broadcast(freq_grid)
         )
 
+    group_keys = [key, "_k"] if index_grid else [key, "frequency"]
+
     # Project sinθ/cosθ once, derive the double-angle terms algebraically
     # (sin2θ = 2sc, cos2θ = 1−2s²) — halves the transcendental work, which
     # dominates the crossJoin aggregate at scale.
     theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
     proj = joined.select(
-        "series_id",
-        "frequency",
+        *group_keys,
         (F.col("werr") / F.col("wsum")).alias("_w"),
         (F.col("value") - F.col("ybar")).alias("_y"),
         F.sin(theta).alias("_s"),
         F.cos(theta).alias("_c"),
     )
     w, y, s, c = F.col("_w"), F.col("_y"), F.col("_s"), F.col("_c")
-    sums = proj.groupBy("series_id", "frequency").agg(
+    sums = proj.groupBy(*group_keys).agg(
         F.sum(w * s).alias("S"),
         F.sum(w * c).alias("C"),
         F.sum(w * (2 * s * c)).alias("S2"),
@@ -171,15 +204,20 @@ def gls_periodogram(
         F.sum(w * y * c).alias("Ch"),
     )
 
-    sums = sums.join(_hint(consts), "series_id")
+    sums = sums.join(_hint(consts), key)
+    if index_grid:
+        sums = sums.join(
+            F.broadcast(freq_grid.select("_k", "frequency")), "_k"
+        )
 
     # Power finish — column transliteration of reference spectral.py:113-132.
     if fit_mean:
-        tan2wt = (F.col("S2") - 2 * F.col("S") * F.col("C")) / (
-            F.col("C2") - (F.col("C") * F.col("C") - F.col("S") * F.col("S"))
+        tan2wt = F.try_divide(
+            F.col("S2") - 2 * F.col("S") * F.col("C"),
+            F.col("C2") - (F.col("C") * F.col("C") - F.col("S") * F.col("S")),
         )
     else:
-        tan2wt = F.col("S2") / F.col("C2")
+        tan2wt = F.try_divide(F.col("S2"), F.col("C2"))
     norm = F.sqrt(1 + tan2wt * tan2wt)
     S2w = tan2wt / norm
     C2w = 1 / norm
@@ -192,11 +230,16 @@ def gls_periodogram(
     if fit_mean:
         CC = CC - (F.col("C") * Cw + F.col("S") * Sw) ** 2
         SS = SS - (F.col("S") * Cw - F.col("C") * Sw) ** 2
-    power = YC * YC / CC + YS * YS / SS
+    # try_divide: a spectrally degenerate series (constant values → YY = 0,
+    # or a frequency where CC/SS vanish) must yield NULL power, not an ANSI
+    # DIVIDE_BY_ZERO crash — the reference's numpy gives 0/0 → NaN there,
+    # and this engine's convention is NaN→NULL (sources/ingest.py). For
+    # every non-degenerate row try_divide is bit-identical to `/`.
+    power = F.try_divide(YC * YC, CC) + F.try_divide(YS * YS, SS)
     if psd:
         power = power * (0.5 * F.col("wsum"))
     else:
-        power = power / F.col("YY")
+        power = F.try_divide(power, F.col("YY"))
     return sums.select("series_id", "frequency", power.alias("power"))
 
 

@@ -82,3 +82,32 @@ def test_gls_psd_and_window(spark):
     assert len(pg) > 10
     win = gls.window(s)
     assert win.count() == len(pg)
+
+
+def test_gls_degenerate_series_yield_null_not_crash(spark):
+    """A constant-value series has YY = 0; under Spark 4 ANSI mode a plain
+    division would raise DIVIDE_BY_ZERO at collect. The reference's numpy
+    gives 0/0 -> NaN (spectral.py:113-132 with nan-propagation); this
+    engine's convention is NaN->NULL, so power must come back NULL."""
+    from pyspark.sql import functions as F
+
+    from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
+
+    const = spark.createDataFrame(
+        [("s", float(i), 5.0) for i in range(30)], ["series_id", "time", "value"]
+    )
+    grid = uniform_freq_grid(spark, 0.05, 0.015625, 16)
+    out = gls_periodogram(const, freq_grid=grid).collect()  # must not raise
+    assert len(out) == 16
+    assert all(r["power"] is None for r in out)
+
+    # mixed with a healthy series: the healthy one is unaffected
+    import math
+
+    healthy = spark.createDataFrame(
+        [("h", float(i), math.sin(0.5 * i)) for i in range(30)],
+        ["series_id", "time", "value"],
+    )
+    both = gls_periodogram(const.union(healthy), freq_grid=grid)
+    h = both.filter(F.col("series_id") == "h").collect()
+    assert len(h) == 16 and all(r["power"] is not None for r in h)
