@@ -119,6 +119,31 @@ GROUP BY t.series_id
 """
 
 
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.agg.quantiles — exact per-series p25/p50/p75 (linear
+    interpolation), one shuffle, JVM percentile aggregate."""
+    out = ops_agg.quantiles(_ts(spark, sf_dir))
+    return out.select(
+        "series_id",
+        "n",
+        F.round("p25", 6).alias("p25"),
+        F.round("p50", 6).alias("p50"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
+SQL_VALUE_QUANTILES = f"""
+WITH {TS_SQL}
+SELECT series_id,
+       count(value) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM ts
+GROUP BY 1
+"""
+
+
 def q_downsample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_resample.downsample(_ts(spark, sf_dir), 1.0)
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
@@ -1055,6 +1080,43 @@ SELECT doc_id,
        len(string_split(text, ' ')) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
+"""
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.repetition_stats — Gopher-style repetition quality
+    signals (modal-bigram fraction, duplicated-trigram fraction): the
+    standard boilerplate/template filter for LLM corpora. Pure per-row
+    expressions — one scan, zero shuffles."""
+    out = text_ops.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+    )
+
+
+SQL_REPETITION = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+bc AS (SELECT doc_id, max(c) AS maxc FROM (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1,2) GROUP BY 1),
+tri AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] for i in generate_series(1, len(toks)-2)]) AS tg
+  FROM t WHERE len(toks) >= 3
+),
+td AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup
+       FROM (SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY 1,2) GROUP BY 1)
+SELECT t.doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       round(len(list_distinct(toks)) / len(toks)::DOUBLE, 6) AS distinct_ratio,
+       round(maxc / (len(toks) - 1)::DOUBLE, 6) AS top_bigram_frac,
+       round(dup / (len(toks) - 2)::DOUBLE, 6) AS dup_trigram_frac
+FROM t LEFT JOIN bc USING (doc_id) LEFT JOIN td USING (doc_id)
 """
 
 
@@ -2823,6 +2885,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_stats": q_ts_stats,
+        "value_quantiles": q_value_quantiles,
         "downsample_daily": q_downsample_daily,
         "fold_phase": q_fold_phase,
         "sessionize": q_sessionize,
@@ -2857,6 +2920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
+        "repetition_stats": q_repetition,
         "winnow_fp": q_winnow_fp,
         "top_keywords": q_top_keywords,
         "kmv_distinct": q_kmv_distinct,
@@ -2924,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ts_stats": SQL_TS_STATS,
+        "value_quantiles": SQL_VALUE_QUANTILES,
         "downsample_daily": SQL_DOWNSAMPLE_DAILY,
         "fold_phase": SQL_FOLD_PHASE,
         "sessionize": SQL_SESSIONIZE,
@@ -2955,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
+        "repetition_stats": SQL_REPETITION,
         "winnow_fp": SQL_WINNOW_FP,
         "top_keywords": SQL_TOP_KEYWORDS,
         "kmv_distinct": SQL_KMV_DISTINCT,

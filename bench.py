@@ -62,6 +62,10 @@ HEADLINE = [
     "gls_default_grid",
     "winnow_fp",
     "dedup_components",
+    # Gopher repetition signals: HOF-array path, one scan, zero shuffles
+    "repetition_stats",
+    # exact per-series percentiles: one shuffle, JVM percentile aggregate
+    "value_quantiles",
 ]
 
 

@@ -31,6 +31,24 @@ def basic_stats(ts: DataFrame) -> DataFrame:
     )
 
 
+def quantiles(ts: DataFrame, probs: list[float] | None = None) -> DataFrame:
+    """Exact per-series quantiles (linear interpolation between closest
+    ranks — the numpy/np.percentile convention the reference's float
+    reducers imply, and DuckDB's quantile_cont). One shuffle, JVM-side
+    ``percentile`` aggregate; one output column per requested prob.
+
+    Exact (not approx_percentile): the per-series sort this costs is
+    bounded by the largest single series, not corpus size — the shuffle
+    partitions by series_id. For corpus-scale single-key quantiles at
+    100 TB, use approx_percentile instead (sketch-mergeable)."""
+    ps = probs if probs is not None else [0.25, 0.5, 0.75]
+    aggs = [
+        F.percentile("value", F.lit(p)).alias(f"p{int(round(p * 100)):02d}")
+        for p in ps
+    ]
+    return reduce_series(ts, F.count("value").alias("n"), *aggs)
+
+
 def argmax_rows(ts: DataFrame, coord: str = "time", value: str = "value") -> DataFrame:
     """max()/tmax(): the row (coords + value) at the maximum
     (reference core.py:217-220,521-522) — F.max_by keeps it one aggregate."""

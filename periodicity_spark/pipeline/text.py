@@ -212,6 +212,91 @@ def winnow_fingerprints(
     )
 
 
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when fewer than n tokens).
+    The n >= 2 guard matters: sequence(1, size-k) DESCENDS when size-k < 1,
+    which would index off the end of the token array."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _modal_count(sorted_arr: Column) -> Column:
+    """Count of the most frequent element of a SORTED array — the max run
+    length of equal adjacent elements. Single native aggregate, no shuffle."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def merge(acc, x):
+        run = F.when(acc["prev"] == x, acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc["best"])
+
+
+def _duplicated_mass(sorted_arr: Column) -> Column:
+    """Number of elements of a SORTED array whose value occurs more than
+    once (Σ count over values with count ≥ 2). When a run reaches length 2
+    both its members join the duplicated mass; each further member adds 1."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("dup"),
+    )
+
+    def merge(acc, x):
+        same = acc["prev"] == x
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        dup = acc["dup"] + (
+            F.when(same & (acc["run"] == 1), 2).when(same, 1).otherwise(0)
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), dup.alias("dup"))
+
+    return F.aggregate(sorted_arr, zero, merge, lambda acc: acc["dup"])
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", §A1.1 repetition filters) — the standard LLM-corpus
+    filter for template/boilerplate text:
+
+    → (doc_id, n_tokens, distinct_ratio, top_bigram_frac, dup_trigram_frac)
+
+    - ``distinct_ratio``: distinct tokens / tokens (low ⇒ repetitive).
+    - ``top_bigram_frac``: occurrences of the modal word 2-gram over all
+      2-gram positions (NULL when < 2 tokens).
+    - ``dup_trigram_frac``: fraction of 3-gram positions whose 3-gram
+      occurs more than once (NULL when < 3 tokens).
+
+    Scale shape: everything is a per-row expression over the token array —
+    ONE scan, zero shuffles, zero Python; at 100 TB this is a pure map with
+    cost linear in corpus size. (Contrast the explode→groupBy formulation,
+    which would shuffle every n-gram of the corpus.)"""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    big2 = _modal_count(F.array_sort(_ngram_array(toks, 2)))
+    dup3 = _duplicated_mass(F.array_sort(_ngram_array(toks, 3)))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / n.cast("double")).alias("distinct_ratio"),
+        F.when(n >= 2, big2 / (n - 1).cast("double")).alias("top_bigram_frac"),
+        F.when(n >= 3, dup3 / (n - 2).cast("double")).alias("dup_trigram_frac"),
+    )
+
+
 def top_keywords(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

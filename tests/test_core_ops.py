@@ -349,3 +349,23 @@ def test_gaussian_atoms_plus_fm_sinusoid(spark):
     )
     x3 = np.exp(-(((n - 1000) / 200) ** 2)) * np.cos(2 * np.pi * 7 / 256 * (n - 1000))
     np.testing.assert_allclose(y["value"].to_numpy(), x1 + x2 + x3, atol=1e-9)
+
+
+def test_quantiles_match_numpy_linear_interpolation(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for sid, n in [("a", 101), ("b", 10), ("c", 1)]:
+        for v in rng.standard_normal(n):
+            rows.append((sid, float(v)))
+    ts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["series_id", "value"]).assign(
+            time=lambda d: np.arange(len(d), dtype=float)
+        )[["series_id", "time", "value"]]
+    )
+    got = agg.quantiles(ts).toPandas().set_index("series_id")
+    pdf = pd.DataFrame(rows, columns=["series_id", "value"])
+    for sid, g in pdf.groupby("series_id"):
+        for p, col in [(25, "p25"), (50, "p50"), (75, "p75")]:
+            want = np.percentile(g["value"].to_numpy(), p)  # linear interp
+            assert got.loc[sid, col] == pytest.approx(want, abs=1e-12), (sid, col)
+    assert int(got.loc["c", "n"]) == 1

@@ -267,3 +267,41 @@ def test_ngram_jaccard_planted_duplicates_and_df_cap(spark):
     j = out.set_index(["d1", "d2"]).loc[(0, 20), "jaccard"]
     # one swapped token kills ≤ 3 grams of 48 → jaccard ≥ (48-3)/(48+3)
     assert j >= (48 - 3) / (48 + 3)
+
+
+def test_repetition_stats_known_values_and_edges(spark):
+    from periodicity_spark.pipeline.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    "a b a b a b c",   # modal bigram ('a b' or 'b a') ×3 of 6
+                    "x",               # no bigrams/trigrams → NULLs
+                    "p q",             # one bigram, no trigrams
+                    "r r r r",         # fully repetitive
+                    "one two three four",  # no repetition at all
+                ],
+            }
+        )
+    )
+    out = (
+        repetition_stats(docs)
+        .orderBy("doc_id")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_tokens"] == 7
+    assert out.loc[1, "top_bigram_frac"] == pytest.approx(3 / 6)
+    # trigrams of doc1: aba bab ×2 each + abc bc? — 4 of 5 positions duplicated
+    assert out.loc[1, "dup_trigram_frac"] == pytest.approx(4 / 5)
+    assert pd.isna(out.loc[2, "top_bigram_frac"])
+    assert pd.isna(out.loc[2, "dup_trigram_frac"])
+    assert out.loc[3, "top_bigram_frac"] == pytest.approx(1.0)
+    assert pd.isna(out.loc[3, "dup_trigram_frac"])
+    assert out.loc[4, "distinct_ratio"] == pytest.approx(0.25)
+    assert out.loc[4, "top_bigram_frac"] == pytest.approx(1.0)
+    assert out.loc[4, "dup_trigram_frac"] == pytest.approx(1.0)
+    assert out.loc[5, "distinct_ratio"] == pytest.approx(1.0)
+    assert out.loc[5, "dup_trigram_frac"] == pytest.approx(0.0)

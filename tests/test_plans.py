@@ -48,6 +48,10 @@ GUARDED = [
     "pack_chunks",
     "top_keywords",
     "kmv_distinct",
+    # round 5 (cont.) — repetition signals are shuffle-free per-row HOFs;
+    # quantiles is one hash-aggregate shuffle with a JVM percentile
+    "repetition_stats",
+    "value_quantiles",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -125,3 +129,28 @@ def test_gls_stats_side_stays_broadcast(spark, sf_dir):
         check_exact=False,
         rtol=1e-12,
     )
+
+
+def test_repetition_stats_is_shuffle_free_single_scan(spark, sf_dir):
+    """The repetition signals must stay a pure per-row projection: ZERO
+    exchanges — the n-gram work happens in array expressions over the token
+    split, never via explode→groupBy (which would shuffle every n-gram of
+    the corpus)."""
+    plan = _final_plan(spark, sf_dir, "repetition_stats")
+    assert "Exchange" not in plan, "repetition_stats grew a shuffle"
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_value_quantiles_single_shuffle(spark, sf_dir):
+    """Exact quantiles = one partial/final hash-aggregate pair: exactly one
+    shuffle on series_id, no join, no window-over-unpartitioned data. The
+    adaptive plan string renders the tree twice (final + initial), so count
+    DISTINCT exchange keys, not substring hits."""
+    plan = _final_plan(spark, sf_dir, "value_quantiles")
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0]
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    }
+    assert len(keys) == 1 and next(iter(keys)).startswith("series_id"), keys
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
