@@ -783,6 +783,119 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change), adapted to the testdata's
+    1995-2001 date range: a pure scan-and-aggregate whose THREE range
+    predicates must all reach the parquet scan — the canonical
+    pushdown/pruning benchmark."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.025)
+            & (F.col("l_discount") <= 0.055)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.025 AND 0.055
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping-priority), adapted to the testdata schema (no
+    o_shippriority column) and date range. Three-table join: customer is
+    segment-filtered (~20% of an already small dim — broadcast HINTED),
+    orders and lineitem date-filtered and joined with NO hint — at test
+    scale AQE promotes orders to a broadcast from its measured size, at
+    100 TB the same plan degrades to a shuffle join instead of OOMing a
+    forced broadcast. Top-10 by revenue with deterministic (revenue DESC,
+    orderkey) tie-break so the result set is unique and hash-comparable."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        li.join(oc, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "revenue")
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids in long format (label, pos 1-based,
+    centroid, n) — the class-prototype aggregation under semantic
+    clustering / SemDeDup-style pipelines. posexplode→groupBy with
+    map-side partial aggregation: the shuffle carries only
+    labels × dim × partitions rows, never the corpus."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+SELECT label, pos,
+       round(avg(v), 6) AS centroid,
+       count(*) AS n
+FROM (
+  SELECT label,
+         unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -2909,6 +3022,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stringlength": q_stringlength,
         "pdm_theta": q_pdm_theta,
         "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
+        "embedding_centroids": q_embedding_centroids,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -3009,6 +3125,9 @@ def oracle_sql() -> dict[str, str]:
         "stringlength": SQL_STRINGLENGTH,
         "pdm_theta": SQL_PDM_THETA,
         "tpch_q1": SQL_TPCH_Q1,
+        "tpch_q3": SQL_TPCH_Q3,
+        "tpch_q6": SQL_TPCH_Q6,
+        "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,

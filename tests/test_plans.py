@@ -52,6 +52,12 @@ GUARDED = [
     # quantiles is one hash-aggregate shuffle with a JVM percentile
     "repetition_stats",
     "value_quantiles",
+    # round 5 (cont.) — Q3's customer side is hinted broadcast, its
+    # orders⋈lineitem is AQE-promoted at test size (legitimately a shuffle
+    # join at 100 TB); Q6 and centroids are scan-aggregates
+    "tpch_q3",
+    "tpch_q6",
+    "embedding_centroids",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -154,3 +160,21 @@ def test_value_quantiles_single_shuffle(spark, sf_dir):
     }
     assert len(keys) == 1 and next(iter(keys)).startswith("series_id"), keys
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tpch_q6_all_three_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown benchmark: the shipdate range, discount range,
+    and quantity bound must ALL reach the parquet scan as PushedFilters.
+    The tree toString TRUNCATES the PushedFilters list, so read the
+    formatted explain (which prints it in full)."""
+    df = E.queries()["tpch_q6"](spark, sf_dir)
+    df.collect()
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount,0.025)" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    # column pruning: the scan must read only the four needed columns
+    assert "l_returnflag" not in plan
