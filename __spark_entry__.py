@@ -2552,6 +2552,16 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.simsearch.semantic_dedup — SemDeDup (Abbas et al. 2023):
+    IVF-cluster the embeddings, drop within-cluster cosine near-duplicates,
+    keep-lowest-id rule. Rows-only check: the k-means quantizer is not
+    SQL-expressible; the planted-twin recall test in tests/test_pipeline.py
+    certifies semantics."""
+    out = simsearch.semantic_dedup(_emb(spark, sf_dir), threshold=0.95)
+    return out.select("vec_id", "centroid", "keep")
+
+
 # --- round-3 contract coverage: previously query-less operators --------------
 
 
@@ -3078,6 +3088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_nearest": q_interp_nearest,
         "interp_spline": q_interp_spline,
         "simsearch_ivf": q_simsearch_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "cosine_neardup": q_cosine_neardup,
         "ngram_jaccard": q_ngram_jaccard,
         "psort_by_prominence": q_psort_by_prominence,

@@ -316,6 +316,68 @@ def cosine_topk_ivf(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embeddings with the IVF coarse quantizer, compute pairwise
+    cosine WITHIN each cluster only, and drop every vector that has a
+    LOWER-id near-duplicate (cosine ≥ threshold) in its cluster — the
+    deterministic keep-lowest-id rule (the paper keeps the member farthest
+    from the centroid; lowest-id is used here so results are exactly
+    reproducible and engine-independent).
+
+    → (vec_id, centroid, keep) for ALL vectors, keep = false for dropped.
+
+    Scale shape: the only corpus-sized movement is one shuffle on the
+    cluster id; the quadratic pairwise work is confined within clusters
+    (n²/k per cluster in expectation — the entire point of clustering
+    first). Centroid metadata is k rows, collected + broadcast."""
+    cents = ivf_centroids(
+        corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    lists = assign_to_centroids(corpus, cents, id_col, vec_col)
+    sided = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_nv"),
+    ).join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    a = sided.select(
+        "centroid",
+        F.col("vec_id").alias("d1"),
+        F.col("_v").alias("_v1"),
+        F.col("_nv").alias("_n1"),
+    )
+    b = sided.select(
+        "centroid",
+        F.col("vec_id").alias("d2"),
+        F.col("_v").alias("_v2"),
+        F.col("_nv").alias("_n2"),
+    )
+    dup_pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("d1") < F.col("d2"))
+        .filter(
+            _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+            >= F.lit(threshold)
+        )
+    )
+    drops = dup_pairs.select(F.col("d2").alias("vec_id")).distinct()
+    return (
+        sided.select("vec_id", "centroid")
+        .join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "centroid", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+        )
+    )
+
+
 def cosine_near_duplicates(
     vecs: DataFrame,
     threshold: float = 0.4,

@@ -305,3 +305,35 @@ def test_repetition_stats_known_values_and_edges(spark):
     assert out.loc[4, "dup_trigram_frac"] == pytest.approx(1.0)
     assert out.loc[5, "distinct_ratio"] == pytest.approx(1.0)
     assert out.loc[5, "dup_trigram_frac"] == pytest.approx(0.0)
+
+
+def test_semantic_dedup_drops_planted_neardups_keeps_lowest_id(spark):
+    rng = np.random.default_rng(5)
+    # 4 well-separated cluster centers, 10 members each; members 0-4 of each
+    # cluster get an exact near-duplicate twin (tiny noise)
+    centers = rng.standard_normal((4, 32)) * 10
+    ids, vecs = [], []
+    nid = 0
+    twins = []
+    for c in centers:
+        members = c + 0.5 * rng.standard_normal((10, 32))
+        for j, m in enumerate(members):
+            ids.append(nid); vecs.append(m); base_id = nid; nid += 1
+            if j < 5:
+                ids.append(nid); vecs.append(m + 1e-4 * rng.standard_normal(32))
+                twins.append((base_id, nid)); nid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": ids, "embedding": [v.tolist() for v in vecs]})
+    )
+    out = (
+        simsearch.semantic_dedup(df, threshold=0.9999, n_centroids=4)
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == len(ids)  # every vector classified
+    for lo, hi in twins:
+        assert bool(out.loc[lo, "keep"]), (lo, hi)
+        assert not bool(out.loc[hi, "keep"]), (lo, hi)
+    # nothing else dropped: the non-twin members are far apart
+    dropped = set(out.index[~out["keep"]])
+    assert dropped == {hi for _, hi in twins}
