@@ -2981,6 +2981,49 @@ def q_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_zscore — stateful running-Welford anomaly scores:
+    each event scored against all PRIOR events of its series (min_n=10
+    warm-up). Oracle: the same prefix statistics as a DuckDB window
+    (UNBOUNDED PRECEDING .. 1 PRECEDING)."""
+    from periodicity_spark.streaming.ops import events_stream, stream_zscore
+
+    ev = events_stream(spark, sf_dir)
+    out = stream_zscore(ev, z_threshold=3.0, min_n=10)
+    tbl = _run_stream(out, "append")
+    return tbl.select(
+        "series_id",
+        _ts_days("ts").alias("time"),
+        F.round("z", 6).alias("z"),
+        "anomaly",
+    )
+
+
+SQL_STREAM_ZSCORE = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+w AS (
+  SELECT series_id, us, value,
+         count(value) OVER pw AS cnt,
+         avg(value) OVER pw AS mu,
+         var_samp(value) OVER pw AS var
+  FROM e
+  WINDOW pw AS (PARTITION BY series_id ORDER BY us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT series_id, (us - {EPOCH_US}) / {DAY_US} AS "time",
+       CASE WHEN cnt >= 10 AND var > 0
+            THEN round((value - mu) / sqrt(var), 6) END AS z,
+       coalesce(CASE WHEN cnt >= 10 AND var > 0
+                     THEN abs((value - mu) / sqrt(var)) > 3.0 END,
+                false) AS anomaly
+FROM w
+"""
+
+
 SQL_STREAM_FFILL = f"""
 WITH e AS (
   SELECT user_id::VARCHAR || '/' || event_type AS series_id,
@@ -3109,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_dedup": q_stream_dedup,
         "stream_ffill": q_stream_ffill,
+        "stream_zscore": q_stream_zscore,
     }
 
 
@@ -3192,4 +3236,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_sessionize": SQL_STREAM_SESSIONIZE,
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_ffill": SQL_STREAM_FFILL,
+        "stream_zscore": SQL_STREAM_ZSCORE,
     }

@@ -78,10 +78,14 @@ def ts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = load_table(spark, sf_dir, "events")
+    # value is cast at the boundary: the engine contract is value: double,
+    # regardless of the physical column width the environment serves (a
+    # float32 drift would otherwise reach the Arrow kernels as float32
+    # pandas and change reduction dtypes)
     return ev.select(
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
         _events_day_axis(ev).alias("time"),
-        F.col("value").alias("value"),
+        F.col("value").cast("double").alias("value"),
     )
 
 

@@ -134,6 +134,69 @@ def stream_ffill(events: DataFrame, null_every: int = 7) -> DataFrame:
     )
 
 
+def stream_zscore(
+    events: DataFrame, z_threshold: float = 3.0, min_n: int = 10
+) -> DataFrame:
+    """Stateful streaming anomaly detection: per-series RUNNING mean/variance
+    via Welford's algorithm carried across micro-batches in group state;
+    each event is scored against the statistics of all PRIOR events
+    (z = (x − μ_prev)/σ_prev, anomaly ⇔ |z| > z_threshold). z stays NULL
+    until the series has ``min_n`` prior samples — scoring against a 2-3
+    sample σ estimate flags ordinary data constantly. The streaming twin of
+    the batch estimate_noise / sigma-clip family: state per series is THREE
+    doubles, so state size is bounded by series cardinality, not stream
+    length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "series_id string, ts timestamp, value double, z double, anomaly boolean"
+    )
+    state_schema = "n long, mean double, m2 double"
+    zt = float(z_threshold)
+    warm = max(2, int(min_n))
+
+    def _fn(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        zs, anom = [], []
+        for v in pdf["value"]:
+            ok = v is not None and v == v
+            if n >= warm and ok:
+                var = m2 / (n - 1)
+                z = (float(v) - mean) / math.sqrt(var) if var > 0 else None
+            else:
+                z = None
+            zs.append(z)
+            anom.append(bool(z is not None and abs(z) > zt))
+            if ok:
+                n += 1
+                d = float(v) - mean
+                mean += d / n
+                m2 += d * (float(v) - mean)
+        yield pd.DataFrame(
+            {
+                "series_id": key[0],
+                "ts": pdf["ts"],
+                "value": pdf["value"],
+                "z": pd.Series(zs, dtype="float64"),
+                "anomaly": anom,
+            }
+        )
+        state.update((n, mean, m2))
+
+    return events.groupBy("series_id").applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -111,9 +111,28 @@ def test_ts_from_parquet_accepts_timestamp_axis(spark, tmp_path):
     assert row.value == 1.0
 
 
+def test_pipeline_table_invariants_hold(spark, sf_dir):
+    """The columns + engine-facing dtypes the pipeline operators rely on.
+    A drift here (text→binary, embedding→array<double>, doc_id→string)
+    should fail THIS test with the offending dtype, not 30 contract rows."""
+    docs = dict(load_table(spark, sf_dir, "documents").dtypes)
+    assert docs.get("doc_id") in {"bigint", "int"}, docs
+    assert docs.get("text") == "string", docs
+    emb = dict(load_table(spark, sf_dir, "embeddings").dtypes)
+    assert emb.get("vec_id") in {"bigint", "int"}, emb
+    assert emb.get("embedding") in {"array<float>", "array<double>"}, emb
+    li = dict(load_table(spark, sf_dir, "lineitem").dtypes)
+    assert li.get("l_shipdate") in {"timestamp", "timestamp_ntz", "date"}, li
+    for c in ("l_quantity", "l_extendedprice", "l_discount"):
+        assert li.get(c) in {"double", "float", "decimal(12,2)"}, (c, li)
+
+
 def test_ts_from_events_yields_rows_with_finite_time(spark, sf_dir):
     ts = ts_from_events(spark, sf_dir)
     assert ts.columns == ["series_id", "time", "value"]
+    assert dict(ts.dtypes) == {
+        "series_id": "string", "time": "double", "value": "double",
+    }, f"ingestion boundary contract broken: {dict(ts.dtypes)}"
     agg = ts.agg(
         F.count(F.lit(1)).alias("n"),
         F.min("time").alias("tmin"),

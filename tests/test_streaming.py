@@ -78,3 +78,43 @@ def test_stream_dedup(spark):
         .count()
     )
     assert got == want
+
+
+def test_stream_zscore_flags_planted_outlier(spark):
+    from periodicity_spark.streaming import stream_zscore
+
+    # plant one massive outlier at the LAST event of the biggest series, so
+    # the series is past the min_n warm-up when the spike arrives
+    ev_batch = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id",
+        F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
+        "ts",
+    )
+    big = (
+        ev_batch.groupBy("series_id").count().orderBy(F.desc("count"), "series_id").first()
+    )
+    assert big["count"] > 12  # min_n=10 warm-up plus scored tail
+    spike_id = (
+        ev_batch.filter(F.col("series_id") == big["series_id"])
+        .orderBy(F.desc("ts"))
+        .first()["event_id"]
+    )
+    ev = events_stream(spark, SF, keep_event_id=True)
+    spiked = ev.withColumn(
+        "value",
+        F.when(F.col("event_id") == spike_id, F.lit(1e6)).otherwise(F.col("value")),
+    ).drop("event_id")
+    _run(stream_zscore(spiked, z_threshold=5.0), "zs_out")
+    out = spark.sql("SELECT * FROM zs_out")
+    assert out.count() == 1000
+    flagged = out.filter(F.col("anomaly"))
+    assert flagged.filter(F.col("value") == 1e6).count() == 1, "outlier missed"
+    # the detector is selective: normal data yields few flags at 5σ
+    assert flagged.count() <= 20
+    # per-series warm-up: z is NULL until min_n prior samples exist
+    want_nulls = (
+        ev_batch.groupBy("series_id").count()
+        .select(F.sum(F.least(F.col("count"), F.lit(10))))
+        .collect()[0][0]
+    )
+    assert out.filter(F.col("z").isNull()).count() == want_nulls
