@@ -118,3 +118,45 @@ def test_stream_zscore_flags_planted_outlier(spark):
         .collect()[0][0]
     )
     assert out.filter(F.col("z").isNull()).count() == want_nulls
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics certified end-to-end: an event arriving AFTER the
+    watermark passed its window must not change the emitted aggregate (the
+    reference re-sorts retroactively at construction, core.py:473-477 — a
+    stream cannot; bounded lateness is the contract)."""
+    import pandas as pd
+
+    from periodicity_spark.streaming import stream_downsample
+
+    src = str(tmp_path / "stream_src")
+    schema = "series_id string, ts timestamp, value double"
+
+    def _write(name, rows):
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: day-3 event + day-10 event → watermark advances to day 8,
+    # so the day-3 window [3,4) finalizes and emits with n=1
+    _write("b1", [("s", "2024-01-03 12:00:00", 1.0), ("s", "2024-01-10 12:00:00", 2.0)])
+    ev = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_downsample(ev, window="1 day", watermark="2 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE day-3 event (behind the day-8 watermark — must be
+    # dropped) and a day-11 event (advances the watermark further)
+    _write("b2", [("s", "2024-01-03 18:00:00", 100.0), ("s", "2024-01-11 12:00:00", 3.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM wm_out").toPandas()
+    day3 = out[out["t_start"].astype(str).str.startswith("2024-01-03")]
+    assert len(day3) == 1, out.to_string()
+    assert day3.iloc[0]["n"] == 1, "late event leaked into a finalized window"
+    assert day3.iloc[0]["value"] == 1.0
