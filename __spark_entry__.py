@@ -1265,6 +1265,54 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.contamination — eval-vs-train winnowing-fingerprint
+    overlap (odd doc_ids = eval, even = train): the benchmark-hygiene
+    signal. Fingerprint derivation identical to winnow_fp; overlap is an
+    integer fp equi-join."""
+    docs = _docs(spark, sf_dir)
+    out = text_ops.contamination(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    return out.select(
+        "doc_id", "n_fp", "n_hit", F.round("contamination", 6).alias("contamination")
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS s FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(s) - 4 >= 1 THEN
+           list_transform(range(1, length(s) - 3),
+             i -> list_reduce(
+                    list_transform(range(0, 5), j -> ascii(substr(s, i + j, 1))::BIGINT),
+                    (acc, c) -> (acc * 257 + c) % 2147483647))
+         ELSE [] END AS hs
+  FROM t
+),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hs) - 3, 1) + 1),
+           w -> list_min(list_slice(hs, w, w + 3)))) AS fps
+  FROM h WHERE len(hs) >= 1
+),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM w)
+SELECT e.doc_id,
+       count(*) AS n_fp,
+       sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+       round(sum(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+         AS contamination
+FROM (SELECT * FROM fps WHERE doc_id % 2 = 1) e
+LEFT JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0) tr USING (fp)
+GROUP BY 1
+"""
+
+
 def q_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.text.top_keywords — per-doc tf-idf-style keyword extraction
     ranked entirely in integer space (tf desc, df asc, token asc): exactly
@@ -3090,6 +3138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition,
+        "decontaminate": q_decontaminate,
         "winnow_fp": q_winnow_fp,
         "top_keywords": q_top_keywords,
         "kmv_distinct": q_kmv_distinct,
@@ -3195,6 +3244,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,
         "repetition_stats": SQL_REPETITION,
+        "decontaminate": SQL_DECONTAMINATE,
         "winnow_fp": SQL_WINNOW_FP,
         "top_keywords": SQL_TOP_KEYWORDS,
         "kmv_distinct": SQL_KMV_DISTINCT,

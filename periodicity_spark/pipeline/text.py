@@ -297,6 +297,52 @@ def repetition_stats(
     )
 
 
+def contamination(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval contamination detection: for each EVAL document, the
+    fraction of its winnowing fingerprints that also occur anywhere in the
+    TRAIN corpus — the standard decontamination signal for LLM benchmark
+    hygiene (substring overlap ≥ k+window−1 chars is guaranteed to share a
+    fingerprint; see winnow_fingerprints).
+
+    → (doc_id, n_fp, n_hit, contamination) per eval document.
+
+    Scale shape: both corpora reduce to integer fingerprint tables (a map
+    over document batches); the train side is distinct-ed (one shuffle on
+    the 8-byte fp) and the overlap is a fp equi-join + per-doc aggregate.
+    Nothing quadratic, nothing broadcast-unbounded — AQE broadcasts the
+    train fp table only when it measures small."""
+    tr = (
+        winnow_fingerprints(train_docs, k=k, window=window, id_col=id_col, text_col=text_col)
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = winnow_fingerprints(
+        eval_docs, k=k, window=window, id_col=id_col, text_col=text_col
+    )
+    return (
+        ev.join(tr, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fp"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_fp").cast("double")).alias("contamination"),
+        )
+    )
+
+
 def top_keywords(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

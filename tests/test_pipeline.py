@@ -337,3 +337,26 @@ def test_semantic_dedup_drops_planted_neardups_keeps_lowest_id(spark):
     # nothing else dropped: the non-twin members are far apart
     dropped = set(out.index[~out["keep"]])
     assert dropped == {hi for _, hi in twins}
+
+
+def test_contamination_detects_planted_substring_overlap(spark):
+    from periodicity_spark.pipeline.text import contamination
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    train_texts = [" ".join(rng.choice(vocab, 60)) for _ in range(10)]
+    # eval doc 100 copies a 30-token span of train doc 0 (heavy contamination);
+    # eval doc 101 is fresh tokens never seen in train (zero contamination)
+    span = " ".join(train_texts[0].split()[10:40])
+    eval_texts = {100: "intro words " + span + " closing words",
+                  101: " ".join(f"z{i}" for i in range(60))}
+    train = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": train_texts})
+    )
+    evals = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(eval_texts), "text": list(eval_texts.values())})
+    )
+    out = contamination(evals, train).toPandas().set_index("doc_id")
+    assert out.loc[100, "contamination"] > 0.4, out.loc[100]
+    assert out.loc[101, "n_hit"] == 0
+    assert out.loc[101, "contamination"] == 0.0
