@@ -1265,6 +1265,41 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.lm_score — CCNet-style statistical LM quality filter:
+    add-one-smoothed in-corpus bigram model, mean log-probability per doc.
+    Count tables are vocabulary-sized aggregates; scoring is one explode +
+    two equi-joins, no Python."""
+    out = text_ops.lm_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
+SQL_LM_SCORE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(toks[1:len(toks)-1]) AS w1,
+         unnest(toks[2:len(toks)]) AS w2
+  FROM t WHERE len(toks) >= 2
+),
+uc AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uc),
+bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+         ln((coalesce(c12, 0) + 1) / (coalesce(c1, 0) + v)::DOUBLE) AS lp
+  FROM b LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1) CROSS JOIN v
+),
+agg AS (SELECT doc_id, count(*) AS n, avg(lp) AS avg_lp FROM s GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(agg.n, 0) AS n_bigrams,
+       round(agg.avg_lp, 6) AS avg_logp
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.text.contamination — eval-vs-train winnowing-fingerprint
     overlap (odd doc_ids = eval, even = train): the benchmark-hygiene
@@ -3139,6 +3174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "repetition_stats": q_repetition,
         "decontaminate": q_decontaminate,
+        "lm_score": q_lm_score,
         "winnow_fp": q_winnow_fp,
         "top_keywords": q_top_keywords,
         "kmv_distinct": q_kmv_distinct,
@@ -3245,6 +3281,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": SQL_TOKEN_COUNTS,
         "repetition_stats": SQL_REPETITION,
         "decontaminate": SQL_DECONTAMINATE,
+        "lm_score": SQL_LM_SCORE,
         "winnow_fp": SQL_WINNOW_FP,
         "top_keywords": SQL_TOP_KEYWORDS,
         "kmv_distinct": SQL_KMV_DISTINCT,

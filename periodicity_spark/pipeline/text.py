@@ -297,6 +297,82 @@ def repetition_stats(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Statistical LM quality scoring (the CCNet-style perplexity filter,
+    Wenzek et al. 2020, with a bigram model instead of a trained KenLM):
+    estimate add-one-smoothed bigram probabilities P(w₂|w₁) = (c₁₂+1)/(c₁+V)
+    from ``model_docs`` (default: the scored corpus itself) and score each
+    document by its mean bigram log-probability. Unusually low scores ⇒
+    gibberish / OOV-heavy text; unusually high ⇒ boilerplate.
+
+    → (doc_id, n_bigrams, avg_logp)   (NULL avg_logp when < 2 tokens)
+
+    Scale shape: the model is two count tables built with map-side-combined
+    aggregates (vocabulary-sized, ≪ corpus); scoring explodes each doc's
+    bigrams once and equi-joins the count tables (AQE broadcasts them when
+    they fit). No Python anywhere."""
+    model_docs = model_docs if model_docs is not None else docs
+    toks = _tokens(text_col)
+
+    def _bigrams(src: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if keep_id else []
+        return src.select(
+            *cols, F.explode(_ngram_array(toks, 2)).alias("bg")
+        ).select(
+            *(["doc_id"] if keep_id else []),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+
+    uni = (
+        model_docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_size = F.broadcast(
+        uni.agg(F.count(F.lit(1)).alias("v")).select("v")
+    )
+    big = (
+        _bigrams(model_docs, keep_id=False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    scored = (
+        _bigrams(docs, keep_id=True)
+        .join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(vocab_size)
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + 1)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(
+            scored.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.avg("_lp").alias("avg_logp"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logp",
+        )
+    )
+
+
 def contamination(
     eval_docs: DataFrame,
     train_docs: DataFrame,

@@ -360,3 +360,22 @@ def test_contamination_detects_planted_substring_overlap(spark):
     assert out.loc[100, "contamination"] > 0.4, out.loc[100]
     assert out.loc[101, "n_hit"] == 0
     assert out.loc[101, "contamination"] == 0.0
+
+
+def test_lm_score_ranks_gibberish_below_fluent_text(spark):
+    from periodicity_spark.pipeline.text import lm_score
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(30)]
+    # model corpus: highly regular bigram structure (cyclic walks)
+    fluent = [" ".join(vocab[(s + i) % 30] for i in range(50)) for s in range(20)]
+    docs = list(fluent)
+    docs.append(" ".join(rng.choice([f"junk{i}" for i in range(100)], 50)))  # OOV gibberish
+    docs.append("x")  # single token → NULL score
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    )
+    out = lm_score(df).toPandas().set_index("doc_id")
+    gib, flu = out.loc[20, "avg_logp"], out.loc[0, "avg_logp"]
+    assert gib < flu - 1.0, (gib, flu)  # gibberish scores far lower
+    assert out.loc[21, "n_bigrams"] == 0 and pd.isna(out.loc[21, "avg_logp"])
