@@ -66,6 +66,11 @@ HEADLINE = [
     "repetition_stats",
     # exact per-series percentiles: one shuffle, JVM percentile aggregate
     "value_quantiles",
+    # session continuation: contamination (winnow fp join), bigram-LM
+    # scoring (vocab-sized count joins), SemDeDup (clustered pairwise)
+    "decontaminate",
+    "lm_score",
+    "semantic_dedup",
 ]
 
 
