@@ -24,6 +24,15 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _cosine(dot, n1, n2):
+    """Cosine with a zero-norm guard: try_divide yields NULL (not an ANSI
+    DIVIDE_BY_ZERO job abort) when either vector has zero norm — a zero
+    vector has no direction, so every comparison against it is NULL and
+    the row drops out of thresholded/ranked results instead of killing
+    the query."""
+    return F.try_divide(dot, n1 * n2)
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -58,11 +67,12 @@ def cosine_topk_bruteforce(
     pairs = c.join(F.broadcast(p), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        (_dot(F.col("_q"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias("cosine"),
+        _cosine(_dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
@@ -174,11 +184,12 @@ def cosine_topk_lsh(
     pairs = cand.join(c, "vec_id").join(F.broadcast(p), "qid").select(
         "qid",
         "vec_id",
-        (_dot(F.col("_q"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias("cosine"),
+        _cosine(_dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
@@ -306,11 +317,12 @@ def cosine_topk_ivf(
         F.broadcast(p), ["centroid"]
     ).filter(F.col("vec_id") != F.col("qid")).select(
         "qid", "vec_id",
-        (_dot(F.col("_q"), F.col("_v")) / (F.col("_nq") * F.col("_nv"))).alias("cosine"),
+        _cosine(_dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        pairs.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "cosine", "rank")
     )
@@ -343,11 +355,19 @@ def semantic_dedup(
         corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )
     lists = assign_to_centroids(corpus, cents, id_col, vec_col)
-    sided = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_nv"),
-    ).join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
+    # sided feeds BOTH pairwise sides and the final keep-join; materialize
+    # it once (eager localCheckpoint, same pattern as minhash shingles) so
+    # the centroid-assignment subtree — a corpus shuffle + row_number
+    # window — executes once, not once per consumer
+    sided = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_v"),
+            _norm(F.col(vec_col)).alias("_nv"),
+        )
+        .join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
+        .localCheckpoint(eager=True)
+    )
     a = sided.select(
         "centroid",
         F.col("vec_id").alias("d1"),
@@ -364,7 +384,7 @@ def semantic_dedup(
         a.join(b, "centroid")
         .filter(F.col("d1") < F.col("d2"))
         .filter(
-            _dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))
+            _cosine(_dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2"))
             >= F.lit(threshold)
         )
     )
@@ -416,7 +436,7 @@ def cosine_near_duplicates(
         .select(
             "d1",
             "d2",
-            (_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))).alias(
+            _cosine(_dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2")).alias(
                 "cosine"
             ),
         )
@@ -512,7 +532,7 @@ def cosine_near_duplicates_lsh(
         .select(
             "d1",
             "d2",
-            (_dot(F.col("_v1"), F.col("_v2")) / (F.col("_n1") * F.col("_n2"))).alias(
+            _cosine(_dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2")).alias(
                 "cosine"
             ),
         )

@@ -320,13 +320,24 @@ def lm_score(
     toks = _tokens(text_col)
 
     def _bigrams(src: DataFrame, keep_id: bool) -> DataFrame:
+        # struct pairs straight from the token array — no join-then-split
+        # string round-trip per bigram occurrence
+        starts = F.sequence(F.lit(1), F.size(toks) - 1)
+        pairs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         cols = [F.col(id_col).alias("doc_id")] if keep_id else []
-        return src.select(
-            *cols, F.explode(_ngram_array(toks, 2)).alias("bg")
-        ).select(
+        return src.select(*cols, F.explode(pairs).alias("_p")).select(
             *(["doc_id"] if keep_id else []),
-            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+            F.col("_p.w1").alias("w1"),
+            F.col("_p.w2").alias("w2"),
         )
 
     uni = (

@@ -108,8 +108,14 @@ def stream_ffill(events: DataFrame, null_every: int = 7) -> DataFrame:
         # than maxRecordsPerBatch arrives as several chunks in arbitrary row
         # order, and chunk-local sorts would fill across a broken timeline.
         # State memory stays bounded by the per-(group, micro-batch) row
-        # count, which the watermark bounds in turn.
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # count, which the watermark bounds in turn. reset_index keeps the
+        # positional `filled` list aligned with the sorted rows regardless
+        # of how pandas aligns the output columns.
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
         filled = []
         for v in pdf["value"]:
             if v is not None and v == v:  # not NaN
@@ -161,7 +167,15 @@ def stream_zscore(
         import pandas as pd
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # reset_index after the sort: the output DataFrame mixes these
+        # (sorted) columns with fresh RangeIndex series, and pandas aligns
+        # by INDEX — without the reset, ts/value silently permute back to
+        # arrival order while z/anomaly stay in sorted order
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values("ts")
+            .reset_index(drop=True)
+        )
         zs, anom = [], []
         for v in pdf["value"]:
             ok = v is not None and v == v

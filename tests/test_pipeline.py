@@ -379,3 +379,25 @@ def test_lm_score_ranks_gibberish_below_fluent_text(spark):
     gib, flu = out.loc[20, "avg_logp"], out.loc[0, "avg_logp"]
     assert gib < flu - 1.0, (gib, flu)  # gibberish scores far lower
     assert out.loc[21, "n_bigrams"] == 0 and pd.isna(out.loc[21, "avg_logp"])
+
+
+def test_cosine_ops_survive_zero_norm_embedding(spark):
+    """Regression: ANSI mode turns /0 into a job-killing ArithmeticException;
+    a zero-norm embedding must instead drop out of cosine results."""
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[1.0, 0.0], [0.0, 0.0], [0.9, 0.1]],
+            }
+        )
+    )
+    probes = df.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    ).filter(F.col("qid") == 0)
+    topk = simsearch.cosine_topk_bruteforce(df, probes, k=5).toPandas()
+    assert set(topk["vec_id"]) == {2}  # zero vector never ranks
+    pairs = simsearch.cosine_near_duplicates(df, threshold=0.5).toPandas()
+    assert set(map(tuple, pairs[["d1", "d2"]].to_numpy())) == {(0, 2)}
+    sd = simsearch.semantic_dedup(df, threshold=0.5, n_centroids=2).toPandas()
+    assert len(sd) == 3  # zero vector classified, job not aborted

@@ -160,3 +160,44 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert len(day3) == 1, out.to_string()
     assert day3.iloc[0]["n"] == 1, "late event leaked into a finalized window"
     assert day3.iloc[0]["value"] == 1.0
+
+
+def test_stream_zscore_rows_stay_aligned_under_shuffled_arrival(spark, tmp_path):
+    """Regression: rows arriving out of ts order within a micro-batch must
+    keep (ts, value) aligned with their (z, anomaly) — a sort without
+    index reset silently permuted the output columns against each other."""
+    import numpy as np
+    import pandas as pd
+
+    from periodicity_spark.streaming import stream_zscore
+
+    rng = np.random.default_rng(17)
+    n = 40
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s",
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="h"),
+            "value": rng.normal(0.0, 1.0, n),
+        }
+    )
+    pdf.loc[n - 1, "value"] = 1e6  # spike at the LAST timestamp
+    shuffled = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
+    src = str(tmp_path / "zsrc")
+    spark.createDataFrame(shuffled).coalesce(1).write.parquet(src)
+    ev = spark.readStream.schema("series_id string, ts timestamp, value double").parquet(src)
+    q = (
+        stream_zscore(ev, z_threshold=5.0, min_n=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zal_out")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM zal_out").toPandas().sort_values("ts", ignore_index=True)
+    # value column must match the input's ts→value mapping exactly
+    want = pdf.sort_values("ts", ignore_index=True)["value"]
+    assert (out["value"] == want).all(), "ts/value misaligned after sort"
+    # and the anomaly flag must sit ON the spike row, nowhere else
+    assert bool(out.iloc[-1]["anomaly"])
+    assert out["anomaly"].sum() == 1
