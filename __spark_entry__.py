@@ -119,6 +119,56 @@ GROUP BY t.series_id
 """
 
 
+def q_roll_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.windows.roll_time — trailing 1-day time-window stats per
+    sample (range frame: one WindowExec, no self-join)."""
+    out = ops_windows.roll_time(_ts(spark, sf_dir), width=1.0)
+    return out.select(
+        "series_id",
+        "time",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.col("roll_min"),
+        F.col("roll_max"),
+        F.col("roll_n"),
+    )
+
+
+SQL_ROLL_TIME = f"""
+WITH {TS_SQL}
+SELECT series_id, "time",
+       round(avg(value) OVER w, 6) AS roll_mean,
+       min(value) OVER w AS roll_min,
+       max(value) OVER w AS roll_max,
+       count(value) OVER w AS roll_n
+FROM ts
+WINDOW w AS (PARTITION BY series_id ORDER BY "time"
+             RANGE BETWEEN 1.0 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.clean.ewma — time-decay EWMA (halflife 1 day) via the O(N)
+    recurrence in a bucketed Arrow kernel; oracle is the equivalent O(n²)
+    weighted-sum self-join."""
+    out = ops_clean.ewma(_ts(spark, sf_dir), halflife=1.0)
+    return out.select(
+        "series_id", "time", "value", F.round("ewma", 6).alias("ewma")
+    )
+
+
+# λ = ln2 / halflife, halflife = 1 day
+SQL_EWMA = f"""
+WITH {TS_SQL}
+SELECT a.series_id AS series_id, a."time" AS "time", a.value AS value,
+       round(
+         sum(b.value * exp(-0.6931471805599453 * (a."time" - b."time")))
+         / sum(exp(-0.6931471805599453 * (a."time" - b."time"))), 6) AS ewma
+FROM ts a JOIN ts b
+  ON a.series_id = b.series_id AND b."time" <= a."time"
+GROUP BY a.series_id, a."time", a.value
+"""
+
+
 def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.agg.quantiles — exact per-series p25/p50/p75 (linear
     interpolation), one shuffle, JVM percentile aggregate."""
@@ -3135,6 +3185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ts_stats": q_ts_stats,
         "value_quantiles": q_value_quantiles,
+        "roll_time": q_roll_time,
+        "ewma": q_ewma,
         "downsample_daily": q_downsample_daily,
         "fold_phase": q_fold_phase,
         "sessionize": q_sessionize,
@@ -3245,6 +3297,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ts_stats": SQL_TS_STATS,
         "value_quantiles": SQL_VALUE_QUANTILES,
+        "roll_time": SQL_ROLL_TIME,
+        "ewma": SQL_EWMA,
         "downsample_daily": SQL_DOWNSAMPLE_DAILY,
         "fold_phase": SQL_FOLD_PHASE,
         "sessionize": SQL_SESSIONIZE,

@@ -16,6 +16,50 @@ def _series_w():
     return Window.partitionBy("series_id").orderBy("time")
 
 
+def ewma(ts: DataFrame, halflife: float = 1.0) -> DataFrame:
+    """Exponentially-weighted moving average for IRREGULAR sampling:
+    ewma_i = Σ_{t_j ≤ t_i} v_j·e^{−λ(t_i−t_j)} / Σ e^{−λ(t_i−t_j)},
+    λ = ln2/halflife — the decay follows elapsed TIME, not sample count
+    (pandas ewm(times=...) semantics; the reference's FIR smooth,
+    core.py:369-457, assumes a regular grid).
+
+    → (series_id, time, value, ewma).
+
+    Computed with the O(N) recurrence s_i = v_i + e^{−λΔt}·s_{i−1}
+    (normalizer likewise) inside a bucketed Arrow kernel — an exact
+    algebraic rewrite of the weighted sum. One narrow shuffle on the
+    bucket key; cost linear in series length."""
+    from periodicity_spark.session import grouped_apply
+
+    lam = math.log(2.0) / float(halflife)
+
+    def _per_series(g):
+        import numpy as np
+
+        g = g.sort_values("time")
+        t = g["time"].to_numpy(dtype=float)
+        v = g["value"].to_numpy(dtype=float)
+        out = np.empty(len(v))
+        s = 0.0
+        n = 0.0
+        prev_t = None
+        for i in range(len(v)):
+            decay = 1.0 if prev_t is None else math.exp(-lam * (t[i] - prev_t))
+            s = v[i] + decay * s
+            n = 1.0 + decay * n
+            out[i] = s / n
+            prev_t = t[i]
+        g = g[["series_id", "time", "value"]].copy()
+        g["ewma"] = out
+        return g
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, time double, value double, ewma double",
+    )
+
+
 def interpolate_na(ts: DataFrame, method: str = "linear", **kwargs) -> DataFrame:
     """Fill NULL values (reference interpolate_na, core.py:664-701).
 

@@ -17,6 +17,36 @@ from periodicity_spark.functions.expressions import (
 )
 
 
+def roll_time(ts: DataFrame, width: float = 1.0) -> DataFrame:
+    """Trailing TIME-window statistics: for every sample, mean/min/max/count
+    of the values in (time − width, time] of its own series — the
+    irregular-sampling rolling window (the reference's positional roll,
+    core.py:262-264, assumes regular sampling; this is its time-based
+    generalization). rangeBetween keeps the whole thing one WindowExec:
+    one shuffle + one sort per series partition, streaming frame — no
+    self-join, no explode.
+
+    → (series_id, time, value, roll_mean, roll_min, roll_max, roll_n).
+
+    The SQL frame form is used because the PySpark rangeBetween API only
+    accepts integral boundaries; SQL RANGE supports fractional offsets on
+    a double ordering column."""
+    wd = float(width)
+    frame = (
+        "OVER (PARTITION BY series_id ORDER BY time "
+        f"RANGE BETWEEN {wd!r} PRECEDING AND CURRENT ROW)"
+    )
+    return ts.select(
+        "series_id",
+        "time",
+        "value",
+        F.expr(f"avg(value) {frame}").alias("roll_mean"),
+        F.expr(f"min(value) {frame}").alias("roll_min"),
+        F.expr(f"max(value) {frame}").alias("roll_max"),
+        F.expr(f"count(value) {frame}").alias("roll_n"),
+    )
+
+
 def derivative(ts: DataFrame) -> DataFrame:
     """Centered finite-difference d/dt (reference core.py:524-526)."""
     return ts.select("series_id", "time", derivative_expr().alias("value"))

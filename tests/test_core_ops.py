@@ -369,3 +369,49 @@ def test_quantiles_match_numpy_linear_interpolation(spark):
             want = np.percentile(g["value"].to_numpy(), p)  # linear interp
             assert got.loc[sid, col] == pytest.approx(want, abs=1e-12), (sid, col)
     assert int(got.loc["c", "n"]) == 1
+
+
+def test_roll_time_trailing_window_hand_values(spark):
+    ts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "series_id": ["s"] * 4,
+                "time": [0.0, 0.5, 1.0, 3.0],
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    out = (
+        windows.roll_time(ts, width=1.0)
+        .toPandas()
+        .sort_values("time", ignore_index=True)
+    )
+    # trailing (t-1, t] windows: {1}, {1,2}, {1,2,3}, {4}
+    assert out["roll_n"].tolist() == [1, 2, 3, 1]
+    assert out["roll_mean"].tolist() == pytest.approx([1.0, 1.5, 2.0, 4.0])
+    assert out["roll_max"].tolist() == pytest.approx([1.0, 2.0, 3.0, 4.0])
+
+
+def test_ewma_matches_pandas_times_semantics(spark):
+    rng = np.random.default_rng(23)
+    t = np.sort(rng.uniform(0, 20, 80))
+    v = rng.normal(50, 10, 80)
+    ts = spark.createDataFrame(
+        pd.DataFrame({"series_id": "s", "time": t, "value": v})
+    )
+    got = (
+        clean.ewma(ts, halflife=2.0)
+        .toPandas()
+        .sort_values("time", ignore_index=True)["ewma"]
+        .to_numpy()
+    )
+    want = (
+        pd.Series(v)
+        .ewm(
+            halflife=pd.Timedelta(days=2),
+            times=pd.to_datetime("2024-01-01") + pd.to_timedelta(t, unit="D"),
+        )
+        .mean()
+        .to_numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
