@@ -915,6 +915,148 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume), adapted to the testdata's
+    1995-2001 date range: the 6-table join shape. All four dimension
+    tables (customer, supplier, nation, region) are broadcast — the star
+    side of the plan never shuffles; the one big-big join
+    (lineitem ⋈ orders) is left unhinted so AQE picks broadcast at test
+    scale and degrades to a shuffle join at 100 TB. The c_nationkey =
+    s_nationkey "local supplier" predicate rides the supplier broadcast
+    join, so no extra exchange is introduced for it."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    asia_nations = (
+        rd("nation")
+        .join(
+            F.broadcast(rd("region").filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        rd("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(rd("supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue), adapted to the testdata's categorical
+    p_type (exact 'PROMO', not a prefix) and date range: conditional
+    aggregation over a broadcast dim join — the month filter prunes
+    lineitem at the scan, part broadcasts, and the CASE folds into one
+    whole-stage-codegen aggregate with no second pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): the HAVING-subquery shape. The
+    inner aggregate (orders whose total quantity exceeds 300) is computed
+    once and broadcast into a LEFT SEMI join against lineitem — the
+    having-filtered key set is tiny by construction (top ~1% of orders),
+    so the semi-join is map-side at any corpus scale; customer broadcasts.
+    Deterministic top-100 by (o_totalprice DESC, o_orderkey)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300.0)
+        .select("l_orderkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, pos 1-based,
     centroid, n) — the class-prototype aggregation under semantic
@@ -1109,6 +1251,32 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, least(a, min(b)) AS component_id
 FROM reach GROUP BY a
+"""
+
+
+def q_cross_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.dedup.cross_doc_duplication — per-doc fraction of distinct
+    token 8-grams shared with at least one other document (the RefinedWeb /
+    Dolma duplicated-n-gram filter; Lee et al. 2022). One gram-key shuffle
+    (fixed-width md5 keys), map-side-combined doc-frequency aggregate."""
+    return dedup.cross_doc_duplication(_docs(spark, sf_dir), n=8)
+
+
+SQL_CROSS_DUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct([md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+                               for i in generate_series(1, len(toks) - 7)])) AS gk
+  FROM t WHERE len(toks) >= 8
+),
+c AS (SELECT gk, count(*) AS ndocs FROM g GROUP BY 1),
+p AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+             sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+      FROM g JOIN c USING (gk) GROUP BY 1)
+SELECT t.doc_id, p.n_grams, p.n_shared,
+       round(p.n_shared / p.n_grams::DOUBLE, 6) AS cross_dup_frac
+FROM t LEFT JOIN p USING (doc_id)
 """
 
 
@@ -2676,6 +2844,20 @@ FROM fin
 
 
 
+def q_pca_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.embedding.pca_embed — distributed PCA fit (one Arrow
+    partial-moment pass, kilobyte shuffle) + shuffle-free projection.
+    Rows-only check: the eigendecomposition is not SQL-expressible; the
+    numpy differential in tests/test_embedding.py certifies values.
+    Projections exploded long-format and rounded so the row set is stable."""
+    from periodicity_spark.pipeline import embedding as emb_ops
+
+    out = emb_ops.pca_embed(_emb(spark, sf_dir), k=4)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    ).select("vec_id", "component", F.round("value", 6).alias("value"))
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
@@ -3212,12 +3394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q6": q_tpch_q6,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
         "embedding_centroids": q_embedding_centroids,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
+        "cross_dup": q_cross_dup,
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
@@ -3268,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interp_nearest": q_interp_nearest,
         "interp_spline": q_interp_spline,
         "simsearch_ivf": q_simsearch_ivf,
+        "pca_embed": q_pca_embed,
         "semantic_dedup": q_semantic_dedup,
         "cosine_neardup": q_cosine_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -3321,12 +3508,16 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q6": SQL_TPCH_Q6,
+        "tpch_q5": SQL_TPCH_Q5,
+        "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q18": SQL_TPCH_Q18,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_keep": SQL_DEDUP_KEEP,
+        "cross_dup": SQL_CROSS_DUP,
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,

@@ -454,3 +454,49 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cross_doc_duplication(
+    docs: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-document duplicate-n-gram fraction — the corpus-level twin of
+    the in-document Gopher repetition signals (text.repetition_stats): for
+    each document, the fraction of its DISTINCT token n-grams that also
+    occur in at least one OTHER document. This is the "duplicated n-gram"
+    scale filter of the ExactSubstr-dedup line of work (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") as used by
+    RefinedWeb / Dolma to score boilerplate contamination that per-doc
+    signals cannot see.
+
+    → (doc_id, n_grams, n_shared, cross_dup_frac), one row per input doc;
+    docs with fewer than ``n`` tokens keep NULL stats.
+
+    Scale shape: per-doc distinct n-grams (in-row array_distinct — no
+    global distinct), exploded and shuffled ONCE as fixed-width md5 keys
+    (never the raw gram text); gram→doc-count is a map-side-combined
+    hash aggregate; the count joins back on the same key partitioning.
+    Nothing is quadratic and no corpus-sized structure is broadcast or
+    collected."""
+    grams = word_ngrams(docs, n=n, text_col=text_col, id_col=id_col).select(
+        "doc_id", F.md5(F.col("gram").cast("binary")).alias("_gk")
+    )
+    # per-doc distinct grams (word_ngrams dedups in-row), so count(*) per
+    # key IS the document frequency
+    dfreq = grams.groupBy("_gk").agg(F.count(F.lit(1)).alias("_ndocs"))
+    per = (
+        grams.join(dfreq, "_gk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("cross_dup_frac"),
+    )

@@ -1,0 +1,129 @@
+"""Embedding-matrix operators: distributed PCA (fit + project).
+
+Dimensionality reduction is the standard preprocessing step in front of the
+similarity-search / SemDeDup family (pipeline/simsearch.py): ANN recall per
+byte improves when the 64-d raw space is projected onto its leading
+principal components, and SemDeDup's within-cluster cosine is cheaper in
+the reduced space.
+
+Scale shape (the part that matters at 100 TB):
+
+- **fit** is ONE pass over the corpus: an Arrow ``mapInPandas`` stage emits
+  per-batch partial moments (count, Σx, Σxxᵀ — BLAS ``X.T @ X`` per batch,
+  never Python loops), flattened to (index, value) rows. The partials are
+  (1 + d + d²) doubles per batch — for d=64 that's ~33 KB — so the global
+  ``groupBy(idx).sum`` shuffles kilobytes regardless of corpus size. The
+  eigendecomposition runs on the driver over the d×d covariance (trivial
+  for any d where dense PCA makes sense).
+- **project** is a second Arrow stage: per-batch ``X @ components.T``
+  against the broadcast (k, d) component matrix. No shuffle at all.
+
+Nothing is collected that scales with the corpus; the only driver-side
+object is the d×d moment matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
+    """→ (idx, val): flattened per-batch partial moments. idx 0 = count,
+    1..d = Σx, d+1 .. d+d² = row-major Σxxᵀ."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            d = X.shape[1]
+            out = np.empty(1 + d + d * d)
+            out[0] = float(len(X))
+            out[1 : 1 + d] = X.sum(axis=0)
+            out[1 + d :] = (X.T @ X).ravel()
+            yield pd.DataFrame({"idx": np.arange(out.size, dtype=np.int64), "val": out})
+
+    return emb.select(vec_col).mapInPandas(gen, "idx long, val double")
+
+
+def pca_fit(
+    emb: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> tuple:
+    """Fit a k-component PCA over ``vec_col``. Returns
+    ``(mean (d,), components (k, d), explained_var (k,))`` as numpy arrays —
+    index metadata sized d², collected by design (like the IVF centroids).
+
+    Determinism: the covariance is rounded to 1e-9 before ``eigh`` so
+    run-to-run float-summation ulp noise (partial-merge order) cannot flip
+    near-degenerate eigenvectors, and each component's sign is fixed by
+    making its largest-|.|, lowest-index coordinate positive."""
+    import numpy as np
+
+    rows = (
+        _moment_partials(emb, vec_col)
+        .groupBy("idx")
+        .agg(F.sum("val").alias("val"))
+        .collect()
+    )
+    flat = np.zeros(max(r["idx"] for r in rows) + 1)
+    for r in rows:
+        flat[r["idx"]] = r["val"]
+    d = int(round((-1 + np.sqrt(1 + 4 * (flat.size - 1))) / 2))
+    n = flat[0]
+    if n < 2:
+        raise ValueError(f"PCA needs at least 2 vectors, got {int(n)}")
+    s = flat[1 : 1 + d]
+    ss = flat[1 + d :].reshape(d, d)
+    mean = s / n
+    cov = (ss - np.outer(mean, s)) / (n - 1.0)
+    cov = np.round((cov + cov.T) / 2.0, 9)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def pca_project(
+    emb: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """→ (id_col, out_col array<double>): centered projection onto the
+    fitted components. One Arrow map stage (batch ``(X - μ) @ Wᵀ``), zero
+    shuffles; the (k, d) component matrix ships inside the serialized
+    closure (kilobytes)."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=float)
+    W = np.asarray(components, dtype=float)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            P = (X - mu) @ W.T
+            yield pd.DataFrame({id_col: pdf[id_col].values, out_col: list(P)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, {out_col} array<double>"
+    )
+
+
+def pca_embed(
+    emb: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Fit-and-project convenience: → (id_col, proj)."""
+    mean, comps, _ = pca_fit(emb, k=k, vec_col=vec_col)
+    return pca_project(emb, mean, comps, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,68 @@
+"""Distributed PCA: numpy differential, variance ordering, plan shape."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from periodicity_spark.pipeline import embedding
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    return np.asarray([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+
+
+def _numpy_pca(X, k):
+    mu = X.mean(axis=0)
+    cov = np.cov(X - mu, rowvar=False)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, evals[order]
+
+
+def test_fit_matches_numpy(emb, X):
+    mean, comps, ev = embedding.pca_fit(emb, k=6)
+    mu_np, comps_np, ev_np = _numpy_pca(X, 6)
+    np.testing.assert_allclose(mean, mu_np, atol=1e-9)
+    np.testing.assert_allclose(ev, ev_np, atol=1e-7)
+    # same sign convention on both sides → componentwise comparison is
+    # valid; tolerance covers the engine's deliberate 1e-9 covariance
+    # rounding amplified by the eigengap
+    np.testing.assert_allclose(comps, comps_np, atol=2e-5)
+
+
+def test_projection_variance_is_eigenvalue(emb, X):
+    """Per-component sample variance of the projection equals the
+    eigenvalue, and components are ordered by decreasing variance."""
+    mean, comps, ev = embedding.pca_fit(emb, k=4)
+    proj = embedding.pca_project(emb, mean, comps).toPandas()
+    P = np.asarray([np.asarray(v) for v in proj["proj"]])
+    var = P.var(axis=0, ddof=1)
+    np.testing.assert_allclose(var, ev, rtol=1e-6)
+    assert all(ev[i] >= ev[i + 1] for i in range(len(ev) - 1))
+
+
+def test_projection_centered_and_complete(emb):
+    mean, comps, _ = embedding.pca_fit(emb, k=3)
+    proj = embedding.pca_project(emb, mean, comps)
+    assert proj.count() == emb.count()
+    P = np.asarray([np.asarray(v) for v in proj.toPandas()["proj"]])
+    assert np.abs(P.mean(axis=0)).max() < 1e-9
+
+
+def test_project_plan_has_no_shuffle(emb):
+    """Projection is a pure map stage — no Exchange in the plan."""
+    mean, comps, _ = embedding.pca_fit(emb, k=2)
+    plan = embedding.pca_project(emb, mean, comps)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -401,3 +401,32 @@ def test_cosine_ops_survive_zero_norm_embedding(spark):
     assert set(map(tuple, pairs[["d1", "d2"]].to_numpy())) == {(0, 2)}
     sd = simsearch.semantic_dedup(df, threshold=0.5, n_centroids=2).toPandas()
     assert len(sd) == 3  # zero vector classified, job not aborted
+
+
+def test_cross_doc_duplication_planted(spark):
+    """A doc sharing half its 4-gram positions with another doc scores the
+    planted fraction exactly; a unique doc scores 0; a too-short doc keeps
+    NULL stats but stays in the output."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    uniq_a = "one two three four five six seven eight"
+    uniq_b = "red green blue cyan magenta yellow black white"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " " + uniq_a),   # 16 tokens → 13 distinct 4-grams
+            (2, shared + " " + uniq_b),
+            (3, "lone words only here never repeated anywhere once more"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cross_doc_duplication(docs, n=4).collect()
+    }
+    assert len(out) == 4
+    # docs 1/2 share the 5 four-grams fully inside the 8 shared tokens
+    assert out[1]["n_grams"] == 13 and out[1]["n_shared"] == 5
+    assert out[2]["n_shared"] == 5
+    assert abs(out[1]["cross_dup_frac"] - round(5 / 13, 6)) < 1e-12
+    assert out[3]["n_shared"] == 0 and out[3]["cross_dup_frac"] == 0.0
+    assert out[4]["n_grams"] is None and out[4]["cross_dup_frac"] is None

@@ -58,6 +58,13 @@ GUARDED = [
     "tpch_q3",
     "tpch_q6",
     "embedding_centroids",
+    # round 5 (cont.) — Q5's four dims are hinted broadcast (star side
+    # shuffle-free), Q14's part is broadcast, Q18's having-filtered key
+    # set is a broadcast LEFT SEMI; cross_dup is one gram-key shuffle
+    "tpch_q5",
+    "tpch_q14",
+    "tpch_q18",
+    "cross_dup",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -178,3 +185,22 @@ def test_tpch_q6_all_three_predicates_pushed(spark, sf_dir):
     assert "LessThan(l_quantity,24.0)" in plan
     # column pruning: the scan must read only the four needed columns
     assert "l_returnflag" not in plan
+
+
+def test_tpch_q18_semi_join_stays_broadcast(spark, sf_dir):
+    """Q18's HAVING-filtered order-key set must enter lineitem as a
+    broadcast LEFT SEMI join (the key set is ~1% of orders by
+    construction) — a shuffled semi-join here would re-shuffle the fact
+    table once more per query at 100 TB."""
+    plan = _final_plan(spark, sf_dir, "tpch_q18")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_tpch_q5_star_side_all_broadcast(spark, sf_dir):
+    """Q5's four dimension joins (customer, supplier, nation, region) are
+    all broadcasts — the adaptive final plan must show at least 4
+    BroadcastHashJoins and no SortMergeJoin (the lone big-big
+    lineitem⋈orders join is AQE-promoted at test scale)."""
+    plan = _final_plan(spark, sf_dir, "tpch_q5")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
