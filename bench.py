@@ -71,6 +71,12 @@ HEADLINE = [
     "decontaminate",
     "lm_score",
     "semantic_dedup",
+    # session continuation: corpus-level duplicate-ngram scoring (one
+    # gram-key shuffle), distributed PCA (Arrow moment pass + projection),
+    # the 6-table broadcast star join
+    "cross_dup",
+    "pca_embed",
+    "tpch_q5",
 ]
 
 

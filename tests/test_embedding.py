@@ -66,3 +66,46 @@ def test_project_plan_has_no_shuffle(emb):
     mean, comps, _ = embedding.pca_fit(emb, k=2)
     plan = embedding.pca_project(emb, mean, comps)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pca_preserves_neighborhoods_for_ann(spark):
+    """Composition certificate in PCA's OWN regime: on a corpus with real
+    low-rank structure (the testdata embeddings are near-isotropic, where
+    NO 16-d subspace can carry 64 i.i.d. dims — measured recall there is
+    ~0.28 and correctly so), brute-force cosine top-10 in the 16-d PCA
+    space recovers the full-64-d neighborhood — the reduced space is a
+    valid ANN pre-filter (4× fewer bytes per vector through every
+    shuffle/broadcast of the simsearch family)."""
+    from periodicity_spark.pipeline import simsearch
+
+    rng = np.random.default_rng(7)
+    basis = np.linalg.qr(rng.normal(size=(64, 10)))[0]  # 10-d signal subspace
+    centers = rng.normal(size=(8, 10)) * 4.0
+    rows = []
+    for i in range(320):
+        z = centers[i % 8] + rng.normal(size=10)
+        v = basis @ z + rng.normal(size=64) * 0.05  # tiny isotropic noise
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    mean, comps, ev = embedding.pca_fit(emb, k=16)
+    # the spectrum must actually expose the low-rank structure
+    assert ev[9] > 50 * ev[10]
+    proj = embedding.pca_project(emb, mean, comps).withColumnRenamed(
+        "proj", "embedding"
+    )
+    probes_full = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    probes_proj = proj.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = simsearch.cosine_topk_bruteforce(emb, probes_full, k=10).toPandas()
+    red = simsearch.cosine_topk_bruteforce(proj, probes_proj, k=10).toPandas()
+    hits = 0.0
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(red[red["qid"] == qid]["vec_id"])
+        hits += len(e & a) / len(e)
+    recall = hits / exact["qid"].nunique()
+    assert recall >= 0.9, f"16-d PCA neighborhood recall@10 = {recall:.3f}"
