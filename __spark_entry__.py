@@ -34,7 +34,11 @@ from periodicity_spark.pipeline import sample as sample_ops
 from periodicity_spark.pipeline import sketch as sketch_ops
 from periodicity_spark.pipeline.multimodal import extract_features
 from periodicity_spark.session import persisted
-from periodicity_spark.sources.ingest import events_with_time, ts_from_events
+from periodicity_spark.sources.ingest import (
+    events_with_time,
+    load_table,
+    ts_from_events,
+)
 from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
 from periodicity_spark.spectral.periodogram_ops import period_at_highest_peak
 from periodicity_spark.functions.stats import series_stats
@@ -1251,6 +1255,35 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, least(a, min(b)) AS component_id
 FROM reach GROUP BY a
+"""
+
+
+def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.topk.topk_per_key — bounded-shuffle exact top-k: per-key
+    local top-k in an Arrow stage BEFORE any exchange, so a hot key's rows
+    pre-reduce where they sit (≤ k × partitions candidates per key shuffle,
+    independent of corpus size); window row_number only over candidates."""
+    from periodicity_spark.operators.topk import topk_per_key
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    return topk_per_key(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        "value",
+        3,
+        tie_cols=["event_id"],
+    )
+
+
+SQL_TOPK_EVENTS = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+) WHERE rank <= 3
 """
 
 
@@ -3404,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
         "cross_dup": q_cross_dup,
+        "topk_events": q_topk_events,
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
@@ -3518,6 +3552,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_keep": SQL_DEDUP_KEEP,
         "cross_dup": SQL_CROSS_DUP,
+        "topk_events": SQL_TOPK_EVENTS,
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,

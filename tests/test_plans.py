@@ -65,6 +65,9 @@ GUARDED = [
     "tpch_q14",
     "tpch_q18",
     "cross_dup",
+    # bounded-shuffle top-k: the Arrow local reduction must precede the
+    # single candidate exchange (dedicated shape test below)
+    "topk_events",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception

@@ -1,0 +1,79 @@
+"""Bounded-shuffle top-k: window equivalence, hot-key exactness, plan shape."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from periodicity_spark.operators.topk import topk_per_key
+from periodicity_spark.sources.ingest import ts_from_events
+
+
+def _window_topk(df, keys, order_col, k, tie_cols):
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def test_matches_window_formulation(spark, sf_dir):
+    ts = ts_from_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    a = (
+        topk_per_key(ts, ["series_id"], "value", 5, tie_cols=["time"])
+        .orderBy("series_id", "rank")
+        .toPandas()
+    )
+    b = (
+        _window_topk(ts, ["series_id"], "value", 5, ["time"])
+        .orderBy("series_id", "rank")
+        .toPandas()
+    )
+    assert a.reset_index(drop=True).equals(b[a.columns].reset_index(drop=True))
+
+
+def test_hot_key_survives_many_partitions(spark):
+    """One key holds 99% of rows spread over 16 partitions; the global
+    top-3 must still be exact and stage 1 must bound the candidate count."""
+    rows = [("hot", float(i % 1000), i) for i in range(20000)] + [
+        ("cold", float(i), 100000 + i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "key string, v double, id long").repartition(16)
+    out = topk_per_key(df, ["key"], "v", 3, tie_cols=["id"]).toPandas()
+    hot = out[out.key == "hot"].sort_values("rank")
+    assert hot["v"].tolist() == [999.0, 999.0, 999.0]
+    assert hot["id"].tolist() == [999, 1999, 2999]  # tie-break ascending id
+    cold = out[out.key == "cold"].sort_values("rank")
+    assert cold["v"].tolist() == [49.0, 48.0, 47.0]
+
+
+def test_k_exceeds_group_and_empty(spark):
+    df = spark.createDataFrame([("a", 1.0, 1), ("a", 2.0, 2)], "key string, v double, id long")
+    out = topk_per_key(df, ["key"], "v", 10, tie_cols=["id"]).toPandas()
+    assert len(out) == 2 and out["rank"].tolist() in ([1, 2], [2, 1])
+    empty = spark.createDataFrame([], "key string, v double, id long")
+    assert topk_per_key(empty, ["key"], "v", 3, tie_cols=["id"]).count() == 0
+
+
+def test_single_exchange_after_local_reduction(spark, sf_dir):
+    """The corpus passes through the Arrow local-top-k stage BEFORE any
+    exchange: exactly one hashpartitioning exchange (the candidate window),
+    and it sits above MapInPandas in the tree."""
+    ts = ts_from_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    df = topk_per_key(ts, ["series_id"], "value", 5, tie_cols=["time"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0]
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    }
+    assert len(keys) == 1, keys
+    assert "MapInPandas" in plan
+    # the exchange must consume the reduced candidates, not the raw scan:
+    # in the rendered tree the MapInPandas line appears BELOW the exchange
+    lines = plan.splitlines()
+    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
+    mp = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
+    assert mp > ex
