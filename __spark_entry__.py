@@ -3329,6 +3329,24 @@ def q_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_gls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING GLS periodogram (streaming/gls.py): per-(series, frequency)
+    raw trig sums accumulate across micro-batches (complete mode — state is
+    series × grid rows of 9 doubles, bounded by key cardinality, not stream
+    length); the power formula is a stateless finish over the drained
+    aggregate. Same fixed 128-point grid and min_count as gls_power, so the
+    ORACLE IS gls_power's — a streaming flagship with an exact SQL oracle."""
+    from periodicity_spark.spectral.gls import uniform_freq_grid
+    from periodicity_spark.streaming.gls import gls_power_from_sums, stream_gls_sums
+    from periodicity_spark.streaming.ops import events_stream
+
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+    sums = stream_gls_sums(events_stream(spark, sf_dir), grid)
+    drained = _run_stream(sums, "complete")
+    pw = gls_power_from_sums(drained, min_count=GLS_MIN_N)
+    return pw.select("series_id", "frequency", F.round("power", 6).alias("power"))
+
+
 def q_stream_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.stream_zscore — stateful running-Welford anomaly scores:
     each event scored against all PRIOR events of its series (min_n=10
@@ -3511,6 +3529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_ffill": q_stream_ffill,
         "stream_zscore": q_stream_zscore,
+        "stream_gls": q_stream_gls,
     }
 
 
@@ -3604,4 +3623,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_ffill": SQL_STREAM_FFILL,
         "stream_zscore": SQL_STREAM_ZSCORE,
+        # streaming GLS accumulates the same sums the batch operator
+        # aggregates, so the batch oracle applies verbatim
+        "stream_gls": SQL_GLS_POWER,
     }

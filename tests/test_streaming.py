@@ -201,3 +201,69 @@ def test_stream_zscore_rows_stay_aligned_under_shuffled_arrival(spark, tmp_path)
     # and the anomaly flag must sit ON the spike row, nowhere else
     assert bool(out.iloc[-1]["anomaly"])
     assert out["anomaly"].sum() == 1
+
+
+def test_stream_gls_accumulates_across_microbatches(spark, tmp_path):
+    """The streaming periodogram must equal the BATCH gls_periodogram after
+    folding the same samples in over MULTIPLE micro-batches (the sums
+    merge incrementally — this is the property a single-file availableNow
+    drain would not exercise)."""
+    import pandas as pd
+
+    from periodicity_spark.sources.ingest import ts_from_events
+    from periodicity_spark.spectral.gls import gls_periodogram, uniform_freq_grid
+    from periodicity_spark.streaming.gls import (
+        EPOCH_US,
+        gls_power_from_sums,
+        stream_gls_sums,
+    )
+
+    # split the sf0.001 events' derived series into 3 files → 3 micro-batches
+    ts = ts_from_events(spark, SF).filter(F.col("value").isNotNull())
+    pdf = ts.toPandas().sort_values(["series_id", "time"]).reset_index(drop=True)
+    pdf["ts"] = pd.to_datetime(
+        (pdf["time"] * 86400e6 + EPOCH_US).round().astype("int64"), unit="us"
+    )
+    src = str(tmp_path / "gls_src")
+    schema = "series_id string, ts timestamp, value double"
+    for i in range(3):
+        chunk = pdf.iloc[i::3][["series_id", "ts", "value"]]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    grid = uniform_freq_grid(spark, 0.05, 0.015625, 32)
+    ev = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_gls_sums(ev, grid)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sgls")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = (
+        gls_power_from_sums(spark.table("sgls"), min_count=8)
+        .toPandas()
+        .sort_values(["series_id", "frequency"])
+        .reset_index(drop=True)
+    )
+    want = (
+        gls_periodogram(ts, freq_grid=grid, min_count=8)
+        .toPandas()
+        .sort_values(["series_id", "frequency"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["series_id"] == want["series_id"]).all()
+    import numpy as np
+
+    np.testing.assert_allclose(got["power"], want["power"], atol=1e-9)
