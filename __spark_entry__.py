@@ -1421,6 +1421,67 @@ FROM s
 """
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.curate — the full C4/Gopher-style curation verdict
+    (language gate × quality floor × length floor × modal-bigram ceiling)
+    as ONE projection over ONE scan: the composition that would naively be
+    four scans and three doc_id joins."""
+    return text_ops.curate(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_CURATE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+q AS (
+  SELECT doc_id,
+         round(
+           least(len(toks) / 64.0, 1.0)
+           * (CASE WHEN (list_sum(list_transform(toks, x -> length(x))) / len(toks)::DOUBLE)
+                        BETWEEN 2.5 AND 8.0 THEN 1.0 ELSE 0.5 END)
+           * least(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))
+                   / len(toks)::DOUBLE * 5.0, 1.0),
+         6) AS quality
+  FROM t
+),
+ls AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) / len(toks)::DOUBLE AS s_de,
+    len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) / len(toks)::DOUBLE AS s_en,
+    len(list_filter(toks, x -> list_contains(['el','la','los','que','y'], x))) / len(toks)::DOUBLE AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) / len(toks)::DOUBLE AS s_fr,
+    len(list_filter(toks, x -> list_contains(['de','shi','le','zai','he'], x))) / len(toks)::DOUBLE AS s_zh
+  FROM t
+),
+l AS (
+  SELECT doc_id,
+         CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+              WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+              WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+              WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+              ELSE 'zh' END AS predicted_lang
+  FROM ls
+),
+bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] for i in generate_series(1, len(toks)-1)]) AS g
+  FROM t WHERE len(toks) >= 2
+),
+b AS (SELECT doc_id, max(c) AS maxc
+      FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+s AS (
+  SELECT t.doc_id, len(toks)::INT AS n_tokens, quality, predicted_lang,
+         round(maxc / (len(toks) - 1)::DOUBLE, 6) AS top_bigram_frac
+  FROM t JOIN q USING (doc_id) JOIN l USING (doc_id)
+  LEFT JOIN b ON b.doc_id = t.doc_id
+)
+SELECT doc_id,
+       (predicted_lang = 'en' AND quality >= 0.3 AND n_tokens >= 16
+        AND coalesce(top_bigram_frac <= 0.2, TRUE)) AS keep,
+       quality, predicted_lang, n_tokens, top_bigram_frac
+FROM s
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.text.fingerprint — md5 of lowercased whitespace-collapsed
     text: the canonical fuzzy-exact dedup key."""
@@ -3459,6 +3520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
+        "corpus_curate": q_corpus_curate,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
@@ -3575,6 +3637,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": SQL_TEXT_STATS,
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,
+        "corpus_curate": SQL_CORPUS_CURATE,
         "lang_id": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,

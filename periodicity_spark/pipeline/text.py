@@ -60,7 +60,14 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     Every factor is a per-row expression, so the whole score is ONE
     projection over one scan — no token_stats⋈stopword_ratio self-join
     (which would scan the corpus twice and shuffle for the equi-join)."""
-    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        _quality_expr(_tokens(text_col)).alias("quality"),
+    )
+
+
+def _quality_expr(toks: Column) -> Column:
+    """The quality_score composite as a single reusable column expression."""
     n_tokens = F.size(toks)
     total_tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     avg_token_len = total_tok_chars / n_tokens.cast("double")
@@ -71,10 +78,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     len_score = F.least(n_tokens / F.lit(64.0), F.lit(1.0))
     tok_score = F.when((avg_token_len >= 2.5) & (avg_token_len <= 8.0), 1.0).otherwise(0.5)
     sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        (len_score * tok_score * sw_score).alias("quality"),
-    )
+    return len_score * tok_score * sw_score
 
 
 def language_id(
@@ -93,19 +97,29 @@ def language_id(
         "es": ["el", "la", "los", "que", "y"],
         "zh": ["de", "shi", "le", "zai", "he"],
     }
-    toks = _tokens(text_col)
-    n = F.size(toks).cast("double")
-    scores = [
-        ((F.size(F.filter(toks, lambda t: t.isin(words))) / n)).alias(f"_s_{lang}")
-        for lang, words in markers.items()
-    ]
-    scored = docs.select(F.col(id_col).alias("doc_id"), *scores)
-    langs = sorted(markers)
-    best = F.greatest(*[F.col(f"_s_{lang}") for lang in langs])
-    pred = F.coalesce(
-        *[F.when(F.col(f"_s_{lang}") == best, F.lit(lang)) for lang in langs]
+    pred, best = _lang_pred_exprs(_tokens(text_col), markers)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        pred.alias("predicted_lang"),
+        best.alias("score"),
     )
-    return scored.select("doc_id", pred.alias("predicted_lang"), best.alias("score"))
+
+
+def _lang_pred_exprs(toks: Column, markers: dict[str, list[str]]):
+    """(predicted_lang, score) column expressions for the stopword vote.
+    Catalyst common-subexpression-eliminates the repeated per-language
+    filters between `best` and the coalesce chain."""
+    n = F.size(toks).cast("double")
+    slang = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(words))) / n
+        for lang, words in markers.items()
+    }
+    langs = sorted(markers)
+    best = F.greatest(*[slang[lang] for lang in langs])
+    pred = F.coalesce(
+        *[F.when(slang[lang] == best, F.lit(lang)) for lang in langs]
+    )
+    return pred, best
 
 
 # GPT-2-style pre-tokenizer classes: letter runs, digit runs, single
@@ -463,4 +477,60 @@ def top_keywords(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "token", "tf", "df", "rank")
+    )
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    min_tokens: int = 16,
+    max_top_bigram: float = 0.2,
+    allowed_langs: tuple = ("en",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The end-to-end corpus-curation verdict — the filter chain every
+    LLM-corpus pipeline runs (C4 / Gopher / RefinedWeb style): language
+    gate, composite quality floor, minimum length, and the modal-bigram
+    repetition ceiling, combined into one keep/drop decision per document.
+
+    → (doc_id, keep, quality, predicted_lang, n_tokens, top_bigram_frac).
+
+    All four signals are per-row expressions over the SAME token split, so
+    the whole verdict is ONE projection over ONE scan — zero shuffles, no
+    joins between the signal stages (the naive composition of the four
+    standalone operators would scan the corpus four times and shuffle
+    three doc_id joins). Signals are rounded to 6 dp BEFORE thresholding
+    so the keep decision is reproducible cross-engine at the same
+    precision the per-signal contracts certify. Documents too short to
+    assess repetition (< 2 tokens) pass that gate (NULL is not a drop
+    reason — the length gate already rejects them)."""
+    markers = {
+        "en": ["the", "and", "of", "to", "a"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "et", "les", "des"],
+        "es": ["el", "la", "los", "que", "y"],
+        "zh": ["de", "shi", "le", "zai", "he"],
+    }
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    quality = F.round(_quality_expr(toks), 6)
+    pred, _score = _lang_pred_exprs(toks, markers)
+    big2 = _modal_count(F.array_sort(_ngram_array(toks, 2)))
+    top_bigram = F.round(
+        F.when(n >= 2, big2 / (n - 1).cast("double")), 6
+    )
+    keep = (
+        pred.isin(*allowed_langs)
+        & (quality >= F.lit(float(min_quality)))
+        & (n >= F.lit(int(min_tokens)))
+        & (F.coalesce(top_bigram <= F.lit(float(max_top_bigram)), F.lit(True)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        keep.alias("keep"),
+        quality.alias("quality"),
+        pred.alias("predicted_lang"),
+        n.alias("n_tokens"),
+        top_bigram.alias("top_bigram_frac"),
     )

@@ -68,6 +68,8 @@ GUARDED = [
     # bounded-shuffle top-k: the Arrow local reduction must precede the
     # single candidate exchange (dedicated shape test below)
     "topk_events",
+    # one-scan curation verdict (dedicated zero-shuffle test below)
+    "corpus_curate",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -207,3 +209,12 @@ def test_tpch_q5_star_side_all_broadcast(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "tpch_q5")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_corpus_curate_is_shuffle_free_single_scan(spark, sf_dir):
+    """The composed curation verdict must stay ONE projection over ONE
+    scan — composing the four signal operators must not reintroduce the
+    four-scan three-join shape."""
+    plan = _final_plan(spark, sf_dir, "corpus_curate")
+    assert "Exchange" not in plan, "corpus_curate grew a shuffle"
+    assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
