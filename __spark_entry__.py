@@ -2275,6 +2275,77 @@ SELECT series_id, "time", value FROM p WHERE pos >= 2 AND pos < 6
 """
 
 
+def q_timeshift_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.transform.timeshift/timescale (reference core.py:537-541)
+    — the affine time-axis maps, composed: rebase by −100 days then scale
+    to hours. Pure projection; both engines compute the identical doubles
+    from the exact micros axis."""
+    out = ops_transform.timescale(
+        ops_transform.timeshift(_ts(spark, sf_dir), -100.0), 24.0
+    )
+    return out.select("series_id", "time", "value")
+
+
+SQL_TIMESHIFT_SCALE = f"""
+WITH {TS_SQL}
+SELECT series_id, ("time" - 100.0) * 24.0 AS "time", value FROM ts
+"""
+
+
+def q_drop_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.transform.drop_by_position (reference drop(), core.py:
+    717-724) — delete the first and LAST sample per series (negative index
+    resolves against the per-series count, like numpy)."""
+    out = ops_transform.drop_by_position(_ts(spark, sf_dir), [0, -1])
+    return out.select("series_id", "time", "value")
+
+
+SQL_DROP_POSITIONS = f"""
+WITH {TS_SQL},
+p AS (
+  SELECT series_id, "time", value,
+         row_number() OVER (PARTITION BY series_id ORDER BY "time") - 1 AS pos,
+         count(*) OVER (PARTITION BY series_id) AS n
+  FROM ts
+)
+SELECT series_id, "time", value FROM p WHERE pos <> 0 AND pos <> n - 1
+"""
+
+
+def q_union_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.transform.union_series + overlap accounting (reference
+    join(), core.py:610-617: concatenation keeps duplicate timestamps and
+    only WARNS on overlap) — union two overlapping positional slices and
+    report per-series row and overlap counts, the quantity behind the
+    reference's warning condition."""
+    ts = _ts(spark, sf_dir)
+    a = ops_transform.slice_by_position(ts, 0, 6)
+    b = ops_transform.slice_by_position(ts, 4, 10)
+    u = ops_transform.union_series(a, b)
+    return u.groupBy("series_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct("time")).alias("n_overlap"),
+    )
+
+
+SQL_UNION_OVERLAP = f"""
+WITH {TS_SQL},
+p AS (
+  SELECT series_id, "time", value,
+         row_number() OVER (PARTITION BY series_id ORDER BY "time") - 1 AS pos
+  FROM ts
+),
+u AS (
+  SELECT series_id, "time" FROM p WHERE pos >= 0 AND pos < 6
+  UNION ALL
+  SELECT series_id, "time" FROM p WHERE pos >= 4 AND pos < 10
+)
+SELECT series_id, count(*)::BIGINT AS n_rows,
+       (count(*) - count(DISTINCT "time"))::BIGINT AS n_overlap
+FROM u GROUP BY series_id
+"""
+
+
 def q_fill_gaps_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_resample.fill_gaps(_ts(spark, sf_dir), dt=0.1)
     return out.groupBy("series_id").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -3541,6 +3612,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "roll3": q_roll3,
         "slice_pos": q_slice_pos,
+        "timeshift_scale": q_timeshift_scale,
+        "drop_positions": q_drop_positions,
+        "union_overlap": q_union_overlap,
         "fill_gaps_count": q_fill_gaps_count,
         "interp_halfday": q_interp_halfday,
         "noise_estimate": q_noise_estimate,
@@ -3658,6 +3732,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "roll3": SQL_ROLL3,
         "slice_pos": SQL_SLICE_POS,
+        "timeshift_scale": SQL_TIMESHIFT_SCALE,
+        "drop_positions": SQL_DROP_POSITIONS,
+        "union_overlap": SQL_UNION_OVERLAP,
         "fill_gaps_count": SQL_FILL_GAPS_COUNT,
         "interp_halfday": SQL_INTERP_HALFDAY,
         "noise_estimate": SQL_NOISE_ESTIMATE,
