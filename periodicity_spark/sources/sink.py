@@ -84,3 +84,73 @@ def ts_from_csv(
         F.col(time_col).cast("double").alias("time"),
         value.alias("value"),
     )
+
+
+def stream_to_series_store(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    bucket_days: float = 30.0,
+    trigger_available_now: bool = True,
+):
+    """Streaming writer into the SAME partitioned series-store layout the
+    batch writer produces (day_bucket partition directories, exactly-once
+    via the checkpointed file-sink commit log). Late data lands in its
+    correct day_bucket partition — partition pruning on read works
+    identically for stream- and batch-written data, so a reader never
+    distinguishes how a file arrived.
+
+    events: streaming (series_id, time double, value[, ...]).
+    Returns the StreamingQuery (caller awaits / stops)."""
+    out = events.withColumn(
+        "day_bucket", F.floor(F.col("time") / F.lit(float(bucket_days))).cast("long")
+    )
+    w = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("day_bucket")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def docs_from_jsonl(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """JSONL document source — the standard LLM-corpus interchange format
+    (one JSON object per line). Explicit schema: no inference pass over the
+    corpus (schema inference reads EVERY file once before the real scan —
+    at 100 TB that doubles ingest IO), malformed lines land in
+    ``_corrupt_record`` instead of failing the job (PERMISSIVE mode) and
+    are dropped here after a count-free filter. Extra keys are ignored by
+    schema projection — pushdown prunes them at the JSON parser."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(text_col, StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        df.filter(F.col("_corrupt_record").isNull() & F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+
+
+def write_jsonl(docs: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL document sink (one object per line, spark text-partitioned)."""
+    docs.write.mode(mode).json(path)

@@ -75,3 +75,77 @@ def test_ts_from_csv_roundtrip_with_sentinel(spark, tmp_path):
     assert pd.isna(out["value"].tolist()[1])  # sentinel → NULL
     assert out["value"].tolist()[2] == 2.5
     assert out.dtypes["time"] == "float64"
+
+
+def test_stream_to_series_store_matches_batch_layout(spark, sf_dir, tmp_path):
+    """Stream-written store == batch-written store: same day_bucket
+    partition directories, same rows; a reader cannot tell how a file
+    arrived, and partition pruning works identically."""
+    import os
+
+    from periodicity_spark.sources.ingest import ts_from_events
+    from periodicity_spark.sources.sink import (
+        read_series_store,
+        stream_to_series_store,
+        write_series_store,
+    )
+
+    ts = ts_from_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    batch_path = str(tmp_path / "batch_store")
+    write_series_store(ts, batch_path, bucket_days=2.0)
+
+    # file-stream the same rows (as parquet) into the streaming writer
+    src = str(tmp_path / "src")
+    ts.write.parquet(src)
+    ev = spark.readStream.schema(ts.schema).parquet(src)
+    q = stream_to_series_store(
+        ev,
+        str(tmp_path / "stream_store"),
+        str(tmp_path / "ckpt"),
+        bucket_days=2.0,
+    )
+    q.awaitTermination()
+
+    b_parts = {d for d in os.listdir(batch_path) if d.startswith("day_bucket=")}
+    s_parts = {
+        d for d in os.listdir(str(tmp_path / "stream_store")) if d.startswith("day_bucket=")
+    }
+    assert s_parts == b_parts and len(b_parts) > 1
+
+    a = (
+        read_series_store(spark, batch_path)
+        .toPandas()
+        .sort_values(["series_id", "time"])
+        .reset_index(drop=True)
+    )
+    b = (
+        read_series_store(spark, str(tmp_path / "stream_store"))
+        .toPandas()
+        .sort_values(["series_id", "time"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_jsonl_roundtrip_and_corrupt_line_tolerance(spark, tmp_path):
+    """JSONL source: explicit schema (no inference pass), malformed lines
+    dropped not fatal, extra keys ignored; write→read roundtrips."""
+    from periodicity_spark.sources.sink import docs_from_jsonl, write_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "extra": 7}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "text": "second doc"}\n'
+        '{"text": "no id -> dropped"}\n'
+    )
+    docs = docs_from_jsonl(spark, str(src))
+    out = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["text"].tolist() == ["hello world", "second doc"]
+    assert docs.columns == ["doc_id", "text"]
+
+    dst = str(tmp_path / "out_jsonl")
+    write_jsonl(docs, dst)
+    back = docs_from_jsonl(spark, dst).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, back)
