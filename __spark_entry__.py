@@ -2275,6 +2275,34 @@ SELECT series_id, "time", value FROM p WHERE pos >= 2 AND pos < 6
 """
 
 
+def q_fold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.transform.fold_profile — the phase-binned fold profile
+    (phase diagram): fold at period 1 day, 16 bins, per-bin mean. One
+    (series, bin) hash aggregate with map-side combine."""
+    out = ops_transform.fold_profile(_ts(spark, sf_dir), period=1.0, nbins=16)
+    return out.select(
+        "series_id",
+        "bin",
+        "phase_center",
+        F.round("mean_value", 6).alias("mean_value"),
+        "n",
+    )
+
+
+SQL_FOLD_PROFILE = f"""
+WITH {TS_SQL},
+p AS (
+  SELECT series_id,
+         least(floor(((("time" / 1.0) % 1 + 1) % 1) * 16)::INT, 15) AS bin,
+         value
+  FROM ts WHERE value IS NOT NULL
+)
+SELECT series_id, bin, (bin + 0.5) / 16.0 AS phase_center,
+       round(avg(value), 6) AS mean_value, count(*)::BIGINT AS n
+FROM p GROUP BY series_id, bin
+"""
+
+
 def q_timeshift_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators.transform.timeshift/timescale (reference core.py:537-541)
     — the affine time-axis maps, composed: rebase by −100 days then scale
@@ -3461,6 +3489,39 @@ def q_stream_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/ops.stream_funnel): every
+    purchase paired with same-user clicks in the preceding 6 hours. Both
+    sides watermarked; the time-range condition bounds join state. The
+    availableNow drain over the static source is the complete join — the
+    oracle is the equivalent batch self-join."""
+    from periodicity_spark.streaming.ops import events_stream_raw, stream_funnel
+
+    out = stream_funnel(events_stream_raw(spark, sf_dir))
+    tbl = _run_stream(out, "append")
+    return tbl.select(
+        "user_id",
+        "first_id",
+        "then_id",
+        _ts_days("first_ts").alias("first_t"),
+        _ts_days("then_ts").alias("then_t"),
+    )
+
+
+SQL_STREAM_FUNNEL = f"""
+SELECT c.user_id,
+       c.event_id AS first_id,
+       p.event_id AS then_id,
+       (epoch_us(c.ts) - {EPOCH_US}) / {DAY_US} AS first_t,
+       (epoch_us(p.ts) - {EPOCH_US}) / {DAY_US} AS then_t
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+  AND p.ts > c.ts
+  AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000
+"""
+
+
 def q_stream_gls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING GLS periodogram (streaming/gls.py): per-(series, frequency)
     raw trig sums accumulate across micro-batches (complete mode — state is
@@ -3612,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "roll3": q_roll3,
         "slice_pos": q_slice_pos,
+        "fold_profile": q_fold_profile,
         "timeshift_scale": q_timeshift_scale,
         "drop_positions": q_drop_positions,
         "union_overlap": q_union_overlap,
@@ -3666,6 +3728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ffill": q_stream_ffill,
         "stream_zscore": q_stream_zscore,
         "stream_gls": q_stream_gls,
+        "stream_funnel": q_stream_funnel,
     }
 
 
@@ -3732,6 +3795,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "roll3": SQL_ROLL3,
         "slice_pos": SQL_SLICE_POS,
+        "fold_profile": SQL_FOLD_PROFILE,
         "timeshift_scale": SQL_TIMESHIFT_SCALE,
         "drop_positions": SQL_DROP_POSITIONS,
         "union_overlap": SQL_UNION_OVERLAP,
@@ -3766,4 +3830,5 @@ def oracle_sql() -> dict[str, str]:
         # streaming GLS accumulates the same sums the batch operator
         # aggregates, so the batch oracle applies verbatim
         "stream_gls": SQL_GLS_POWER,
+        "stream_funnel": SQL_STREAM_FUNNEL,
     }

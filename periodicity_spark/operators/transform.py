@@ -91,3 +91,31 @@ def union_series(a: DataFrame, b: DataFrame) -> DataFrame:
 def overlap_count(a: DataFrame, b: DataFrame) -> int:
     """The reference's overlap warning condition (core.py:611)."""
     return a.join(b, ["series_id", "time"], "left_semi").count()
+
+
+def fold_profile(
+    ts: DataFrame, period: float, nbins: int = 16, t0: float = 0.0
+) -> DataFrame:
+    """Phase-binned fold profile — the classic phase diagram behind every
+    folded-light-curve plot (fold, reference core.py:543-544, followed by
+    the binned mean the reference reaches via downsample over folded time):
+    → (series_id, bin, phase_center, mean_value, n), one row per non-empty
+    phase bin. One shuffle (the (series, bin) hash aggregate with map-side
+    combine); NULL values are skipped like every reference reducer."""
+    phase = fold_expr("time", float(period), float(t0))
+    b = F.least(
+        F.floor(phase * F.lit(int(nbins))).cast("int"), F.lit(int(nbins) - 1)
+    )
+    return (
+        ts.filter(F.col("value").isNotNull())
+        .select("series_id", b.alias("bin"), "value")
+        .groupBy("series_id", "bin")
+        .agg(F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "series_id",
+            "bin",
+            ((F.col("bin") + 0.5) / F.lit(float(nbins))).alias("phase_center"),
+            "mean_value",
+            "n",
+        )
+    )

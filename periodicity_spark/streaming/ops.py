@@ -226,3 +226,77 @@ def stream_dedup(
     if keys is None:
         keys = ["series_id", "ts"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def events_stream_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet keeping the RAW columns
+    (event_id, ts timestamp, user_id, event_type, value) — the input shape
+    for stream-stream joins, where the key is user/type, not the derived
+    series_id. Schema inferred from a batch read (see events_stream)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(epoch_us_expr(raw)).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def stream_funnel(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "6 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream INTERVAL join — funnel matching: every ``then_type``
+    event paired with each ``first_type`` event by the same user within
+    ``within`` AFTER it. The canonical sessionless attribution query.
+
+    → (user_id, first_id, then_id, first_ts, then_ts).
+
+    State story: both sides carry watermarks and the join condition bounds
+    then.ts ∈ (first.ts, first.ts + within], so Spark evicts buffered rows
+    once the watermark passes their match horizon — state is bounded by
+    (events within watermark+within), not stream length. An inner
+    stream-stream join emits a match as soon as both sides arrive; the
+    drained availableNow result over a static source is the complete join,
+    which is what the SQL oracle checks."""
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", watermark)
+    )
+    cond = (
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"interval {within}"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a_user").alias("user_id"),
+        "first_id",
+        "then_id",
+        F.col("a_ts").alias("first_ts"),
+        F.col("b_ts").alias("then_ts"),
+    )

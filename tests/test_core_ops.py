@@ -415,3 +415,26 @@ def test_ewma_matches_pandas_times_semantics(spark):
         .to_numpy()
     )
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_fold_profile_recovers_planted_shape(spark):
+    """Folding a pure sinusoid at its true period: bin means trace the
+    sinusoid (max bin near phase 0.25, min near 0.75); NULLs are skipped;
+    bin count and edges are exact."""
+    import math
+
+    rows = []
+    for i in range(400):
+        t = i * 0.013
+        rows.append(("s", t, math.sin(2 * math.pi * t / 2.5)))
+    rows.append(("s", 0.5, None))  # skipped, not counted
+    df = spark.createDataFrame(rows, "series_id string, time double, value double")
+    from periodicity_spark.operators.transform import fold_profile
+
+    out = fold_profile(df, period=2.5, nbins=8).toPandas().sort_values("bin")
+    assert out["bin"].tolist() == list(range(8))
+    assert out["n"].sum() == 400  # the NULL row is not counted
+    means = out.set_index("bin")["mean_value"]
+    assert means.idxmax() in (1, 2) and means.idxmin() in (5, 6)
+    centers = out.set_index("bin")["phase_center"]
+    assert abs(centers[0] - 1 / 16) < 1e-12 and abs(centers[7] - 15 / 16) < 1e-12

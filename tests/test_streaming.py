@@ -267,3 +267,44 @@ def test_stream_gls_accumulates_across_microbatches(spark, tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(got["power"], want["power"], atol=1e-9)
+
+
+def test_stream_funnel_matches_across_microbatches(spark, tmp_path):
+    """Stream-stream interval join state: a click buffered in batch 1 must
+    match a purchase arriving in batch 2 (within the 6 h horizon), and a
+    purchase outside the horizon must not match."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_funnel
+
+    src = str(tmp_path / "funnel_src")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src)
+
+    _write([(1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 09:00:00", 8, "click", 1.0)])
+    ev = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_funnel(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: user 7 purchases within 6 h (match); user 8 purchases 8 h
+    # after the click (no match)
+    _write([(3, "2024-01-01 14:00:00", 7, "purchase", 5.0),
+            (4, "2024-01-01 17:00:00", 8, "purchase", 5.0)])
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.sql("SELECT * FROM funnel_out").toPandas()
+    assert out["user_id"].tolist() == [7]
+    assert out.iloc[0]["first_id"] == 1 and out.iloc[0]["then_id"] == 3
