@@ -141,3 +141,35 @@ def test_ts_from_events_yields_rows_with_finite_time(spark, sf_dir):
     assert agg.n > 0, "ts_from_events read ZERO rows — silent reader failure"
     assert agg.tmin is not None and agg.tmax is not None
     assert -1.0 <= agg.tmin <= agg.tmax < 100000.0
+
+
+def test_epoch_us_expr_identical_across_all_physical_types(spark, tmp_path):
+    """Drift inoculation for the r4 failure class: the SAME instants stored
+    as parquet timestamp[us] (NTZ), instant timestamp, and raw nanos-long
+    must produce byte-identical epoch-micros through epoch_us_expr — so the
+    NEXT physical-type flip cannot change any derived time axis."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from periodicity_spark.sources.ingest import epoch_us_expr
+
+    us = [1704067200000000, 1704070800000000, 1721088000123456]
+
+    p_ntz = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(us, pa.timestamp("us"))}), p_ntz
+    )
+    p_tz = str(tmp_path / "tz.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(us, pa.timestamp("us", tz="UTC"))}), p_tz
+    )
+    p_ns = str(tmp_path / "ns.parquet")
+    pq.write_table(pa.table({"ts": pa.array([u * 1000 for u in us], pa.int64())}), p_ns)
+
+    got = {}
+    for name, path in [("ntz", p_ntz), ("tz", p_tz), ("ns", p_ns)]:
+        df = spark.read.parquet(path)
+        got[name] = sorted(
+            r[0] for r in df.select(epoch_us_expr(df).alias("us")).collect()
+        )
+    assert got["ntz"] == got["tz"] == got["ns"] == sorted(us), got
