@@ -77,3 +77,40 @@ def test_single_exchange_after_local_reduction(spark, sf_dir):
     ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning" in l)
     mp = next(i for i, l in enumerate(lines) if "MapInPandas" in l)
     assert mp > ex
+
+
+def test_property_matches_window_on_random_data(spark):
+    """Randomized differential: bounded-shuffle top-k equals the window
+    formulation on adversarial shapes (duplicate order values, all-one-key,
+    k ∈ {1, 3, 100}) — seeds fixed for reproducibility."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n_keys = rng.choice([1, 2, 7])
+        n_rows = rng.randint(1, 400)
+        rows = [
+            (
+                f"k{rng.randrange(n_keys)}",
+                float(rng.randrange(10)),  # heavy order-value ties
+                i,
+            )
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(
+            rows, "key string, v double, id long"
+        ).repartition(rng.choice([1, 4, 16]))
+        k = rng.choice([1, 3, 100])
+        a = (
+            topk_per_key(df, ["key"], "v", k, tie_cols=["id"])
+            .orderBy("key", "rank")
+            .toPandas()
+        )
+        b = (
+            _window_topk(df, ["key"], "v", k, ["id"])
+            .orderBy("key", "rank")
+            .toPandas()
+        )
+        assert a.reset_index(drop=True).equals(
+            b[a.columns].reset_index(drop=True)
+        ), f"trial {trial}: k={k} rows={n_rows}"
