@@ -2110,6 +2110,44 @@ FROM prom
 """
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.multimodal.audio_features — spectral centroid / rolloff /
+    flatness from REAL WAV decode + rfft (Hann window) over synthesized
+    tone clips. Rows-only: the FFT is not SQL-expressible; the
+    tone-frequency-recovery test in tests/test_multimodal.py certifies
+    values."""
+    from periodicity_spark.pipeline.multimodal import audio_features, synthesize_media
+
+    d = _docs(spark, sf_dir)
+    ids = d.filter(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind")
+    )
+    out = audio_features(synthesize_media(ids))
+    return out.select(
+        "media_id",
+        "n_samples",
+        "sr",
+        F.round("rms", 6).alias("rms"),
+        F.round("centroid_hz", 3).alias("centroid_hz"),
+        F.round("rolloff85_hz", 3).alias("rolloff85_hz"),
+        F.round("flatness", 6).alias("flatness"),
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.multimodal.image_dhash — perceptual dHash (decode BMP →
+    9×8 box resize → 64 gradient bits) over synthesized images. Rows-only:
+    decode+resize is not SQL-expressible; the planted near-dup test
+    certifies the banded-Hamming join."""
+    from periodicity_spark.pipeline.multimodal import image_dhash, synthesize_media
+
+    d = _docs(spark, sf_dir)
+    ids = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind")
+    )
+    return image_dhash(synthesize_media(ids))
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL decode for all three modalities: RIFF/WAVE PCM (audio), 24-bpp
     # BMP (image), YUV4MPEG2 (video). Payloads are genuine format bytes
@@ -3685,6 +3723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_fft": q_acf_fft,
         "peak_prominence": q_peak_prominence,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
+        "image_dhash": q_image_dhash,
         "simsearch_lsh": q_simsearch_lsh,
         "butterworth_band": q_butterworth_band,
         "acf_period_quality": q_acf_period_quality,

@@ -40,10 +40,10 @@ MEDIA_SCHEMA = T.StructType(
 N_FEATURES = 8
 
 
-def decode_wav(payload: bytes) -> list[float] | None:
-    """RIFF/WAVE PCM → [n_samples, sample_rate, channels, duration_s, rms,
-    peak, zcr, mean] (amplitude normalized to full scale). None if the
-    payload is not a well-formed PCM WAV."""
+def wav_pcm(payload: bytes):
+    """RIFF/WAVE PCM → (mono float samples ndarray, sample_rate), or None
+    if the payload is not a well-formed PCM WAV. The shared parse behind
+    decode_wav (summary features) and audio_features (spectral features)."""
     import struct
 
     import numpy as np
@@ -80,19 +80,33 @@ def decode_wav(payload: bytes) -> list[float] | None:
         if n_frames == 0:
             return None
         x = x[: n_frames * channels].reshape(n_frames, channels).mean(axis=1)
-        zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / max(n_frames - 1, 1)
-        return [
-            float(n_frames),
-            float(sample_rate),
-            float(channels),
-            n_frames / sample_rate,
-            float(np.sqrt(np.mean(x * x))),
-            float(np.abs(x).max()),
-            zc,
-            float(x.mean()),
-        ]
+        return x, int(sample_rate), int(channels)
     except Exception:
         return None
+
+
+def decode_wav(payload: bytes) -> list[float] | None:
+    """RIFF/WAVE PCM → [n_samples, sample_rate, channels, duration_s, rms,
+    peak, zcr, mean] (amplitude normalized to full scale). None if the
+    payload is not a well-formed PCM WAV."""
+    import numpy as np
+
+    parsed = wav_pcm(payload)
+    if parsed is None:
+        return None
+    x, sample_rate, channels = parsed
+    n_frames = len(x)
+    zc = float(np.count_nonzero(np.diff(np.signbit(x)))) / max(n_frames - 1, 1)
+    return [
+        float(n_frames),
+        float(sample_rate),
+        float(channels),
+        n_frames / sample_rate,
+        float(np.sqrt(np.mean(x * x))),
+        float(np.abs(x).max()),
+        zc,
+        float(x.mean()),
+    ]
 
 
 def bmp_pixels(payload: bytes):
@@ -513,4 +527,185 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
                 F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
             ).alias("frame_index"),
         )
+    )
+
+
+def make_bmp_from_array(arr) -> bytes:
+    """24-bpp bottom-up BMP from an (h, w, 3) uint8 RGB array — the
+    fixture builder for non-solid test images (gradients, near-dup pairs)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w, _ = a.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        row = a[y][:, ::-1].tobytes()  # RGB → BGR
+        rows.append(row + b"\x00" * (stride - w * 3))
+    pixels = b"".join(rows)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", 14 + len(dib) + len(pixels), 0, 0, 14 + len(dib)
+    )
+    return header + dib + pixels
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature extraction for training-data curation: per-clip
+    spectral features from the decoded PCM — → (media_id, n_samples, sr,
+    rms, zcr, centroid_hz, rolloff85_hz, flatness).
+
+    centroid = Σ f·|X(f)| / Σ|X(f)| (rfft magnitudes); rolloff85 = lowest
+    frequency below which 85 % of spectral energy lies; flatness =
+    geometric/arithmetic mean of the power spectrum (≈0 for pure tones,
+    →1 for white noise) — the standard audio-quality/content signals.
+    Arrow-batched mapInPandas, stateless per batch; non-audio or malformed
+    payloads yield NULL features."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.pipeline.multimodal import wav_pcm
+
+        for pdf in it:
+            out = {k: [] for k in
+                   ("n_samples", "sr", "rms", "zcr", "centroid_hz",
+                    "rolloff85_hz", "flatness")}
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                parsed = wav_pcm(payload) if kind == "audio" else None
+                if parsed is None:
+                    for k in out:
+                        out[k].append(None)
+                    continue
+                x, sr, _ch = parsed
+                n = len(x)
+                # Hann window: a rectangular window's leakage sidelobes
+                # drag the centroid of an off-bin tone hundreds of Hz up
+                mag = np.abs(np.fft.rfft(x * np.hanning(n)))
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                power = mag * mag
+                # power weighting (not magnitude) further suppresses the
+                # leakage tail — a pure tone's centroid lands on the tone
+                psum = power.sum()
+                centroid = float((freqs * power).sum() / psum) if psum > 0 else None
+                if psum > 0:
+                    roll_idx = int(np.searchsorted(np.cumsum(power), 0.85 * psum))
+                    rolloff = float(freqs[min(roll_idx, len(freqs) - 1)])
+                    nz = power[power > 0]
+                    flat = float(
+                        np.exp(np.mean(np.log(nz))) / (power.mean())
+                    )
+                else:
+                    rolloff, flat = None, None
+                out["n_samples"].append(n)
+                out["sr"].append(sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x))))
+                out["zcr"].append(
+                    float(np.count_nonzero(np.diff(np.signbit(x)))) / max(n - 1, 1)
+                )
+                out["centroid_hz"].append(centroid)
+                out["rolloff85_hz"].append(rolloff)
+                out["flatness"].append(flat)
+            yield pd.DataFrame({"media_id": pdf["media_id"], **out})
+
+    schema = (
+        "media_id long, n_samples long, sr long, rms double, zcr double, "
+        "centroid_hz double, rolloff85_hz double, flatness double"
+    )
+    return media.mapInPandas(_batches, schema)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Perceptual dHash for image dedup (the LAION-style near-dup key):
+    decode the BMP luma, box-resize to 9×8, hash = the 64 left>right
+    gradient bits packed into a BIGINT. Robust to uniform brightness and
+    scale changes; one Arrow map stage → (media_id, dhash). Non-image /
+    malformed payloads drop out (NULL-filtered)."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.pipeline.multimodal import bmp_pixels, box_resize
+
+        for pdf in it:
+            ids, hs = [], []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "image":
+                    continue
+                px = bmp_pixels(payload)
+                if px is None:
+                    continue
+                luma = (
+                    0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                )
+                g = box_resize(luma, 8, 9)
+                bits = (g[:, :-1] > g[:, 1:]).ravel()
+                h = 0
+                for b in bits:
+                    h = (h << 1) | int(b)
+                # store as signed 64-bit (Spark LongType)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                ids.append(mid)
+                hs.append(h)
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hs, dtype="int64")})
+
+    return media.mapInPandas(_batches, "media_id long, dhash long")
+
+
+def image_near_duplicates(
+    media: DataFrame, max_hamming: int = 6, n_bands: int = 4
+) -> DataFrame:
+    """Image near-dup pairs by banded-Hamming join over the dHash — the
+    same blocking strategy as text SimHash (pigeonhole: two hashes within
+    ``max_hamming`` < n_bands bits share at least one exact 16-bit band):
+    band equi-join generates candidates, exact Hamming (bit_count of XOR)
+    verifies. → (m1, m2, hamming), m1 < m2. No all-pairs comparison."""
+    h = image_dhash(media)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(f"(dhash >> {i * width}) & {mask}").alias("sig"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band", "b.sig")
+    a = bands.select(
+        F.col("media_id").alias("m1"), F.col("dhash").alias("h1"), "band", "sig"
+    )
+    b = bands.select(
+        F.col("media_id").alias("m2"), F.col("dhash").alias("h2"), "band", "sig"
+    )
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("m1") < F.col("m2"))
+        .select("m1", "m2", "h1", "h2")
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("h1 ^ h2"))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= int(max_hamming))
+        .select("m1", "m2", "hamming")
     )

@@ -212,3 +212,66 @@ def test_sample_frames_real_y4m_stride(spark):
         (0, 10.0, 0.0), (2, 110.0, 0.0), (4, 210.0, 0.0)
     ]
     assert rows[1].t_sec == 2 / 25.0
+
+
+def test_audio_features_recover_tone_frequency(spark):
+    """Spectral centroid of a synthesized pure tone lands on the tone
+    frequency (within FFT bin resolution); flatness is near 0 for a tone;
+    malformed and non-audio payloads yield NULL features."""
+    from periodicity_spark.pipeline.multimodal import audio_features, make_wav
+
+    rows = [
+        (1, "audio", make_wav(400.0, n=1024, sample_rate=8000), None),
+        (2, "audio", make_wav(1200.0, n=1024, sample_rate=8000), None),
+        (3, "audio", b"not a wav", None),
+        (4, "video", b"whatever", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = audio_features(media).toPandas().set_index("media_id")
+    res = 8000.0 / 1024  # FFT bin width
+    assert abs(out.loc[1, "centroid_hz"] - 400.0) < 3 * res
+    assert abs(out.loc[2, "centroid_hz"] - 1200.0) < 3 * res
+    assert out.loc[1, "flatness"] < 0.1
+    assert out.loc[1, "rolloff85_hz"] >= out.loc[1, "centroid_hz"] - 3 * res
+    assert pd.isna(out.loc[3, "centroid_hz"]) and pd.isna(out.loc[4, "rms"])
+
+
+def test_image_dhash_near_duplicates(spark):
+    """dHash blocking finds the perturbed twin of a gradient image at a
+    small Hamming distance and does NOT pair it with a reversed gradient;
+    the banded join never compares all pairs."""
+    from periodicity_spark.pipeline.multimodal import (
+        image_dhash,
+        image_near_duplicates,
+        make_bmp_from_array,
+    )
+
+    base = np.zeros((16, 18, 3), dtype=np.uint8)
+    for x in range(18):
+        base[:, x, :] = int(x * 255 / 17)
+    twin = base.copy()
+    twin[3, 4, :] = 255  # one bright pixel
+    reverse = base[:, ::-1, :].copy()
+    flat = np.full((16, 18, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, "image", make_bmp_from_array(base), None),
+        (2, "image", make_bmp_from_array(twin), None),
+        (3, "image", make_bmp_from_array(reverse), None),
+        (4, "image", make_bmp_from_array(flat), None),
+        (5, "audio", b"skip me", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    h = image_dhash(media).toPandas().set_index("media_id")["dhash"]
+    assert set(h.index) == {1, 2, 3, 4}
+    # gradient hashes: all left>right bits false for ascending gradient
+    assert h[1] != h[3]  # reversed gradient differs
+    pairs = image_near_duplicates(media, max_hamming=6).toPandas()
+    got = {tuple(sorted((r.m1, r.m2))) for r in pairs.itertuples()}
+    assert (1, 2) in got, pairs.to_string()
+    assert (1, 3) not in got
+    ham12 = pairs.set_index(["m1", "m2"]).loc[(1, 2), "hamming"]
+    assert 0 < int(ham12) <= 6
