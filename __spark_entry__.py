@@ -2148,6 +2148,30 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(synthesize_media(ids))
 
 
+def q_frame_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.multimodal.sample_frames_by_motion — content-aware frame
+    sampling: keep frame 0 + frames whose luma delta vs the last EMITTED
+    frame exceeds the threshold. Rows-only (Y4M decode); the scene-change
+    plateau test in tests/test_multimodal.py certifies selection."""
+    from periodicity_spark.pipeline.multimodal import (
+        sample_frames_by_motion,
+        synthesize_media,
+    )
+
+    d = _docs(spark, sf_dir)
+    ids = d.filter(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"), F.lit("video").alias("kind")
+    )
+    out = sample_frames_by_motion(synthesize_media(ids), threshold=8.0)
+    return out.select(
+        "media_id",
+        "frame_index",
+        F.round("t_sec", 6).alias("t_sec"),
+        F.round("motion", 6).alias("motion"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL decode for all three modalities: RIFF/WAVE PCM (audio), 24-bpp
     # BMP (image), YUV4MPEG2 (video). Payloads are genuine format bytes
@@ -3725,6 +3749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "audio_features": q_audio_features,
         "image_dhash": q_image_dhash,
+        "frame_motion": q_frame_motion,
         "simsearch_lsh": q_simsearch_lsh,
         "butterworth_band": q_butterworth_band,
         "acf_period_quality": q_acf_period_quality,

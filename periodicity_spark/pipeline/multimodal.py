@@ -709,3 +709,63 @@ def image_near_duplicates(
         .filter(F.col("hamming") <= int(max_hamming))
         .select("m1", "m2", "hamming")
     )
+
+
+def sample_frames_by_motion(
+    media: DataFrame, threshold: float = 8.0
+) -> DataFrame:
+    """Motion-adaptive frame sampling — the content-aware alternative to
+    the fixed-stride sampler: emit frame 0 of every clip plus every frame
+    whose mean absolute luma difference from the PREVIOUS EMITTED frame
+    exceeds ``threshold`` (scene changes, motion bursts). Static spans
+    collapse to their first frame, so the sampled-frame budget follows
+    information content instead of duration. → one row per kept frame:
+    (media_id, frame_index, t_sec, motion, mean_luma); frame 0 has NULL
+    motion. Arrow map stage, stateless per clip, no shuffle."""
+    from periodicity_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(media.sparkSession)
+    th = float(threshold)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+        from periodicity_spark.pipeline.multimodal import y4m_lumas
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                parsed = y4m_lumas(payload)
+                if parsed is None:
+                    continue
+                y, fps = parsed
+                last = y[0]
+                rows.append((int(mid), 0, 0.0, None, float(y[0].mean())))
+                for k in range(1, y.shape[0]):
+                    motion = float(np.abs(y[k] - last).mean())
+                    if motion > th:
+                        rows.append(
+                            (int(mid), k, k / fps, motion, float(y[k].mean()))
+                        )
+                        last = y[k]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_index", "t_sec", "motion", "mean_luma"],
+            ).astype(
+                {
+                    "media_id": "int64",
+                    "frame_index": "int64",
+                    "t_sec": "float64",
+                    "motion": "float64",
+                    "mean_luma": "float64",
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        "media_id long, frame_index long, t_sec double, motion double, mean_luma double",
+    )

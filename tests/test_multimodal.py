@@ -275,3 +275,32 @@ def test_image_dhash_near_duplicates(spark):
     assert (1, 3) not in got
     ham12 = pairs.set_index(["m1", "m2"]).loc[(1, 2), "hamming"]
     assert 0 < int(ham12) <= 6
+
+
+def test_sample_frames_by_motion_keeps_scene_changes(spark):
+    """A clip with luma plateaus [10×4, 200×3, 205×2] keeps frame 0 and the
+    one real scene change; the small 200→205 drift stays below threshold.
+    Reference point against the previous EMITTED frame (not the previous
+    frame) so slow drifts cannot evade the threshold forever."""
+    from periodicity_spark.pipeline.multimodal import (
+        make_y4m,
+        sample_frames_by_motion,
+    )
+
+    luma = [10, 10, 10, 10, 200, 200, 200, 205, 205]
+    rows = [
+        (1, "video", make_y4m(8, 6, n_frames=9, luma=luma), None),
+        (2, "audio", b"skip", None),
+        (3, "video", b"corrupt", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = (
+        sample_frames_by_motion(media, threshold=8.0)
+        .toPandas()
+        .sort_values("frame_index")
+    )
+    assert out["media_id"].unique().tolist() == [1]
+    assert out["frame_index"].tolist() == [0, 4]
+    assert pd.isna(out.iloc[0]["motion"]) and out.iloc[1]["motion"] == 190.0
