@@ -1061,6 +1061,125 @@ LIMIT 100
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted to the testdata's
+    columns: orders in a 3-month window having at least one lineitem that
+    shipped after the order date (the testdata has no commit/receipt
+    dates; l_shipdate > o_orderdate is the same correlated-EXISTS shape).
+    The EXISTS compiles to ONE left-semi shuffle join on the order key;
+    the non-equi date predicate rides the same join, no extra exchange.
+    At 100 TB both sides are large, so semi-join-on-key (never a count +
+    filter, which would shuffle every lineitem row into an aggregate) is
+    the scale plan; the 3-month range prunes the orders scan."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    late_li = rd("lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            late_li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the
+    LEFT-OUTER-join-then-two-level-aggregate shape, with the priority
+    filter standing in for the comment NOT LIKE. Scale plan: orders are
+    pre-aggregated to one (custkey, count) row BEFORE the outer join, so
+    the join carries |customers| + |custkeys| rows instead of every
+    order row — the naive outer-join-then-count shuffles the full orders
+    table keyed by customer and resurrects every hot-customer skew; the
+    pre-agg gets map-side partial combine for free. The second aggregate
+    (distribution over c_count) is a few hundred groups — negligible."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    per_cust = (
+        rd("orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        rd("customer")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to mktsegment in
+    place of phone country codes: rich customers (balance above the
+    positive-balance mean) with no orders since 1999 — the date bound
+    keeps the anti join non-vacuous on this testdata, where every
+    customer has SOME order. Shapes covered: scalar
+    aggregate subquery (one row, broadcast by construction — computed
+    as a 1-row cross join, which Spark plans as BroadcastNestedLoopJoin
+    with a single build row) and ANTI join. The anti join's right side
+    is pre-projected to the bare distinct key so the shuffle carries
+    8-byte keys, not order rows."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    buyers = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+SELECT c_mktsegment AS segment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, pos 1-based,
     centroid, n) — the class-prototype aggregation under semantic
@@ -3703,6 +3822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q22": q_tpch_q22,
         "embedding_centroids": q_embedding_centroids,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
@@ -3828,6 +3950,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q14": SQL_TPCH_Q14,
         "tpch_q18": SQL_TPCH_Q18,
+        "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q13": SQL_TPCH_Q13,
+        "tpch_q22": SQL_TPCH_Q22,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
