@@ -1893,6 +1893,47 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
 """
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.domain_cap — per-domain quota: the 50 highest-
+    quality docs per source (quality ties → doc_id ascending). Routed
+    through the bounded-shuffle topk_per_key, so a crawl-heavy hot domain
+    contributes ≤ 50 rows per input partition to the shuffle instead of
+    its whole history. The quality product is integer-ratio arithmetic in
+    identical IEEE op order on both engines — rank boundaries are exact."""
+    out = sample_ops.domain_cap(_docs(spark, sf_dir), n=50)
+    return out.select(
+        "source", "doc_id", F.round("quality", 6).alias("quality"), "rank"
+    )
+
+
+SQL_DOMAIN_CAP = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) / len(toks)::DOUBLE AS avg_token_len,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) / len(toks)::DOUBLE AS sw_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+         least(n_tokens / 64.0, 1.0)
+         * (CASE WHEN avg_token_len >= 2.5 AND avg_token_len <= 8.0 THEN 1.0 ELSE 0.5 END)
+         * least(sw_ratio * 5.0, 1.0) AS quality
+  FROM s
+),
+r AS (
+  SELECT source, doc_id, quality,
+         row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+  FROM q
+)
+SELECT source, doc_id, round(quality, 6) AS quality, rank
+FROM r WHERE rank <= 50
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.sample.scrub_pii — regex redaction of emails / phone
     numbers / IPv4 addresses with <TYPE> placeholders. The corpus is
@@ -3848,6 +3889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "sample_split": q_sample_split,
         "dataset_mix": q_dataset_mix,
+        "domain_cap": q_domain_cap,
         "pii_scrub": q_pii_scrub,
         "pack_chunks": q_pack_chunks,
         "image_resize": q_image_resize,
@@ -3976,6 +4018,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": SQL_KMV_DISTINCT,
         "sample_split": SQL_SAMPLE_SPLIT,
         "dataset_mix": SQL_DATASET_MIX,
+        "domain_cap": SQL_DOMAIN_CAP,
         "pii_scrub": SQL_PII_SCRUB,
         "pack_chunks": SQL_PACK_CHUNKS,
         "image_resize": SQL_IMAGE_RESIZE,

@@ -115,6 +115,53 @@ def dataset_mix(
     )
 
 
+def domain_cap(
+    docs: DataFrame,
+    n: int,
+    group_col: str = "source",
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain quota: keep at most ``n`` documents per ``group_col``,
+    highest ``order_col`` first (defaults to the composite quality score),
+    ties broken by ``id_col`` ascending. The standard over-represented-
+    domain guard in corpus curation (cap crawl-heavy domains so they can't
+    dominate the mixture regardless of their raw volume).
+
+    → (group_col, id_col, order_col, rank), rank 1..n within each domain.
+
+    Scale shape: routed through ``topk_per_key`` — a zero-shuffle Arrow
+    local top-n per input partition, then a window over the surviving
+    ≤ n × partitions candidates per domain. A hot domain with 10⁹ docs
+    contributes n rows per partition to the shuffle, not 10⁹; the naive
+    row_number window would sort the whole domain on one reducer.
+    """
+    from periodicity_spark.operators.topk import topk_per_key
+
+    if order_col is None:
+        # score inline (one projection over the scan) — joining a separate
+        # quality_score() result back would shuffle the corpus for an
+        # equi-join with itself
+        from periodicity_spark.pipeline.text import _quality_expr, _tokens
+
+        order_col = "quality"
+        docs = docs.select(
+            F.col(group_col),
+            F.col(id_col),
+            _quality_expr(_tokens("text")).alias("quality"),
+        )
+    capped = topk_per_key(
+        docs.select(group_col, id_col, order_col),
+        [group_col],
+        order_col,
+        n,
+        descending=True,
+        tie_cols=[id_col],
+        rank_col="rank",
+    )
+    return capped.select(group_col, id_col, order_col, "rank")
+
+
 def pack_chunks(
     df: DataFrame,
     budget: int,
