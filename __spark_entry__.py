@@ -1893,14 +1893,74 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
 """
 
 
+def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.uniform_sample_k — exactly-k deterministic uniform
+    sample (k smallest salted md5). Compiles to TakeOrderedAndProject:
+    per-partition local top-k, driver merge of k × partitions candidates,
+    zero corpus shuffle."""
+    out = sample_ops.uniform_sample_k(_docs(spark, sf_dir), k=137)
+    return out.select("doc_id", "source")
+
+
+SQL_UNIFORM_SAMPLE_K = """
+SELECT doc_id, source FROM documents
+ORDER BY md5(doc_id::VARCHAR || 'uk'), doc_id
+LIMIT 137
+"""
+
+
+def q_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.leak_safe_split — 90/5/5 split hashed on the
+    near-dup COMPONENT representative (minhash pairs → connected
+    components), so no duplicate cluster straddles train/test — the
+    contamination guard Lee et al. (2022) motivate. Docs outside any
+    cluster key on their own id."""
+    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
+    out = sample_ops.leak_safe_split(
+        _docs(spark, sf_dir), comp, {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return out.select("doc_id", "split")
+
+
+SQL_LEAK_SPLIT = f"""
+WITH RECURSIVE {_SQL_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS component_id
+  FROM reach GROUP BY a
+),
+keyed AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(coalesce(c.component_id, d.doc_id)::VARCHAR
+                             || 'split'), 1, 15))::BIGINT % 1000000 AS b
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pipeline.sample.domain_cap — per-domain quota: the 50 highest-
-    quality docs per source (quality ties → doc_id ascending). Routed
-    through the bounded-shuffle topk_per_key, so a crawl-heavy hot domain
-    contributes ≤ 50 rows per input partition to the shuffle instead of
+    """pipeline.sample.domain_cap — per-domain quota: the 10 highest-
+    quality docs per source (quality ties → doc_id ascending; n=10 binds
+    at the sf0.01 comparison scale of 25 docs/source). Routed through
+    the bounded-shuffle topk_per_key, so a crawl-heavy hot domain
+    contributes ≤ n rows per input partition to the shuffle instead of
     its whole history. The quality product is integer-ratio arithmetic in
     identical IEEE op order on both engines — rank boundaries are exact."""
-    out = sample_ops.domain_cap(_docs(spark, sf_dir), n=50)
+    out = sample_ops.domain_cap(_docs(spark, sf_dir), n=10)
     return out.select(
         "source", "doc_id", F.round("quality", 6).alias("quality"), "rank"
     )
@@ -1930,7 +1990,7 @@ r AS (
   FROM q
 )
 SELECT source, doc_id, round(quality, 6) AS quality, rank
-FROM r WHERE rank <= 50
+FROM r WHERE rank <= 10
 """
 
 
@@ -3890,6 +3950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "dataset_mix": q_dataset_mix,
         "domain_cap": q_domain_cap,
+        "uniform_sample_k": q_uniform_sample_k,
+        "leak_split": q_leak_split,
         "pii_scrub": q_pii_scrub,
         "pack_chunks": q_pack_chunks,
         "image_resize": q_image_resize,
@@ -4019,6 +4081,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": SQL_SAMPLE_SPLIT,
         "dataset_mix": SQL_DATASET_MIX,
         "domain_cap": SQL_DOMAIN_CAP,
+        "uniform_sample_k": SQL_UNIFORM_SAMPLE_K,
+        "leak_split": SQL_LEAK_SPLIT,
         "pii_scrub": SQL_PII_SCRUB,
         "pack_chunks": SQL_PACK_CHUNKS,
         "image_resize": SQL_IMAGE_RESIZE,

@@ -115,6 +115,58 @@ def dataset_mix(
     )
 
 
+def uniform_sample_k(
+    df: DataFrame, k: int, key_col: str = "doc_id", salt: str = "uk"
+) -> DataFrame:
+    """Exactly-k deterministic uniform sample: the k rows whose salted md5
+    is smallest (ties — only possible for duplicate keys — broken by the
+    key). Unlike ``df.sample`` this is reproducible and returns exactly k
+    rows; unlike a reservoir it is order- and partitioning-independent.
+
+    Scale shape: ``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local k smallest and
+    the driver merges k × partitions candidates. No global sort, no
+    shuffle of the corpus.
+    """
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    return (
+        df.withColumn("_h", h)
+        .orderBy(F.col("_h"), F.col(key_col))
+        .limit(k)
+        .drop("_h")
+    )
+
+
+def leak_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that cannot leak near-duplicates across the
+    boundary: the split hash is keyed by the document's near-dup
+    COMPONENT representative (``components``: (doc_id, component_id) from
+    ``dedup.connected_components``), so every member of a duplicate
+    cluster lands in the same split. Documents absent from ``components``
+    are singletons keyed by their own id — identical to ``hash_split``
+    for them.
+
+    Scale shape: one equi-join docs ⋈ components on the doc key (the
+    components side holds only CLUSTERED docs — a small fraction of the
+    corpus; AQE broadcasts it when it fits), then the same zero-shuffle
+    hash projection as ``hash_split``.
+    """
+    comp = components.select(
+        F.col("doc_id").alias(id_col), F.col("component_id")
+    )
+    keyed = docs.join(comp, on=id_col, how="left").withColumn(
+        "_split_key", F.coalesce(F.col("component_id"), F.col(id_col))
+    )
+    out = hash_split(keyed, weights, key_col="_split_key", salt=salt)
+    return out.drop("_split_key", "component_id")
+
+
 def domain_cap(
     docs: DataFrame,
     n: int,

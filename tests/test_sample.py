@@ -145,3 +145,41 @@ def test_scrub_pii_redacts_planted_spans(spark):
     assert got[3] == "server at <IPV4> responded"
     assert got[4] == "mixed <EMAIL> and <IPV4> and <PHONE>"
     assert got[5] == "clean text with no pii at all"
+
+
+def test_uniform_sample_k_exact_and_partition_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in S.uniform_sample_k(docs, 7).collect()}
+    b = {r["doc_id"] for r in S.uniform_sample_k(docs.repartition(13), 7).collect()}
+    assert len(a) == 7 and a == b
+    # k beyond the corpus degrades to identity
+    assert S.uniform_sample_k(docs, 10**6).count() == docs.count()
+    # the plan must be TakeOrderedAndProject (local top-k + driver merge),
+    # never a global sort exchange of the corpus
+    plan = S.uniform_sample_k(docs, 7)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_leak_safe_split_never_straddles_components(spark, sf_dir):
+    from periodicity_spark.pipeline import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_near_duplicates(docs, k=5, n_hashes=16, r=4, threshold=0.4)
+    comp = dedup.connected_components(pairs)
+    assert comp.count() > 0, "fixture must contain near-dup clusters"
+    out = S.leak_safe_split(docs, comp, {"train": 0.9, "val": 0.05, "test": 0.05})
+    assert out.count() == docs.count()
+    straddle = (
+        out.join(comp, "doc_id")
+        .groupBy("component_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert straddle == 0
+    # with no components it reduces exactly to hash_split
+    empty = comp.filter("doc_id < 0")
+    w = {"train": 0.9, "val": 0.1}
+    a = {(r["doc_id"], r["split"]) for r in S.leak_safe_split(docs, empty, w).select("doc_id", "split").collect()}
+    b = {(r["doc_id"], r["split"]) for r in S.hash_split(docs, w).select("doc_id", "split").collect()}
+    assert a == b
