@@ -77,6 +77,12 @@ HEADLINE = [
     "cross_dup",
     "pca_embed",
     "tpch_q5",
+    # session 3: outer-join distribution (pre-agg before join), per-domain
+    # quality quota (bounded-shuffle top-k), leak-safe split (components +
+    # zero-shuffle hash projection)
+    "tpch_q13",
+    "domain_cap",
+    "leak_split",
 ]
 
 

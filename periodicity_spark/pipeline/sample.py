@@ -152,14 +152,18 @@ def leak_safe_split(
     are singletons keyed by their own id — identical to ``hash_split``
     for them.
 
-    Scale shape: one equi-join docs ⋈ components on the doc key (the
-    components side holds only CLUSTERED docs — a small fraction of the
-    corpus; AQE broadcasts it when it fits), then the same zero-shuffle
-    hash projection as ``hash_split``.
+    Scale shape: one equi-join docs ⋈ components on the doc key, then the
+    same zero-shuffle hash projection as ``hash_split``. The components
+    side holds only CLUSTERED docs (a fraction of the corpus) but reaches
+    the join as a localCheckpointed RDD scan with no size statistics —
+    static planning would pick a SortMergeJoin and AQE cannot re-promote
+    a checkpoint scan — so the join is hinted SHUFFLE_HASH: the corpus is
+    hash-partitioned but never SORTED, and the hash table builds on the
+    smaller components side.
     """
     comp = components.select(
         F.col("doc_id").alias(id_col), F.col("component_id")
-    )
+    ).hint("shuffle_hash")
     keyed = docs.join(comp, on=id_col, how="left").withColumn(
         "_split_key", F.coalesce(F.col("component_id"), F.col(id_col))
     )

@@ -70,6 +70,15 @@ GUARDED = [
     "topk_events",
     # one-scan curation verdict (dedicated zero-shuffle test below)
     "corpus_curate",
+    # session 3 — Q4's EXISTS is one semi join; Q13 pre-aggregates orders
+    # before the outer join; Q22's scalar subquery is a 1-row broadcast and
+    # its anti-join right side is bare keys; the three sampling ops
+    "tpch_q4",
+    "tpch_q13",
+    "tpch_q22",
+    "domain_cap",
+    "leak_split",
+    "uniform_sample_k",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -218,3 +227,26 @@ def test_corpus_curate_is_shuffle_free_single_scan(spark, sf_dir):
     plan = _final_plan(spark, sf_dir, "corpus_curate")
     assert "Exchange" not in plan, "corpus_curate grew a shuffle"
     assert plan.count("FileScan") == 1 or plan.count("Scan parquet") == 1
+
+
+def test_tpch_q13_preaggregates_orders_before_outer_join(spark, sf_dir):
+    """The distribution query must aggregate orders per custkey BEFORE the
+    outer join (HashAggregate feeding the join build side) — the naive
+    outer-join-then-count shape would shuffle the full orders table keyed
+    by customer and resurrect hot-customer skew at corpus scale. Cheap
+    structural proxy: the plan's first (deepest) aggregate consumes the
+    orders scan, and the join sees only its output."""
+    plan = _final_plan(spark, sf_dir, "tpch_q13")
+    assert "SortMergeJoin" not in plan
+    # two aggregation levels (per-custkey, then distribution) + partials
+    assert plan.count("HashAggregate") >= 4, plan[:2000]
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: the NOT-EXISTS must be a LeftAnti join and the scalar avg
+    subquery a broadcast of one row (BroadcastNestedLoopJoin or a
+    broadcast hash join over the literal) — never a shuffled join against
+    the 1-row aggregate."""
+    plan = _final_plan(spark, sf_dir, "tpch_q22")
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan
