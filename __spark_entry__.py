@@ -3880,6 +3880,28 @@ FROM e
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_topk — stateful exact top-3 per event_type
+    (applyInPandasWithState, state = the running top-k arrays, constant
+    per key). Each batch re-emits the updated top-k with a per-key seq;
+    the max-seq emission is the exact top-k of the drained stream, so the
+    oracle is topk_events' batch SQL verbatim."""
+    from periodicity_spark.streaming.ops import events_stream_raw, stream_topk
+
+    ev = events_stream_raw(spark, sf_dir)
+    out = stream_topk(ev, k=3)
+    tbl = _run_stream(out, "update")
+    w = Window.partitionBy("event_type")
+    return (
+        tbl.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .select("event_type", "event_id", "value", "rank")
+    )
+
+
+SQL_STREAM_TOPK = SQL_TOPK_EVENTS
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4018,6 +4040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_ffill": q_stream_ffill,
         "stream_zscore": q_stream_zscore,
+        "stream_topk": q_stream_topk,
         "stream_gls": q_stream_gls,
         "stream_funnel": q_stream_funnel,
     }
@@ -4124,6 +4147,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup": SQL_STREAM_DEDUP,
         "stream_ffill": SQL_STREAM_FFILL,
         "stream_zscore": SQL_STREAM_ZSCORE,
+        "stream_topk": SQL_STREAM_TOPK,
         # streaming GLS accumulates the same sums the batch operator
         # aggregates, so the batch oracle applies verbatim
         "stream_gls": SQL_GLS_POWER,

@@ -300,3 +300,70 @@ def stream_funnel(
         F.col("a_ts").alias("first_ts"),
         F.col("b_ts").alias("then_ts"),
     )
+
+
+def stream_topk(
+    events: DataFrame,
+    k: int = 3,
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Stateful streaming exact top-k per key — the streaming twin of
+    ``operators.topk.topk_per_key``, with micro-batches playing the role
+    of partitions: the state carries each key's running top-k (two
+    arrays of ≤ k entries — CONSTANT per key, independent of stream
+    length), each batch merges its rows into the state and re-emits the
+    key's updated top-k tagged with a per-key emission sequence number.
+    The max-seq emission per key is therefore the exact top-k of
+    everything seen so far, by the same never-discards-a-winner argument
+    as the batch operator (any global winner is a fortiori in the running
+    top-k after its own batch, and merging preserves it).
+
+    Ordering: ``value_col`` descending, ties by ``id_col`` ascending —
+    identical to the batch operator, so the drained result has the batch
+    SQL oracle. NULL/NaN values are ignored (aggregate semantics).
+
+    → (key_col, rank, id_col, value_col, seq) in update mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} string, rank integer, {id_col} long, "
+        f"{value_col} double, seq long"
+    )
+    state_schema = "seq long, ids array<long>, vals array<double>"
+    kk = int(k)
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        seq, ids, vals = state.get if state.exists else (0, [], [])
+        cand = list(zip(ids, vals))
+        for pdf in pdfs:
+            good = pdf[pdf[value_col].notna()]
+            cand.extend(
+                zip(good[id_col].astype("int64"), good[value_col].astype("float64"))
+            )
+        # merge: value desc, id asc — kk entries survive
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        cand = cand[:kk]
+        seq += 1
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                "rank": pd.Series(range(1, len(cand) + 1), dtype="int32"),
+                id_col: pd.Series([c[0] for c in cand], dtype="int64"),
+                value_col: pd.Series([c[1] for c in cand], dtype="float64"),
+                "seq": seq,
+            }
+        )
+        state.update((seq, [c[0] for c in cand], [float(c[1]) for c in cand]))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        _fn,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

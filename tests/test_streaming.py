@@ -308,3 +308,73 @@ def test_stream_funnel_matches_across_microbatches(spark, tmp_path):
     out = spark.sql("SELECT * FROM funnel_out").toPandas()
     assert out["user_id"].tolist() == [7]
     assert out.iloc[0]["first_id"] == 1 and out.iloc[0]["then_id"] == 3
+
+
+def test_stream_topk_merges_across_microbatches(spark, tmp_path):
+    """The stateful top-k must equal the BATCH top-k after folding the same
+    events in over multiple micro-batches — in particular a batch-1 winner
+    must survive batches 2..n in state, and a late arrival must displace a
+    weaker incumbent. The max-seq emission per key is the final answer."""
+    from pyspark.sql import Window
+
+    from periodicity_spark.streaming.ops import stream_topk
+
+    ev = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    )
+    pdf = ev.toPandas().sort_values("event_id").reset_index(drop=True)
+    src = str(tmp_path / "topk_src")
+    schema = "event_id long, event_type string, value double"
+    for i in range(3):
+        chunk = pdf.iloc[i::3]
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_topk(stream, k=3)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stopk")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    tbl = spark.table("stopk")
+    w = Window.partitionBy("event_type")
+    got = (
+        tbl.withColumn("_mx", F.max("seq").over(w))
+        .filter(F.col("seq") == F.col("_mx"))
+        .select("event_type", "event_id", "value", "rank")
+        .toPandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    # every key saw all 3 batches
+    assert tbl.groupBy("event_type").agg(F.max("seq").alias("m")).filter(
+        "m < 3"
+    ).count() == 0
+
+    w2 = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    want = (
+        ev.withColumn("rank", F.row_number().over(w2))
+        .filter("rank <= 3")
+        .select("event_type", "event_id", "value", "rank")
+        .toPandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
