@@ -1211,6 +1211,38 @@ GROUP BY label, pos
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.embedding.quantize_int8 — symmetric per-vector int8 codes
+    in long format (vec_id, pos 1-based, q, scale). One zero-shuffle HOF
+    projection; codes are bit-identical cross-engine (double arithmetic
+    in fixed op order, round half-away-from-zero on both)."""
+    from periodicity_spark.pipeline.embedding import quantize_int8
+
+    qd = quantize_int8(_emb(spark, sf_dir))
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.posexplode("qvec").alias("pos0", "q"),
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("q").cast("int"), "scale"
+    )
+
+
+SQL_EMBED_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+  FROM embeddings
+)
+SELECT vec_id,
+       generate_subscripts(embedding, 1) AS pos,
+       CASE WHEN scale = 0 THEN 0
+            ELSE round(unnest(embedding)::DOUBLE / scale * 127)::INT END AS q,
+       round(scale, 6) AS scale
+FROM s
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_with_time(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
@@ -3949,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
         "embedding_centroids": q_embedding_centroids,
+        "embed_quantize": q_embed_quantize,
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -4081,6 +4114,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q22": SQL_TPCH_Q22,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+        "embed_quantize": SQL_EMBED_QUANTIZE,
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,

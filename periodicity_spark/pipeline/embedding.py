@@ -127,3 +127,31 @@ def pca_embed(
     """Fit-and-project convenience: → (id_col, proj)."""
     mean, comps, _ = pca_fit(emb, k=k, vec_col=vec_col)
     return pca_project(emb, mean, comps, id_col=id_col, vec_col=vec_col)
+
+
+def quantize_int8(
+    emb: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x_i| (one double
+    per vector), q_i = round(x_i / scale · 127) ∈ [−127, 127]. The standard
+    4×-memory-reduction step in front of a 100 TB ANN index — the quantized
+    corpus fits in a quarter of the executor cache, and the dot product
+    dequantizes as (a·b)·(scale_a·scale_b/127²) with relative error
+    bounded by the per-component rounding (≤ 1/254 of each max-component).
+
+    Pure native higher-order-function projection over the scan — zero
+    shuffle, zero Python. All arithmetic is double with a fixed op order
+    ((x/scale)·127, round half-away-from-zero), so the quantized codes are
+    bit-identical across engines.
+
+    → input columns + (scale double, ``out_col`` array<tinyint>).
+    """
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.round(v.cast("double") / scale * 127).cast("tinyint"),
+        )
+    )
+    return emb.withColumn("scale", scale).withColumn(out_col, q)

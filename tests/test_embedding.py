@@ -109,3 +109,44 @@ def test_pca_preserves_neighborhoods_for_ann(spark):
         hits += len(e & a) / len(e)
     recall = hits / exact["qid"].nunique()
     assert recall >= 0.9, f"16-d PCA neighborhood recall@10 = {recall:.3f}"
+
+
+def test_quantize_int8_roundtrip_error_and_ann_recall(spark, emb, X):
+    """Quantization invariants: codes in [-127,127], per-component
+    dequantization error ≤ scale/254 + float32 representation noise, and
+    cosine top-10 over DEQUANTIZED vectors keeps recall ≥ 0.95 vs exact —
+    the property that makes the 4× memory reduction usable for ANN."""
+    from periodicity_spark.pipeline import simsearch
+    from periodicity_spark.pipeline.embedding import quantize_int8
+
+    qd = quantize_int8(emb)
+    pdf = qd.select("vec_id", "scale", "qvec").toPandas().sort_values("vec_id")
+    Q = np.asarray([np.asarray(v, dtype=np.int64) for v in pdf["qvec"]])
+    scales = pdf["scale"].to_numpy()
+
+    assert Q.min() >= -127 and Q.max() <= 127
+    # per-vector scale really is max|x|
+    np.testing.assert_allclose(scales, np.abs(X).max(axis=1), rtol=1e-6)
+    # dequantized error bound: |x - q*scale/127| <= 0.5 * scale/127
+    deq = Q * (scales[:, None] / 127.0)
+    err = np.abs(deq - X)
+    bound = 0.5 * scales[:, None] / 127.0 + 1e-6
+    assert (err <= bound).all(), float(err.max())
+
+    # ANN over dequantized vectors: recall@10 vs exact float cosine
+    deq_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in zip(pdf["vec_id"], deq)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = lambda df: df.filter(F.col("vec_id") < 16).select(  # noqa: E731
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = simsearch.cosine_topk_bruteforce(emb, probes(emb), k=10).toPandas()
+    quant = simsearch.cosine_topk_bruteforce(deq_df, probes(deq_df), k=10).toPandas()
+    hits = 0.0
+    for qid in exact["qid"].unique():
+        e = set(exact[exact["qid"] == qid]["vec_id"])
+        a = set(quant[quant["qid"] == qid]["vec_id"])
+        hits += len(e & a) / len(e)
+    recall = hits / exact["qid"].nunique()
+    assert recall >= 0.95, f"int8 ANN recall@10 = {recall:.3f}"
