@@ -1136,6 +1136,51 @@ GROUP BY c_count
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue): top-20 customers by revenue lost
+    to returns in a quarter. Plan: the l_returnflag='R' filter reaches the
+    lineitem scan (pushed), the quarter range prunes orders, customer and
+    nation broadcast; the lone big-big join (lineitem ⋈ filtered orders)
+    is AQE's call. The final top-20 is TakeOrdered over the per-customer
+    aggregate — no global sort."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = rd("lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(rd("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to mktsegment in
     place of phone country codes: rich customers (balance above the
@@ -3978,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
         "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
         "embedding_centroids": q_embedding_centroids,
@@ -4111,6 +4157,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14": SQL_TPCH_Q14,
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q4": SQL_TPCH_Q4,
+        "tpch_q10": SQL_TPCH_Q10,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q22": SQL_TPCH_Q22,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
