@@ -3957,6 +3957,44 @@ FROM e
 """
 
 
+def q_stream_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_slide — 2-day windows sliding by 1 day: every
+    event feeds TWO overlapping windows (epoch-aligned starts d−1 and d).
+    Oracle: union of the two shifted tumbling assignments."""
+    from periodicity_spark.streaming.ops import events_stream, stream_slide
+
+    out = stream_slide(events_stream(spark, sf_dir))
+    tbl = _run_stream(out, "complete")
+    return tbl.select(
+        "series_id",
+        _ts_days("t_start").alias("t_start"),
+        _ts_days("t_end").alias("t_end"),
+        F.round("value", 6).alias("value"),
+        F.col("n"),
+    )
+
+
+SQL_STREAM_SLIDE = f"""
+WITH e AS (
+  SELECT user_id::VARCHAR || '/' || event_type AS series_id,
+         epoch_us(ts) AS us, value
+  FROM events
+),
+b AS (SELECT series_id, us // 86400000000 AS day, value FROM e),
+x AS (
+  SELECT series_id, day AS wstart, value FROM b
+  UNION ALL
+  SELECT series_id, day - 1 AS wstart, value FROM b
+)
+SELECT series_id,
+       (wstart * 86400000000 - {EPOCH_US}) / {DAY_US} AS t_start,
+       ((wstart + 2) * 86400000000 - {EPOCH_US}) / {DAY_US} AS t_end,
+       round(avg(value), 6) AS value,
+       count(*)::BIGINT AS n
+FROM x GROUP BY series_id, wstart
+"""
+
+
 def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """streaming.stream_topk — stateful exact top-3 per event_type
     (applyInPandasWithState, state = the running top-k arrays, constant
@@ -4120,6 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ffill": q_stream_ffill,
         "stream_zscore": q_stream_zscore,
         "stream_topk": q_stream_topk,
+        "stream_slide": q_stream_slide,
         "stream_gls": q_stream_gls,
         "stream_funnel": q_stream_funnel,
     }
@@ -4229,6 +4268,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_ffill": SQL_STREAM_FFILL,
         "stream_zscore": SQL_STREAM_ZSCORE,
         "stream_topk": SQL_STREAM_TOPK,
+        "stream_slide": SQL_STREAM_SLIDE,
         # streaming GLS accumulates the same sums the batch operator
         # aggregates, so the batch oracle applies verbatim
         "stream_gls": SQL_GLS_POWER,

