@@ -2596,6 +2596,19 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_simsearch_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.simsearch.ann_mllib_lsh — the MLlib-integration ANN path:
+    BucketedRandomProjectionLSH over L2-normalized vectors (Euclidean LSH
+    is cosine LSH on the unit sphere, cos = 1 − d²/2), approxSimilarityJoin
+    candidates exactly re-ranked. Rows-only (approximate; recall@10 = 0.997
+    at the 8-table defaults, asserted in tests/test_pipeline.py)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return simsearch.ann_mllib_lsh(emb, probes, k=5)
+
+
 
 
 def q_roll3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4116,6 +4129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash": q_image_dhash,
         "frame_motion": q_frame_motion,
         "simsearch_lsh": q_simsearch_lsh,
+        "simsearch_mllib": q_simsearch_mllib,
         "butterworth_band": q_butterworth_band,
         "acf_period_quality": q_acf_period_quality,
         "emd": q_emd,

@@ -538,3 +538,73 @@ def cosine_near_duplicates_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ann_mllib_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    bucket_length: float = 1.0,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "qid",
+    probe_vec_col: str = "qvec",
+) -> DataFrame:
+    """ANN top-k through Spark MLlib's BucketedRandomProjectionLSH — the
+    built-in Euclidean-LSH index as an alternative scale path to the
+    hand-rolled hyperplane LSH (``ann_lsh_topk``). Vectors are L2-
+    normalized first, so Euclidean distance is a monotone transform of
+    cosine (d² = 2 − 2cos) and the top-k by distance IS the cosine top-k
+    of the candidate set.
+
+    Plan shape: MLlib's approxSimilarityJoin explodes each side into its
+    ``num_tables`` hash values and equi-joins on (table, bucket) — the
+    same banded-bucket join the hand-rolled path uses, here with the
+    hashes coming from the fitted pipeline model. Deterministic for a
+    fixed ``seed``. Candidates are exactly re-ranked per probe.
+
+    → (qid, vec_id, cosine, rank): the same contract as
+    ``cosine_topk_bruteforce``, approximate recall.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    def _unit(col):
+        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+        return F.transform(col, lambda x: x / n)
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        array_to_vector(_unit(F.col(vec_col).cast("array<double>"))).alias("features"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("qid"),
+        array_to_vector(_unit(F.col(probe_vec_col).cast("array<double>"))).alias(
+            "features"
+        ),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=float(bucket_length),
+        numHashTables=int(num_tables),
+        seed=int(seed),
+    )
+    model = lsh.fit(c)
+    # distance 2.0 = the whole unit sphere; candidate generation is still
+    # bucket-bounded (only pairs sharing >=1 bucket reach the filter)
+    joined = model.approxSimilarityJoin(c, p, 2.0, distCol="_d")
+    scored = joined.select(
+        F.col("datasetB.qid").alias("qid"),
+        F.col("datasetA.vec_id").alias("vec_id"),
+        # cosine from the normalized Euclidean distance: cos = 1 - d^2/2
+        (F.lit(1.0) - F.col("_d") * F.col("_d") / F.lit(2.0)).alias("cosine"),
+    ).filter(F.col("vec_id") != F.col("qid"))  # bruteforce's self-exclusion
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

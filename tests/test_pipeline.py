@@ -430,3 +430,17 @@ def test_cross_doc_duplication_planted(spark):
     assert abs(out[1]["cross_dup_frac"] - round(5 / 13, 6)) < 1e-12
     assert out[3]["n_shared"] == 0 and out[3]["cross_dup_frac"] == 0.0
     assert out[4]["n_grams"] is None and out[4]["cross_dup_frac"] is None
+
+
+def test_mllib_lsh_ann_recall(spark, emb, exact10):
+    """The MLlib BucketedRandomProjectionLSH path (Euclidean LSH on the
+    unit sphere ≡ cosine LSH) must hit recall@10 ≥ 0.95 at its 8-table
+    defaults against brute force, with candidates exactly re-ranked."""
+    got = simsearch.ann_mllib_lsh(emb, _probes32(emb), k=10).toPandas()
+    r = _recall(exact10, got)
+    assert r >= 0.95, f"mllib LSH recall@10 = {r:.3f}"
+    # determinism: same seed, same result
+    again = simsearch.ann_mllib_lsh(emb, _probes32(emb), k=10).toPandas()
+    a = sorted(map(tuple, got[["qid", "vec_id", "rank"]].values.tolist()))
+    b = sorted(map(tuple, again[["qid", "vec_id", "rank"]].values.tolist()))
+    assert a == b
