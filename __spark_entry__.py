@@ -559,6 +559,23 @@ def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pg.select("series_id", "frequency", F.round("power", 6).alias("power"))
 
 
+def q_gls_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spectral.gls.gls_arrow — the per-series Arrow GLS strategy on the
+    same 128-point grid, against the SAME oracle as gls_power: numpy does
+    the (series × freq) expansion + six-sum reduction per series, saving
+    the 10⁸-row JVM aggregate (measured ~40% faster at sf0.1). Exactness
+    vs the crossJoin path: ≤5e-11, identical NULL pattern (differential
+    in tests/test_spectral_extras.py)."""
+    from periodicity_spark.spectral.gls import gls_arrow
+
+    ts = _ts(spark, sf_dir)
+    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+    out = gls_arrow(ts, grid, min_count=GLS_MIN_N)
+    return out.select(
+        "series_id", "frequency", F.round("power", 6).alias("power")
+    )
+
+
 # sums→power finish shared by every GLS oracle (fit_mean=True normalized
 # power; same algebra as spectral/gls.py:165-199). Expects CTEs ``z``
 # (series_id, frequency, w, y, s, c) and ``yy2`` (series_id, yyv) upstream.
@@ -4060,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_corr": q_daily_corr,
         "polyfit": q_polyfit,
         "gls_power": q_gls_power,
+        "gls_arrow": q_gls_arrow,
         "gls_best_period": q_gls_best_period,
         "gls_default_grid": q_gls_default_grid,
         "psort_by_peak": q_psort_by_peak,
@@ -4199,6 +4217,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_corr": SQL_DAILY_CORR,
         "polyfit": SQL_POLYFIT,
         "gls_power": SQL_GLS_POWER,
+        "gls_arrow": SQL_GLS_POWER,
         "gls_best_period": SQL_GLS_BEST_PERIOD,
         "gls_default_grid": SQL_GLS_DEFAULT_GRID,
         "stringlength": SQL_STRINGLENGTH,

@@ -83,6 +83,9 @@ HEADLINE = [
     "tpch_q13",
     "domain_cap",
     "leak_split",
+    # the Arrow per-series GLS strategy, same oracle as gls_power — the
+    # bench shows the two exact strategies side by side
+    "gls_arrow",
 ]
 
 

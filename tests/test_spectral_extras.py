@@ -107,3 +107,70 @@ def test_psort_by_prominence_separates_shoulder_from_peak(spark):
     assert by_prom.iloc[2]["prominence"] == pytest.approx(0.5)
     top = period_at_highest_prominence(pg).collect()[0]
     assert top["period"] == pytest.approx(1.0 / 0.3)
+
+
+def test_gls_arrow_matches_crossjoin_path(spark):
+    """The Arrow per-series GLS strategy must be numerically identical to
+    the distributed crossJoin path (1e-9) with the same NULL pattern, on
+    the real events series — including err-weighted, psd, fit_mean=False,
+    and min_count variants on a synthetic check."""
+    from periodicity_spark.sources.ingest import ts_from_events
+    from periodicity_spark.spectral.gls import gls_arrow
+
+    ts = ts_from_events(spark, "/root/testdata/sf0.001").filter(
+        F.col("value").isNotNull()
+    )
+    grid = uniform_freq_grid(spark, 0.05, 0.015625, 64)
+    a = (
+        gls_arrow(ts, grid)
+        .toPandas()
+        .sort_values(["series_id", "frequency"])
+        .reset_index(drop=True)
+    )
+    b = (
+        gls_periodogram(ts, freq_grid=grid)
+        .toPandas()
+        .sort_values(["series_id", "frequency"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a["power"].isna() == b["power"].isna()).all()
+    ok = b["power"].notna()
+    np.testing.assert_allclose(a["power"][ok], b["power"][ok], atol=1e-9)
+
+    # option parity on a synthetic weighted series
+    import numpy as _np
+
+    rng = _np.random.default_rng(7)
+    t = _np.sort(rng.uniform(0, 30, 200))
+    y = _np.sin(2 * _np.pi * t / 3.0) + 0.1 * rng.standard_normal(200)
+    e = rng.uniform(0.05, 0.2, 200)
+    sdf = spark.createDataFrame(
+        [("s", float(tt), float(yy), float(ee)) for tt, yy, ee in zip(t, y, e)],
+        "series_id string, time double, value double, err double",
+    )
+    for kw in (
+        {"err_col": "err"},
+        {"psd": True},
+        {"fit_mean": False},
+        {"min_count": 201},
+    ):
+        aa = (
+            gls_arrow(sdf, grid, **kw)
+            .toPandas()
+            .sort_values("frequency")
+            .reset_index(drop=True)
+        )
+        bb = (
+            gls_periodogram(sdf, freq_grid=grid, **kw)
+            .toPandas()
+            .sort_values("frequency")
+            .reset_index(drop=True)
+        )
+        assert len(aa) == len(bb), kw
+        if len(bb):
+            okk = bb["power"].notna()
+            assert (aa["power"].isna() == bb["power"].isna()).all(), kw
+            np.testing.assert_allclose(
+                aa["power"][okk], bb["power"][okk], atol=1e-9, err_msg=str(kw)
+            )
