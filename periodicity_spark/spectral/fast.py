@@ -199,7 +199,12 @@ def gls_auto(
         want = -(-target_tasks // max(n_series, 1))  # ceil
         chunks = max(1, min(want, 32, nf // 256))
         return gls_periodogram_fast(ts, fmin, df, nf, fit_mean, grid_chunks=chunks)
-    from periodicity_spark.spectral.gls import uniform_freq_grid
+    from periodicity_spark.spectral.gls import gls_arrow, uniform_freq_grid
 
     grid = uniform_freq_grid(ts.sparkSession, fmin, df, nf)
-    return gls_periodogram(ts, freq_grid=grid, fit_mean=fit_mean)
+    # many-short-series regime on a global grid: the per-series Arrow
+    # kernel is the exact strategy of choice (differential ≤5e-11 vs the
+    # crossJoin aggregate, measured ~40% faster at sf0.1 — see
+    # gls_arrow's docstring); the F×N trig matrix stays small because
+    # this branch is only reached when avg_n is below the threshold
+    return gls_arrow(ts, grid, fit_mean=fit_mean)
