@@ -80,6 +80,8 @@ GUARDED = [
     "domain_cap",
     "leak_split",
     "uniform_sample_k",
+    "gls_arrow",
+    "simsearch_mllib",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
