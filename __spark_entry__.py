@@ -4047,6 +4047,26 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_TOPK = SQL_TOPK_EVENTS
 
 
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming.stream_neardup — ingestion-time MinHash-LSH near-dup
+    candidates: in-row banded signatures (stateless projection) feed one
+    stateful (band, sig) bucket operator whose state is the doc-id list;
+    the drained DISTINCT pair set equals the batch lsh_candidate_pairs
+    exactly (no bucket exceeds the cap at this scale — asserted by the
+    oracle row count)."""
+    from periodicity_spark.streaming.ops import docs_stream, stream_neardup
+
+    out = stream_neardup(docs_stream(spark, sf_dir))
+    tbl = _run_stream(out, "update")
+    return tbl.select("d1", "d2").distinct()
+
+
+SQL_STREAM_NEARDUP = f"""
+WITH {_SQL_MINHASH_PAIRS_CTES}
+SELECT d1, d2 FROM cand
+"""
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4191,6 +4211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zscore": q_stream_zscore,
         "stream_topk": q_stream_topk,
         "stream_slide": q_stream_slide,
+        "stream_neardup": q_stream_neardup,
         "stream_gls": q_stream_gls,
         "stream_funnel": q_stream_funnel,
     }
@@ -4302,6 +4323,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_zscore": SQL_STREAM_ZSCORE,
         "stream_topk": SQL_STREAM_TOPK,
         "stream_slide": SQL_STREAM_SLIDE,
+        "stream_neardup": SQL_STREAM_NEARDUP,
         # streaming GLS accumulates the same sums the batch operator
         # aggregates, so the batch oracle applies verbatim
         "stream_gls": SQL_GLS_POWER,

@@ -125,6 +125,78 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_per_row(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    r: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded MinHash signatures computed entirely IN-ROW — the shingle
+    set, the n_hashes affine min-reductions, and the band md5s all happen
+    inside array higher-order functions, so the stage is a pure stateless
+    projection. Bit-identical to ``minhash_signatures(char_shingles(...))``
+    (asserted in tests): same md5-half base hashes, same permutation
+    constants, same comma-joined band encoding.
+
+    This is the STREAMING-compatible signature path: a stream cannot chain
+    the per-doc groupBy aggregate in front of a stateful bucket operator
+    (two stateful stages), but a projection can feed one. Batch callers
+    keep ``char_shingles`` + ``minhash_signatures`` because the exploded
+    shingle table is reused by the verify join.
+
+    → (doc_id, band, sig).
+    """
+    n_bands = n_hashes // r
+    hs = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> md5(cast(substring({text_col}, i, {k}) as binary)))"
+        )
+    )
+    base = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            hs,
+            lambda h: F.struct(
+                (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(P31)).alias(
+                    "h1"
+                ),
+                (
+                    F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % F.lit(P31)
+                ).alias("h2"),
+            ),
+        ).alias("_z"),
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("_z"),
+                lambda z: (
+                    (F.lit(a) * z["h1"]) % F.lit(P31)
+                    + (F.lit(b) * z["h2"]) % F.lit(P31)
+                    + F.lit(c)
+                )
+                % F.lit(P31),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
+    ]
+    wide = base.select("doc_id", *mins)
+    bands = [
+        _md5(
+            F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])
+        ).alias(f"_b{j}")
+        for j in range(n_bands)
+    ]
+    wide = wide.select("doc_id", *bands)
+    stack_expr = ", ".join(f"{j}, _b{j}" for j in range(n_bands))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band, sig)")
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFrame:
     """Docs agreeing on ≥1 band: → (d1, d2) with d1 < d2. Equi-join on
     (band, sig) — the shuffle key is the LSH bucket, so co-bucketed docs

@@ -392,3 +392,83 @@ def stream_topk(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema from a batch read)."""
+    schema = (
+        spark.read.option("pathGlobFilter", "documents.parquet").parquet(sf_dir).schema
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_neardup(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    r: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
+    ingestion-time twin of ``pipeline.dedup.lsh_candidate_pairs``: each
+    arriving document's banded signatures (computed in-row by
+    ``minhash_signatures_per_row`` — a stateless projection, so the one
+    stateful stage below is legal on a stream) land in their (band, sig)
+    bucket, whose state carries the doc_ids seen so far; every arrival
+    emits candidate pairs against all earlier same-bucket docs and within its
+    own batch. Drained over a static corpus the DISTINCT emitted set
+    equals the batch candidate set exactly (a pair shares a bucket
+    whenever both members do, regardless of arrival slicing).
+
+    State per bucket is the doc-id list, capped at ``max_bucket``: a
+    degenerate boilerplate bucket stops emitting at the cap (already-
+    emitted pairs cannot be retracted mid-stream, unlike the batch path
+    which drops the whole oversized bucket — equality with the batch
+    oracle therefore holds on corpora whose buckets stay under the cap,
+    which the contract test asserts).
+
+    → (d1, d2) in update mode, d1 < d2, possibly duplicated across bands
+    and batches — apply DISTINCT downstream.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from periodicity_spark.pipeline.dedup import minhash_signatures_per_row
+
+    sig = minhash_signatures_per_row(docs, k=k, n_hashes=n_hashes, r=r)
+    cap = int(max_bucket)
+
+    def _fn(key, pdfs, state):
+        import pandas as pd
+
+        seen = list(state.get[0]) if state.exists else []
+        new = []
+        seen_set = set(seen)
+        for pdf in pdfs:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d not in seen_set:
+                    seen_set.add(d)
+                    new.append(d)
+        new.sort()
+        d1s, d2s = [], []
+        if len(seen) + len(new) <= cap:
+            for j, nd in enumerate(new):
+                for o in seen + new[:j]:
+                    lo, hi = (o, nd) if o < nd else (nd, o)
+                    d1s.append(lo)
+                    d2s.append(hi)
+        yield pd.DataFrame({"d1": pd.Series(d1s, dtype="int64"),
+                            "d2": pd.Series(d2s, dtype="int64")})
+        state.update((sorted(seen_set),))
+
+    return sig.groupBy("band", "sig").applyInPandasWithState(
+        _fn,
+        "d1 long, d2 long",
+        "ids array<long>",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -488,3 +488,14 @@ def test_minhash_neardup_agrees_with_mllib_minhashlsh(spark):
         f"mine-only={sorted(mine_set - got_set)[:5]} "
         f"mllib-only={sorted(got_set - mine_set)[:5]}"
     )
+
+
+def test_minhash_signatures_per_row_equals_aggregate_path(spark):
+    """The in-row (streamable) signature projection must be bit-identical
+    to the groupBy-aggregate batch path."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = dedup.minhash_signatures(dedup.char_shingles(docs, k=5)).toPandas()
+    b = dedup.minhash_signatures_per_row(docs, k=5).toPandas()
+    sa = set(map(tuple, a[["doc_id", "band", "sig"]].values.tolist()))
+    sb = set(map(tuple, b[["doc_id", "band", "sig"]].values.tolist()))
+    assert sa == sb and len(sa) > 0

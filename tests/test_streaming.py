@@ -400,3 +400,61 @@ def test_stream_slide_each_event_in_two_windows(spark):
     total = tbl.agg(F.sum("n")).first()[0]
     n_events = spark.read.option("pathGlobFilter", "events.parquet").parquet(SF).count()
     assert total == 2 * n_events, (total, n_events)
+
+
+def test_stream_neardup_pairs_across_microbatches(spark, tmp_path):
+    """A document arriving in a later batch must pair with its near-dup
+    from an earlier batch (bucket state carries doc ids across batches);
+    the drained distinct pair set equals batch lsh_candidate_pairs."""
+    from periodicity_spark.pipeline.dedup import (
+        char_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from periodicity_spark.streaming.ops import stream_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    src = str(tmp_path / "nd_src")
+    schema_str = "doc_id long, text string, lang string, source string, n_chars long"
+    for i in range(3):
+        chunk = pdf.iloc[i::3]
+        spark.createDataFrame(chunk, schema_str).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_neardup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("snd")
+        .start()
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+
+    got = {
+        (r["d1"], r["d2"])
+        for r in spark.table("snd").select("d1", "d2").distinct().collect()
+    }
+    want = {
+        (r["d1"], r["d2"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(char_shingles(docs, k=5), n_hashes=16, r=4)
+        ).collect()
+    }
+    assert want, "fixture must contain candidate pairs"
+    assert got == want, (
+        f"stream-only={sorted(got - want)[:5]} batch-only={sorted(want - got)[:5]}"
+    )
+    # the round-robin slicing guarantees at least one pair straddles batches
+    b0 = set(pdf.iloc[0::3]["doc_id"])
+    straddling = [p for p in want if (p[0] in b0) != (p[1] in b0)]
+    assert straddling, "test corpus must exercise the cross-batch state path"
