@@ -97,10 +97,21 @@ def lmd_modes(
     )
 
 
+_PAIR_OK = F.col("_vi").isNotNull() & F.col("_vj").isNotNull()
+
+
 def orthogonality_matrix(modes: DataFrame) -> DataFrame:
     """Pairwise Pearson correlation of modes (reference
     decomposition.py:361-375) — native: self-join on (series_id, time),
-    one corr aggregate per (mode_i, mode_j)."""
+    one corr aggregate per (mode_i, mode_j).
+
+    The correlation is spelled covar/(σ·σ) with try_divide rather than
+    F.corr: under ANSI mode ``corr`` raises DIVIDE_BY_ZERO when a mode is
+    constant within a series (surfaced by the sf0.1 audit — a zero-variance
+    lag segment), where the reference's numpy corrcoef yields NaN. The
+    engine's NaN→NULL convention therefore wants NULL there, which
+    try_divide gives; non-degenerate groups agree with ``corr`` to 1 ulp
+    (identical co-moment ratios)."""
     a = modes.select("series_id", "time", F.col("mode").alias("mode_i"), F.col("value").alias("_vi"))
     b = modes.select(
         F.col("series_id").alias("_sid"), F.col("time").alias("_t"),
@@ -109,7 +120,16 @@ def orthogonality_matrix(modes: DataFrame) -> DataFrame:
     return (
         a.join(b, (F.col("series_id") == F.col("_sid")) & (F.col("time") == F.col("_t")))
         .groupBy("series_id", "mode_i", "mode_j")
-        .agg(F.corr("_vi", "_vj").alias("corr"))
+        .agg(
+            F.try_divide(
+                F.covar_pop("_vi", "_vj"),
+                # corr is PAIRWISE-complete: rows where either side is NULL
+                # are excluded from every statistic — stddev_pop(_vi) alone
+                # would keep rows whose partner is NULL and skew σ
+                F.stddev_pop(F.when(_PAIR_OK, F.col("_vi")))
+                * F.stddev_pop(F.when(_PAIR_OK, F.col("_vj"))),
+            ).alias("corr")
+        )
     )
 
 
