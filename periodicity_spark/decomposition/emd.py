@@ -97,9 +97,6 @@ def lmd_modes(
     )
 
 
-_PAIR_OK = F.col("_vi").isNotNull() & F.col("_vj").isNotNull()
-
-
 def orthogonality_matrix(modes: DataFrame) -> DataFrame:
     """Pairwise Pearson correlation of modes (reference
     decomposition.py:361-375) — native: self-join on (series_id, time),
@@ -117,6 +114,7 @@ def orthogonality_matrix(modes: DataFrame) -> DataFrame:
         F.col("series_id").alias("_sid"), F.col("time").alias("_t"),
         F.col("mode").alias("mode_j"), F.col("value").alias("_vj"),
     )
+    pair_ok = F.col("_vi").isNotNull() & F.col("_vj").isNotNull()
     return (
         a.join(b, (F.col("series_id") == F.col("_sid")) & (F.col("time") == F.col("_t")))
         .groupBy("series_id", "mode_i", "mode_j")
@@ -126,8 +124,8 @@ def orthogonality_matrix(modes: DataFrame) -> DataFrame:
                 # corr is PAIRWISE-complete: rows where either side is NULL
                 # are excluded from every statistic — stddev_pop(_vi) alone
                 # would keep rows whose partner is NULL and skew σ
-                F.stddev_pop(F.when(_PAIR_OK, F.col("_vi")))
-                * F.stddev_pop(F.when(_PAIR_OK, F.col("_vj"))),
+                F.stddev_pop(F.when(pair_ok, F.col("_vi")))
+                * F.stddev_pop(F.when(pair_ok, F.col("_vj"))),
             ).alias("corr")
         )
     )
