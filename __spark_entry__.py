@@ -1415,11 +1415,19 @@ SELECT d1, d2, jaccard FROM pairs
 """
 
 
+def _mh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three queries (dedup_components, dedup_keep, leak_split) consume the
+    # SAME component labeling — persist it once per (session, sf_dir) like
+    # _mh_pairs, so the iterative label propagation runs once, not thrice
+    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
+    return persisted(comp, f"mh_comp:{sf_dir}")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.dedup.connected_components over the verified minhash
     near-dup pairs: every clustered document labeled with its component's
     minimum doc_id — the keep-one-per-cluster grouping stage."""
-    return dedup.connected_components(_mh_pairs(spark, sf_dir))
+    return _mh_components(spark, sf_dir)
 
 
 def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,7 +1435,7 @@ def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicates: the end state of the dedup pipeline
     (pairs → components → filtered corpus). Returns the surviving doc ids
     so the oracle compares the keep-set exactly."""
-    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
+    comp = _mh_components(spark, sf_dir)
     kept = dedup.keep_canonical(_docs(spark, sf_dir), comp)
     return kept.select("doc_id")
 
@@ -2009,7 +2017,7 @@ def q_leak_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     components), so no duplicate cluster straddles train/test — the
     contamination guard Lee et al. (2022) motivate. Docs outside any
     cluster key on their own id."""
-    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
+    comp = _mh_components(spark, sf_dir)
     out = sample_ops.leak_safe_split(
         _docs(spark, sf_dir), comp, {"train": 0.9, "val": 0.05, "test": 0.05}
     )
