@@ -1417,10 +1417,17 @@ SELECT d1, d2, jaccard FROM pairs
 
 def _mh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three queries (dedup_components, dedup_keep, leak_split) consume the
-    # SAME component labeling — persist it once per (session, sf_dir) like
-    # _mh_pairs, so the iterative label propagation runs once, not thrice
-    comp = dedup.connected_components(_mh_pairs(spark, sf_dir))
-    return persisted(comp, f"mh_comp:{sf_dir}")
+    # SAME component labeling — memoize it per (session, sf_dir) like
+    # _mh_pairs. persisted_lazy, not persisted: connected_components runs
+    # its label-propagation driver loop AT CONSTRUCTION, so the builder
+    # must only fire on a memo miss
+    from periodicity_spark.session import persisted_lazy
+
+    return persisted_lazy(
+        spark,
+        f"mh_comp:{sf_dir}",
+        lambda: dedup.connected_components(_mh_pairs(spark, sf_dir)),
+    )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

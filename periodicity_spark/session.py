@@ -95,6 +95,30 @@ def persisted(df, key: str):
     return _PERSIST_MEMO[full]
 
 
+def persisted_lazy(spark, key: str, builder):
+    """``persisted`` for subplans whose CONSTRUCTION already runs Spark
+    jobs (iterative algorithms with driver loops, e.g. connected
+    components' label propagation): ``builder()`` is invoked only on a
+    memo miss, so a hit costs a dict lookup instead of re-running the
+    whole iteration. ``persisted(df, key)`` cannot offer this — its
+    argument is built eagerly by the caller."""
+    skey = getattr(spark, "_ps_persist_memo_key", None)
+    if skey is None:
+        import uuid
+
+        skey = uuid.uuid4().hex
+        spark._ps_persist_memo_key = skey
+    full = (skey, key)
+    if full not in _PERSIST_MEMO:
+        for old_key in [k for k in _PERSIST_MEMO if k[0] != skey or k[1] == key]:
+            try:
+                _PERSIST_MEMO.pop(old_key).unpersist()
+            except Exception:
+                pass
+        _PERSIST_MEMO[full] = builder().persist()
+    return _PERSIST_MEMO[full]
+
+
 def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     """applyInPandas over per-series kernels with COARSE grouping: rows are
     bucketed by a hash of series_id (~4 buckets per core by default) and the
