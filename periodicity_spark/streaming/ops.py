@@ -463,7 +463,12 @@ def stream_neardup(
                     d2s.append(hi)
         yield pd.DataFrame({"d1": pd.Series(d1s, dtype="int64"),
                             "d2": pd.Series(d2s, dtype="int64")})
-        state.update((sorted(seen_set),))
+        # once over the cap the bucket never emits again, so its ids are
+        # dead weight — truncate to cap+1 as the over-cap sentinel, keeping
+        # state bounded even for a degenerate boilerplate bucket fed by an
+        # unbounded stream
+        ids = sorted(seen_set)
+        state.update((ids[: cap + 1],))
 
     return sig.groupBy("band", "sig").applyInPandasWithState(
         _fn,

@@ -458,3 +458,53 @@ def test_stream_neardup_pairs_across_microbatches(spark, tmp_path):
     b0 = set(pdf.iloc[0::3]["doc_id"])
     straddling = [p for p in want if (p[0] in b0) != (p[1] in b0)]
     assert straddling, "test corpus must exercise the cross-batch state path"
+
+
+def test_stream_neardup_bucket_cap_bounds_state_and_stops_emission(spark, tmp_path):
+    """An over-cap (degenerate) bucket must stop emitting AND keep its
+    state truncated — unbounded boilerplate buckets cannot grow state on
+    an unbounded stream."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_neardup
+
+    # 12 identical documents → every band bucket holds all 12 docs
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": ["the same boilerplate text repeated here verbatim"] * 12,
+            "lang": ["en"] * 12,
+            "source": ["src0"] * 12,
+            "n_chars": [48] * 12,
+        }
+    )
+    src = str(tmp_path / "cap_src")
+    schema_str = "doc_id long, text string, lang string, source string, n_chars long"
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[i::3], schema_str).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_neardup(stream, max_bucket=5)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sndcap")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("sndcap")
+    # batch 1 delivers 4 docs (under cap=5): C(4,2)=6 distinct pairs, each
+    # emitted by all 4 identical-doc bands; batch 2 pushes every bucket to
+    # 8 > 5 → emission stops for good
+    n_distinct = tbl.select("d1", "d2").distinct().count()
+    n_raw = tbl.count()
+    assert n_distinct == 6, f"expected 6 distinct pairs, got {n_distinct}"
+    assert n_raw == 6 * 4, f"expected 24 raw emissions (4 bands), got {n_raw}"
