@@ -1298,9 +1298,10 @@ WITH s AS (
 )
 SELECT vec_id,
        generate_subscripts(embedding, 1) AS pos,
-       CASE WHEN scale = 0 THEN 0
+       CASE WHEN NOT isfinite(scale) THEN NULL
+            WHEN scale = 0 THEN 0
             ELSE round(unnest(embedding)::DOUBLE / scale * 127)::INT END AS q,
-       round(scale, 6) AS scale
+       round(CASE WHEN isfinite(scale) THEN scale END, 6) AS scale
 FROM s
 """
 

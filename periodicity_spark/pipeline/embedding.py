@@ -144,14 +144,27 @@ def quantize_int8(
     ((x/scale)·127, round half-away-from-zero), so the quantized codes are
     bit-identical across engines.
 
-    → input columns + (scale double, ``out_col`` array<tinyint>).
+    → input columns + (scale double, ``out_col`` array<tinyint>). A dirty
+    vector (any NaN/±Inf component, or a NULL vector) yields NULL scale +
+    NULL codes — the engine's NaN→NULL convention. Without the finiteness
+    guard, ``round(NaN).cast("tinyint")`` raises CAST_INVALID_INPUT under
+    ANSI mode and ONE bad embedding aborts the whole quantization job.
     """
     x = F.col(vec_col)
-    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
-    q = F.when(scale == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))).otherwise(
+    raw_scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    clean = (
+        x.isNotNull()
+        & ~F.isnan(raw_scale)
+        & (raw_scale != F.lit(float("inf")))
+    )
+    scale = F.when(clean, raw_scale)
+    q = F.when(
+        scale == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+    ).when(
+        clean,
         F.transform(
             x,
             lambda v: F.round(v.cast("double") / scale * 127).cast("tinyint"),
-        )
+        ),
     )
     return emb.withColumn("scale", scale).withColumn(out_col, q)

@@ -571,15 +571,47 @@ def ann_mllib_lsh(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    def _unit(col):
-        n = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
-        return F.transform(col, lambda x: x / n)
+    def _norm2(col):
+        return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
-    c = corpus.select(
+    def _unit(col):
+        # coalesce(try_divide, 0): Catalyst evaluates this expression on
+        # rows the zero-norm filter rejects (the projection and the
+        # join's inferred isnotnull constraint are pushed around the
+        # filter), so it must be TOTAL — a plain ANSI division aborts the
+        # job on x/0, a bare try_divide leaves NULL elements that violate
+        # the vector UDT's non-null assertion. A dirty row becomes a zero
+        # vector here and is still dropped by the _clean filter.
+        return F.transform(
+            col, lambda x: F.coalesce(F.try_divide(x, _norm2(col)), F.lit(0.0))
+        )
+
+    # zero-norm (and NaN-poisoned) vectors have undefined cosine — the
+    # brute-force path excludes them via its NULL-cosine filter; here their
+    # features become NULL (when-guard) and the similarity join's inferred
+    # isnotnull(features) constraint drops them. The guard must wrap the
+    # WHOLE feature expression: Catalyst pushes that constraint below any
+    # explicit filter, so the expression is evaluated on dirty rows —
+    # x/0 → NaN features would otherwise sort ABOVE every real neighbor
+    # in the descending re-rank (and a null-element array would violate
+    # the vector UDT's non-null assertion)
+    def _clean(col):
+        n = _norm2(col.cast("array<double>"))
+        return (n > 0) & ~F.isnan(n)
+
+    # dirty rows are dropped by a RAW-column predicate that pushes to the
+    # scan, below every downstream operator — MLlib's hash UDF NPEs on a
+    # NULL vector and cannot be allowed to see one, and Catalyst pushes
+    # the join's inferred isnotnull(features) BELOW any features-level
+    # filter, so the feature expression itself must also be total
+    # (try_divide in _unit) for those speculative evaluations
+    c = corpus.filter(_clean(F.col(vec_col))).select(
         F.col(id_col).alias("vec_id"),
-        array_to_vector(_unit(F.col(vec_col).cast("array<double>"))).alias("features"),
+        array_to_vector(_unit(F.col(vec_col).cast("array<double>"))).alias(
+            "features"
+        ),
     )
-    p = probes.select(
+    p = probes.filter(_clean(F.col(probe_vec_col))).select(
         F.col(probe_id_col).alias("qid"),
         array_to_vector(_unit(F.col(probe_vec_col).cast("array<double>"))).alias(
             "features"

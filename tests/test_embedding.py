@@ -150,3 +150,25 @@ def test_quantize_int8_roundtrip_error_and_ann_recall(spark, emb, X):
         hits += len(e & a) / len(e)
     recall = hits / exact["qid"].nunique()
     assert recall >= 0.95, f"int8 ANN recall@10 = {recall:.3f}"
+
+
+def test_quantize_int8_dirty_vectors_yield_null_not_crash(spark):
+    """NaN/Inf components, zero vectors, and NULL vectors must produce
+    NULL (or zero) codes — under ANSI mode an unguarded round(NaN) cast
+    would abort the whole job on one dirty embedding."""
+    from periodicity_spark.pipeline.embedding import quantize_int8
+
+    rows = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.3, float("nan"), 0.1]),
+        (3, [float("inf"), 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert got[1]["qvec"] == [64, -127, 32] and abs(got[1]["scale"] - 1.0) < 1e-6
+    assert got[2]["qvec"] is None and got[2]["scale"] is None
+    assert got[3]["qvec"] is None and got[3]["scale"] is None
+    assert got[4]["qvec"] == [0, 0, 0] and got[4]["scale"] == 0.0
+    assert got[5]["qvec"] is None and got[5]["scale"] is None

@@ -499,3 +499,20 @@ def test_minhash_signatures_per_row_equals_aggregate_path(spark):
     sa = set(map(tuple, a[["doc_id", "band", "sig"]].values.tolist()))
     sb = set(map(tuple, b[["doc_id", "band", "sig"]].values.tolist()))
     assert sa == sb and len(sa) > 0
+
+
+def test_mllib_lsh_ann_survives_zero_and_nan_vectors(spark, emb):
+    """A zero vector or NaN-poisoned vector in the corpus (or probes) must
+    be excluded, never surface as a NaN-cosine rank-1 neighbor."""
+    dirty = spark.createDataFrame(
+        [
+            (90001, [0.0] * 64),
+            (90002, [float("nan")] + [0.1] * 63),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dirty)
+    out = simsearch.ann_mllib_lsh(corpus, _probes(emb), k=10).toPandas()
+    assert not set(out["vec_id"]) & {90001, 90002}
+    assert out["cosine"].notna().all()
+    assert len(out) > 0
