@@ -324,6 +324,7 @@ def connected_components(
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -349,7 +350,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silent truncation would hand back a WRONG labeling: consumers
+        # like leak_safe_split build their no-contamination guarantee on
+        # every cluster member sharing one label, and a near-dup chain of
+        # diameter > max_iter (incrementally edited boilerplate) would
+        # quietly straddle the train/test boundary
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(a component has diameter > max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )

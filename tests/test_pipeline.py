@@ -516,3 +516,16 @@ def test_mllib_lsh_ann_survives_zero_and_nan_vectors(spark, emb):
     assert not set(out["vec_id"]) & {90001, 90002}
     assert out["cosine"].notna().all()
     assert len(out) > 0
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain of diameter > max_iter must RAISE, not silently return a
+    split labeling — leak_safe_split's guarantee depends on it."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "d1 long, d2 long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3)
+    # and with enough rounds the same chain collapses to one component
+    comp = dedup.connected_components(chain, max_iter=40).toPandas()
+    assert set(comp["component_id"]) == {0}
