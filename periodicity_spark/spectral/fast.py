@@ -189,9 +189,12 @@ def gls_auto(
     it when reproducible STAGE GRAPHS (e.g. plan-diffing across machines)
     matter."""
     stats = ts.groupBy("series_id").agg(F.count("value").alias("n")).agg(
-        F.avg("n").alias("avg_n"), F.count(F.lit(1)).alias("n_series")
+        F.avg("n").alias("avg_n"),
+        F.max("n").alias("max_n"),
+        F.count(F.lit(1)).alias("n_series"),
     ).collect()[0]
     avg_n = stats["avg_n"] or 0
+    max_n = stats["max_n"] or 0
     n_series = stats["n_series"] or 0
     if avg_n * nf > avg_points_threshold * 64 and avg_n > avg_points_threshold:
         if target_tasks is None:
@@ -205,6 +208,12 @@ def gls_auto(
     # many-short-series regime on a global grid: the per-series Arrow
     # kernel is the exact strategy of choice (differential ≤5e-11 vs the
     # crossJoin aggregate, measured ~40% faster at sf0.1 — see
-    # gls_arrow's docstring); the F×N trig matrix stays small because
-    # this branch is only reached when avg_n is below the threshold
-    return gls_arrow(ts, grid, fit_mean=fit_mean)
+    # gls_arrow's docstring). Its per-task memory is TWO F×N float64 trig
+    # matrices for the WORST series, so the route is gated on max_n (not
+    # avg_n — one giant series hiding among short ones must not OOM a
+    # worker) × nf staying under ~16M cells (~256 MB); beyond that the
+    # streaming crossJoin aggregate computes the same numbers in bounded
+    # memory
+    if max_n * nf <= 16_000_000:
+        return gls_arrow(ts, grid, fit_mean=fit_mean)
+    return gls_periodogram(ts, freq_grid=grid, fit_mean=fit_mean)

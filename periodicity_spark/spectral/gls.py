@@ -104,7 +104,13 @@ def gls_periodogram(
     drop the hint and let AQE pick broadcast-vs-shuffle from the measured
     size at runtime, or False to force the shuffle join.
     """
-    ts = ts.filter(F.col("value").isNotNull())
+    # NaN-skipping like the reference's np.nan* reducers (core.py:202-260):
+    # NaN values and NULL/NaN errors are missing data, dropped from every
+    # statistic INCLUDING the min_count sample count — keeping them would
+    # poison whole series (NaN sums) or diverge the two exact strategies
+    ts = ts.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+    if err_col is not None:
+        ts = ts.filter(F.col(err_col).isNotNull() & ~F.isnan(err_col))
     werr = (
         F.lit(1.0)
         if err_col is None
@@ -347,9 +353,13 @@ def gls_arrow(
         out["power"] = out["power"].astype(object).where(pd.notna(out["power"]), None)
         return out
 
-    cols = ts
+    # same NaN-skipping pre-filter as gls_periodogram — the two exact
+    # strategies must agree row-for-row on which samples participate
+    cols = ts.filter(F.col("value").isNotNull() & ~F.isnan("value"))
     if use_err:
-        cols = cols.withColumn("_werr", F.pow(F.col(err_col), F.lit(-2.0)))
+        cols = cols.filter(
+            F.col(err_col).isNotNull() & ~F.isnan(err_col)
+        ).withColumn("_werr", F.pow(F.col(err_col), F.lit(-2.0)))
     return grouped_apply(
         cols, _kern, "series_id string, frequency double, power double"
     )

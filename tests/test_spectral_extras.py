@@ -174,3 +174,42 @@ def test_gls_arrow_matches_crossjoin_path(spark):
             np.testing.assert_allclose(
                 aa["power"][okk], bb["power"][okk], atol=1e-9, err_msg=str(kw)
             )
+
+
+def test_gls_strategies_agree_on_dirty_data(spark):
+    """NaN values and NULL/NaN errors are missing data in BOTH exact GLS
+    strategies — the same series must yield the same powers (and the same
+    min_count decision) whichever strategy gls_auto picks."""
+    import numpy as _np
+
+    from periodicity_spark.spectral.gls import gls_arrow
+
+    rng = _np.random.default_rng(3)
+    t = _np.sort(rng.uniform(0, 30, 120))
+    y = _np.sin(2 * _np.pi * t / 3.0)
+    rows = []
+    for i, (tt, yy) in enumerate(zip(t, y)):
+        val = float("nan") if i % 17 == 0 else float(yy)
+        err = None if i % 23 == 0 else 0.1
+        rows.append(("s", float(tt), val, err))
+    sdf = spark.createDataFrame(
+        rows, "series_id string, time double, value double, err double"
+    )
+    grid = uniform_freq_grid(spark, 0.05, 0.015625, 32)
+    for kw in ({}, {"err_col": "err"}, {"min_count": 113}):
+        a = (
+            gls_arrow(sdf, grid, **kw)
+            .toPandas().sort_values("frequency").reset_index(drop=True)
+        )
+        b = (
+            gls_periodogram(sdf, freq_grid=grid, **kw)
+            .toPandas().sort_values("frequency").reset_index(drop=True)
+        )
+        assert len(a) == len(b), kw
+        if len(b):
+            assert (a["power"].isna() == b["power"].isna()).all(), kw
+            ok = b["power"].notna()
+            np.testing.assert_allclose(
+                a["power"][ok], b["power"][ok], atol=1e-9, err_msg=str(kw)
+            )
+            assert b["power"].notna().any(), kw
