@@ -353,11 +353,15 @@ def stream_topk(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # column types come from the INPUT schema — hardcoding string/long/
+    # double would break the advertised key_col/id_col/value_col
+    # parameters for any differently-typed column at the Arrow boundary
+    dt = {f.name: f.dataType.simpleString() for f in events.schema.fields}
     out_schema = (
-        f"{key_col} string, rank integer, {id_col} long, "
-        f"{value_col} double, seq long"
+        f"{key_col} {dt[key_col]}, rank integer, {id_col} {dt[id_col]}, "
+        f"{value_col} {dt[value_col]}, seq long"
     )
-    state_schema = "seq long, ids array<long>, vals array<double>"
+    state_schema = f"seq long, ids array<{dt[id_col]}>, vals array<{dt[value_col]}>"
     kk = int(k)
 
     def _fn(key, pdfs, state):
@@ -367,9 +371,7 @@ def stream_topk(
         cand = list(zip(ids, vals))
         for pdf in pdfs:
             good = pdf[pdf[value_col].notna()]
-            cand.extend(
-                zip(good[id_col].astype("int64"), good[value_col].astype("float64"))
-            )
+            cand.extend(zip(good[id_col], good[value_col]))
         # merge: value desc, id asc — kk entries survive
         cand.sort(key=lambda t: (-t[1], t[0]))
         cand = cand[:kk]
@@ -378,8 +380,8 @@ def stream_topk(
             {
                 key_col: key[0],
                 "rank": pd.Series(range(1, len(cand) + 1), dtype="int32"),
-                id_col: pd.Series([c[0] for c in cand], dtype="int64"),
-                value_col: pd.Series([c[1] for c in cand], dtype="float64"),
+                id_col: pd.Series([c[0] for c in cand]),
+                value_col: pd.Series([c[1] for c in cand]),
                 "seq": seq,
             }
         )

@@ -508,3 +508,33 @@ def test_stream_neardup_bucket_cap_bounds_state_and_stops_emission(spark, tmp_pa
     n_raw = tbl.count()
     assert n_distinct == 6, f"expected 6 distinct pairs, got {n_distinct}"
     assert n_raw == 6 * 4, f"expected 24 raw emissions (4 bands), got {n_raw}"
+
+
+def test_stream_topk_supports_nondefault_key_types(spark, tmp_path):
+    """key_col/id_col/value_col types are derived from the input schema —
+    a bigint key must work, not crash at the Arrow boundary."""
+    from periodicity_spark.streaming.ops import stream_topk
+
+    ev = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(SF)
+        .select("event_id", "user_id", "value")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .limit(200)
+    )
+    src = str(tmp_path / "tk_src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        stream_topk(stream, k=2, key_col="user_id")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tkbig")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("tkbig")
+    assert dict(tbl.dtypes)["user_id"] == "bigint"
+    assert tbl.count() > 0
+    assert tbl.groupBy("user_id").count().agg(F.max("count")).first()[0] <= 2
