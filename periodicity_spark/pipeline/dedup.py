@@ -88,6 +88,33 @@ def char_shingles(
     )
 
 
+def _affine_perm(h1: Column, h2: Column, a: int, b: int, c: int) -> Column:
+    """One 2D affine permutation (a·h1 + b·h2 + c) mod P31 — the single
+    spelling shared by the aggregate and in-row signature paths (and
+    mirrored verbatim by the DuckDB oracle)."""
+    return (
+        (F.lit(a) * h1) % F.lit(P31) + (F.lit(b) * h2) % F.lit(P31) + F.lit(c)
+    ) % F.lit(P31)
+
+
+def _band_stack(wide: DataFrame, n_bands: int, r: int) -> DataFrame:
+    """(doc_id, _m0.._mN wide minhashes) → (doc_id, band, sig): band j's
+    signature is md5 of the comma-joined minhashes [jr, (j+1)r), unpivoted
+    with stack. Shared tail of both signature paths — their bit-identical
+    contract rests on this being ONE implementation."""
+    bands = [
+        _md5(
+            F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])
+        ).alias(f"_b{j}")
+        for j in range(n_bands)
+    ]
+    wide = wide.select("doc_id", *bands)
+    stack_expr = ", ".join(f"{j}, _b{j}" for j in range(n_bands))
+    return wide.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band, sig)")
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 16, r: int = 4
 ) -> DataFrame:
@@ -103,26 +130,14 @@ def minhash_signatures(
     ~3k docs at ~0.25 true Jaccard). Collision probability per band is
     Jaccard^r, so r=4 separates true near-dups (j ≥ 0.6) from vocabulary
     overlap (j ≈ 0.25) by two orders of magnitude."""
-    n_bands = n_hashes // r
     h1 = F.col("shingle") % F.lit(P31)
     h2 = F.col("shingle2") % F.lit(P31)
     aggs = [
-        F.min(
-            ((F.lit(a) * h1) % F.lit(P31) + (F.lit(b) * h2) % F.lit(P31) + F.lit(c))
-            % F.lit(P31)
-        ).alias(f"_m{i}")
+        F.min(_affine_perm(h1, h2, a, b, c)).alias(f"_m{i}")
         for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
     ]
     wide = shingles.groupBy("doc_id").agg(*aggs)
-    bands = [
-        _md5(F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])).alias(f"_b{j}")
-        for j in range(n_bands)
-    ]
-    wide = wide.select("doc_id", *bands)
-    stack_expr = ", ".join(f"{j}, _b{j}" for j in range(n_bands))
-    return wide.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band, sig)")
-    )
+    return _band_stack(wide, n_hashes // r, r)
 
 
 def minhash_signatures_per_row(
@@ -148,7 +163,6 @@ def minhash_signatures_per_row(
 
     → (doc_id, band, sig).
     """
-    n_bands = n_hashes // r
     hs = F.array_distinct(
         F.expr(
             f"transform(sequence(1, length({text_col}) - {k - 1}),"
@@ -172,29 +186,13 @@ def minhash_signatures_per_row(
     mins = [
         F.array_min(
             F.transform(
-                F.col("_z"),
-                lambda z: (
-                    (F.lit(a) * z["h1"]) % F.lit(P31)
-                    + (F.lit(b) * z["h2"]) % F.lit(P31)
-                    + F.lit(c)
-                )
-                % F.lit(P31),
+                F.col("_z"), lambda z: _affine_perm(z["h1"], z["h2"], a, b, c)
             )
         ).alias(f"_m{i}")
         for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
     ]
     wide = base.select("doc_id", *mins)
-    bands = [
-        _md5(
-            F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])
-        ).alias(f"_b{j}")
-        for j in range(n_bands)
-    ]
-    wide = wide.select("doc_id", *bands)
-    stack_expr = ", ".join(f"{j}, _b{j}" for j in range(n_bands))
-    return wide.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band, sig)")
-    )
+    return _band_stack(wide, n_hashes // r, r)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFrame:

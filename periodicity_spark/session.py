@@ -77,22 +77,7 @@ def persisted(df, key: str):
     recycled by the allocator after a session is garbage-collected, which
     would hand a dead session's persisted plan to a new one.
     """
-    spark = df.sparkSession
-    skey = getattr(spark, "_ps_persist_memo_key", None)
-    if skey is None:
-        import uuid
-
-        skey = uuid.uuid4().hex
-        spark._ps_persist_memo_key = skey
-    full = (skey, key)
-    if full not in _PERSIST_MEMO:
-        for old_key in [k for k in _PERSIST_MEMO if k[0] != skey or k[1] == key]:
-            try:
-                _PERSIST_MEMO.pop(old_key).unpersist()
-            except Exception:
-                pass
-        _PERSIST_MEMO[full] = df.persist()
-    return _PERSIST_MEMO[full]
+    return persisted_lazy(df.sparkSession, key, lambda: df)
 
 
 def persisted_lazy(spark, key: str, builder):
