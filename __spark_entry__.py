@@ -2003,6 +2003,49 @@ WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'mix'), 1, 15))::BIGINT
 """
 
 
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.sample.pps_sample — per-domain systematic PPS: walk each
+    source in doc_id order accumulating quality weight, take one doc per
+    total/k of weight. Deterministic (no RNG), quality-proportional
+    inclusion, ≤ k docs per domain; one group-keyed window shuffle. The
+    cumsum is an ordered left-to-right double sum — bit-identical to the
+    SQL window oracle."""
+    out = sample_ops.pps_sample(_docs(spark, sf_dir), k=8)
+    return out.select(
+        "source", "doc_id", F.round("weight", 6).alias("weight")
+    )
+
+
+SQL_PPS_SAMPLE = """
+WITH t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) / len(toks)::DOUBLE AS avg_token_len,
+         len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) / len(toks)::DOUBLE AS sw_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+         least(n_tokens / 64.0, 1.0)
+         * (CASE WHEN avg_token_len >= 2.5 AND avg_token_len <= 8.0 THEN 1.0 ELSE 0.5 END)
+         * least(sw_ratio * 5.0, 1.0) AS w
+  FROM s
+)
+SELECT source, doc_id, round(w, 6) AS weight
+FROM (
+  SELECT source, doc_id, w,
+         sum(w) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(w) OVER (PARTITION BY source) / 8.0 AS step
+  FROM q
+)
+WHERE floor(cum / step) > floor((cum - w) / step)
+"""
+
+
 def q_uniform_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.sample.uniform_sample_k — exactly-k deterministic uniform
     sample (k smallest salted md5). Compiles to TakeOrderedAndProject:
@@ -4157,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_mix": q_dataset_mix,
         "domain_cap": q_domain_cap,
         "uniform_sample_k": q_uniform_sample_k,
+        "pps_sample": q_pps_sample,
         "leak_split": q_leak_split,
         "pii_scrub": q_pii_scrub,
         "pack_chunks": q_pack_chunks,
@@ -4295,6 +4339,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_mix": SQL_DATASET_MIX,
         "domain_cap": SQL_DOMAIN_CAP,
         "uniform_sample_k": SQL_UNIFORM_SAMPLE_K,
+        "pps_sample": SQL_PPS_SAMPLE,
         "leak_split": SQL_LEAK_SPLIT,
         "pii_scrub": SQL_PII_SCRUB,
         "pack_chunks": SQL_PACK_CHUNKS,

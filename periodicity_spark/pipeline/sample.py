@@ -16,7 +16,7 @@ so every operator here is exactly SQL-oracle-able.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MIX_DENOM = 1_000_000
@@ -311,3 +311,63 @@ def scrub_pii(
     for name, pat in pats.items():
         col = F.regexp_replace(col, pat, f"<{name.upper()}>")
     return df.withColumn(out_col or text_col, col)
+
+
+def pps_sample(
+    docs: DataFrame,
+    k: int,
+    group_col: str = "source",
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling, per domain:
+    walk each domain's documents in ``id_col`` order accumulating weight
+    and take one document every total_weight/k — each doc's inclusion
+    probability is proportional to its weight (quality by default), the
+    sample is EXACTLY deterministic (no RNG), and every domain yields ≤ k
+    docs. The classic PPS design for quality-weighted corpus subsampling:
+    unlike a weighted Bernoulli it hits the target size, unlike top-k it
+    keeps probability mass on mid-quality docs.
+
+    Selection rule: doc with cumulative weight window (cum−w, cum] is
+    taken iff floor(cum/step) > floor((cum−w)/step), step = total/k —
+    i.e. its weight interval contains a multiple of step. Docs heavier
+    than step are taken exactly once (systematic sampling's bounded
+    variant).
+
+    Scale shape: one shuffle keyed by ``group_col`` for the per-domain
+    ordered window (cumulative sum + total); skew is bounded by the
+    domain cap upstream. The global-corpus variant would need a
+    distributed prefix sum — per-domain windows are the natural
+    stratification and keep every window partition-sized. All arithmetic
+    is an ordered left-to-right double cumsum, bit-identical to the SQL
+    window oracle.
+
+    → (group_col, id_col, weight, cum, take) filtered to take=true.
+    """
+    if weight_col is None:
+        from periodicity_spark.pipeline.text import _quality_expr, _tokens
+
+        docs = docs.select(
+            F.col(group_col),
+            F.col(id_col),
+            _quality_expr(_tokens("text")).alias("_w"),
+        )
+    else:
+        docs = docs.select(
+            F.col(group_col), F.col(id_col), F.col(weight_col).alias("_w")
+        )
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    wall = Window.partitionBy(group_col)
+    cum = F.sum("_w").over(w)
+    step = F.sum("_w").over(wall) / F.lit(float(k))
+    out = docs.select(
+        group_col,
+        id_col,
+        F.col("_w").alias("weight"),
+        cum.alias("cum"),
+        (
+            F.floor(cum / step) > F.floor((cum - F.col("_w")) / step)
+        ).alias("take"),
+    )
+    return out.filter("take").drop("take", "cum")

@@ -183,3 +183,29 @@ def test_leak_safe_split_never_straddles_components(spark, sf_dir):
     a = {(r["doc_id"], r["split"]) for r in S.leak_safe_split(docs, empty, w).select("doc_id", "split").collect()}
     b = {(r["doc_id"], r["split"]) for r in S.hash_split(docs, w).select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_pps_sample_properties(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = S.pps_sample(docs, k=5).toPandas()
+    # exactly k per domain when total weight spreads over > k docs
+    per = out.groupby("source").size()
+    assert (per <= 5).all() and per.min() >= 1
+    # deterministic
+    again = S.pps_sample(docs, k=5).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(
+        map(tuple, again.values.tolist())
+    )
+    # explicit weight column: a doc heavier than step is always taken
+    import pandas as pd
+
+    rows = [("s", i, 1.0 if i else 100.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w double")
+    got = S.pps_sample(df, k=5, weight_col="w").toPandas()
+    assert 0 in set(got["doc_id"]), "dominant-weight doc must be sampled"
+    assert len(got) <= 5
+    # k larger than the domain: every doc with positive weight survives
+    tiny = spark.createDataFrame(
+        [("s", i, 1.0) for i in range(3)], "source string, doc_id long, w double"
+    )
+    assert S.pps_sample(tiny, k=100, weight_col="w").count() == 3
