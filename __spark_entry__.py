@@ -1198,6 +1198,87 @@ LIMIT 20
 """
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): lineitems under 20% of
+    their part's average quantity, for one brand. The correlated scalar
+    subquery is decorrelated into ONE per-part average aggregate joined
+    back — at 100 TB the naive re-scan-per-row is impossible, and the
+    per-part aggregate gets map-side combine; the brand filter reaches
+    the part scan and the tiny filtered part side broadcasts into both
+    the threshold build and the final join."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = rd("lineitem")
+    parts = rd("part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_q = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("_thr"))
+        .withColumnRenamed("l_partkey", "_pk")
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the OR-of-ANDs shape — three
+    disjunct (brand, size, quantity) branches spanning the join. The
+    part-only conjuncts (brand OR-set, size bound) are implied by the
+    disjunction and reach the part scan as pushed filters; part then
+    broadcasts and the residual cross-table disjunction evaluates on the
+    join output — no fact-table re-scan per branch."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = rd("lineitem")
+    p = rd("part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to mktsegment in
     place of phone country codes: rich customers (balance above the
@@ -4172,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
         "embedding_centroids": q_embedding_centroids,
@@ -4311,6 +4394,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q17": SQL_TPCH_Q17,
+        "tpch_q19": SQL_TPCH_Q19,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q22": SQL_TPCH_Q22,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,

@@ -76,6 +76,8 @@ GUARDED = [
     "tpch_q4",
     "tpch_q10",
     "tpch_q13",
+    "tpch_q17",
+    "tpch_q19",
     "tpch_q22",
     "domain_cap",
     "leak_split",
