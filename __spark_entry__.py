@@ -2117,11 +2117,14 @@ q AS (
 )
 SELECT source, doc_id, round(w, 6) AS weight
 FROM (
-  SELECT source, doc_id, w,
-         sum(w) OVER (PARTITION BY source ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-         sum(w) OVER (PARTITION BY source) / 8.0 AS step
-  FROM q
+  SELECT source, doc_id, w, cum,
+         max(cum) OVER (PARTITION BY source) / 8.0 AS step
+  FROM (
+    SELECT source, doc_id, w,
+           sum(w) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM q
+  )
 )
 WHERE floor(cum / step) > floor((cum - w) / step)
 """

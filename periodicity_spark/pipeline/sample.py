@@ -359,15 +359,20 @@ def pps_sample(
         )
     w = Window.partitionBy(group_col).orderBy(id_col)
     wall = Window.partitionBy(group_col)
-    cum = F.sum("_w").over(w)
-    step = F.sum("_w").over(wall) / F.lit(float(k))
-    out = docs.select(
+    # step derives from max(cum) — the SEQUENTIAL total — not a separate
+    # whole-partition sum: engines are free to sum a partition pairwise,
+    # which lands 1 ulp off the running sum's last value and flips the
+    # final floor(total/step)==k boundary between them
+    cummed = docs.select(
         group_col,
         id_col,
         F.col("_w").alias("weight"),
-        cum.alias("cum"),
-        (
-            F.floor(cum / step) > F.floor((cum - F.col("_w")) / step)
-        ).alias("take"),
+        F.sum("_w").over(w).alias("cum"),
+    )
+    step = F.max("cum").over(wall) / F.lit(float(k))
+    out = cummed.withColumn(
+        "take",
+        F.floor(F.col("cum") / step)
+        > F.floor((F.col("cum") - F.col("weight")) / step),
     )
     return out.filter("take").drop("take", "cum")
