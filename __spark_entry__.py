@@ -1153,6 +1153,121 @@ GROUP BY c_count
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    ship year. Shape: the two INDEPENDENT nation dimension joins (supplier
+    side and customer side both broadcast — the nation pair disjunction
+    rides them, no extra exchange) + year() extraction feeding the group
+    keys. One big-big lineitem ⋈ orders join, AQE's call."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    n1 = rd("nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = rd("nation").select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = rd("lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(rd("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(rd("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's supplier share of a
+    region's ECONOMY-part market by order year — the conditional-share
+    aggregate (sum(case)/sum) over a 7-table star. Part and all dims
+    broadcast; the customer-side region restriction and the supplier-side
+    nation label come from two independent nation joins."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    cust_nat = (
+        rd("nation")
+        .join(
+            F.broadcast(rd("region").filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_cn_key"))
+    )
+    supp_nat = rd("nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("nation")
+    )
+    orders = rd("orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    econ_parts = rd("part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        rd("lineitem")
+        .join(F.broadcast(econ_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(rd("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(rd("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("_sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = """
+SELECT year(o_orderdate) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+GROUP BY 1
+"""
+
+
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item revenue): top-20 customers by revenue lost
     to returns in a quarter. Plan: the l_returnflag='R' filter reaches the
@@ -4256,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q8": q_tpch_q8,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
         "tpch_q13": q_tpch_q13,
@@ -4397,6 +4514,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q10": SQL_TPCH_Q10,
+        "tpch_q7": SQL_TPCH_Q7,
+        "tpch_q8": SQL_TPCH_Q8,
         "tpch_q17": SQL_TPCH_Q17,
         "tpch_q19": SQL_TPCH_Q19,
         "tpch_q13": SQL_TPCH_Q13,

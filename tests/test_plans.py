@@ -74,6 +74,8 @@ GUARDED = [
     # before the outer join; Q22's scalar subquery is a 1-row broadcast and
     # its anti-join right side is bare keys; the three sampling ops
     "tpch_q4",
+    "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
     "tpch_q13",
     "tpch_q17",
