@@ -1028,6 +1028,69 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01'
 """
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the aggregate-of-aggregate max shape with
+    tie safety — the revenue view (one quarter of lineitem, grouped by
+    supplier) is referenced twice, once for the per-supplier totals and
+    once for their max. Both references share an IDENTICAL subplan, so
+    Spark reuses the shuffle exchange (ReusedExchange): lineitem is
+    scanned and shuffled ONCE even though the view appears twice — the
+    100 TB-safe alternative to a correlated re-scan. The 1-row max
+    broadcasts into the equality join (ties all survive, per spec), and
+    the tiny winner set broadcasts into supplier.
+
+    Output adapted to the testdata's supplier columns (no address/phone):
+    (s_suppkey, s_name, total_revenue). Revenue is rounded to 2 decimals
+    BEFORE the max comparison on both engines, so the tie comparison is
+    on identical representations."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rev = (
+        rd("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+            # explicit: the supplier join would INFER isnotnull(l_suppkey)
+            # into the totals branch only, desynchronizing the two view
+            # references' canonical plans and silently killing the
+            # ReusedExchange (verified: without this, lineitem is scanned
+            # and shuffled twice)
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    winners = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("_mx")
+    ).drop("_mx")
+    return (
+        rd("supplier")
+        .join(F.broadcast(winners), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customer): the HAVING-subquery shape. The
     inner aggregate (orders whose total quantity exceeds 300) is computed
@@ -1494,11 +1557,13 @@ WITH s AS (
 )
 SELECT vec_id,
        generate_subscripts(embedding, 1) AS pos,
-       CASE WHEN NOT isfinite(scale) THEN NULL
-            WHEN scale = 0 THEN 0
+       CASE WHEN scale = 0 THEN 0
             ELSE round(unnest(embedding)::DOUBLE / scale * 127)::INT END AS q,
-       round(CASE WHEN isfinite(scale) THEN scale END, 6) AS scale
+       round(scale, 6) AS scale
 FROM s
+-- dirty vectors (NULL, or any NaN/Inf component → non-finite scale) emit
+-- ZERO rows, matching the Spark side's posexplode of a NULL qvec
+WHERE isfinite(scale)
 """
 
 
@@ -4368,6 +4433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "tpch_q5": q_tpch_q5,
         "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
         "tpch_q18": q_tpch_q18,
         "tpch_q4": q_tpch_q4,
         "tpch_q10": q_tpch_q10,
@@ -4511,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q6": SQL_TPCH_Q6,
         "tpch_q5": SQL_TPCH_Q5,
         "tpch_q14": SQL_TPCH_Q14,
+        "tpch_q15": SQL_TPCH_Q15,
         "tpch_q18": SQL_TPCH_Q18,
         "tpch_q4": SQL_TPCH_Q4,
         "tpch_q10": SQL_TPCH_Q10,

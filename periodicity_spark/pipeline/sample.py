@@ -343,7 +343,8 @@ def pps_sample(
     is an ordered left-to-right double cumsum, bit-identical to the SQL
     window oracle.
 
-    → (group_col, id_col, weight, cum, take) filtered to take=true.
+    → (group_col, id_col, weight): the selected docs only (the internal
+    cum/take audit columns are dropped).
     """
     if weight_col is None:
         from periodicity_spark.pipeline.text import _quality_expr, _tokens

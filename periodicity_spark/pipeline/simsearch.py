@@ -568,55 +568,58 @@ def ann_mllib_lsh(
     → (qid, vec_id, cosine, rank): the same contract as
     ``cosine_topk_bruteforce``, approximate recall.
     """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
 
     def _norm2(col):
         return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
-    def _unit(col):
-        # coalesce(try_divide, 0): Catalyst evaluates this expression on
-        # rows the zero-norm filter rejects (the projection and the
-        # join's inferred isnotnull constraint are pushed around the
-        # filter), so it must be TOTAL — a plain ANSI division aborts the
-        # job on x/0, a bare try_divide leaves NULL elements that violate
-        # the vector UDT's non-null assertion. A dirty row becomes a zero
-        # vector here and is still dropped by the _clean filter.
-        return F.transform(
-            col, lambda x: F.coalesce(F.try_divide(x, _norm2(col)), F.lit(0.0))
-        )
-
     # zero-norm (and NaN-poisoned) vectors have undefined cosine — the
-    # brute-force path excludes them via its NULL-cosine filter; here their
-    # features become NULL (when-guard) and the similarity join's inferred
-    # isnotnull(features) constraint drops them. The guard must wrap the
-    # WHOLE feature expression: Catalyst pushes that constraint below any
-    # explicit filter, so the expression is evaluated on dirty rows —
-    # x/0 → NaN features would otherwise sort ABOVE every real neighbor
-    # in the descending re-rank (and a null-element array would violate
-    # the vector UDT's non-null assertion)
+    # brute-force path excludes them via its NULL-cosine filter; here they
+    # are dropped by a RAW-column predicate that pushes all the way to the
+    # scan. coalesce(..., false): a NULL embedding makes the predicate
+    # NULL, and `NULL AND x` must still evaluate x — without the coalesce
+    # the LSH model's internal size(hashes)>0 filter (pushed into the same
+    # scan-level conjunction) would run its hash UDF on the dirty row
     def _clean(col):
         n = _norm2(col.cast("array<double>"))
-        return (n > 0) & ~F.isnan(n)
+        return F.coalesce((n > 0) & ~F.isnan(n), F.lit(False))
 
-    # dirty rows are dropped by a RAW-column predicate that pushes to the
-    # scan, below every downstream operator — MLlib's hash UDF NPEs on a
-    # NULL vector and cannot be allowed to see one, and Catalyst pushes
-    # the join's inferred isnotnull(features) BELOW any features-level
-    # filter, so the feature expression itself must also be total
-    # (try_divide in _unit) for those speculative evaluations
-    c = corpus.filter(_clean(F.col(vec_col))).select(
-        F.col(id_col).alias("vec_id"),
-        array_to_vector(_unit(F.col(vec_col).cast("array<double>"))).alias(
-            "features"
-        ),
+    # every expression downstream of the scan must be TOTAL on dirty rows:
+    # Catalyst pushes the join's inferred isnotnull(features) and the LSH
+    # model's size(hashes)>0 into the scan filter, where the full
+    # hash(normalize(array_to_vector(...))) chain is evaluated on EVERY
+    # row, including the ones _clean rejects (conjunct order inside a
+    # pushed filter is not guaranteed). array_to_vector NPEs on NULL and
+    # the hash's gemv aborts on a wrong-dim vector, so dirty rows get a
+    # finite placeholder of the corpus dimension; _clean still drops them
+    # before any join output.
+    first = (
+        corpus.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
     )
-    p = probes.filter(_clean(F.col(probe_vec_col))).select(
-        F.col(probe_id_col).alias("qid"),
-        array_to_vector(_unit(F.col(probe_vec_col).cast("array<double>"))).alias(
-            "features"
-        ),
-    )
+    dim = int(first[0]) if first else 1
+    placeholder = F.array_repeat(F.lit(0.5), dim).cast("array<double>")
+
+    # L2-normalize via MLlib's Normalizer: one JVM pass per vector.
+    # (An F.transform lambda dividing by the aggregate norm would
+    # re-evaluate the whole-array norm once PER ELEMENT — Catalyst does
+    # not subexpression-eliminate inside lambda bodies — i.e. O(D²)/row.)
+    def _featurize(df, idc, vc, out_id):
+        safe = F.when(_clean(F.col(vc)), F.col(vc).cast("array<double>")).otherwise(
+            placeholder
+        )
+        raw = df.filter(_clean(F.col(vc))).select(
+            F.col(idc).alias(out_id),
+            array_to_vector(safe).alias("_raw"),
+        )
+        return (
+            Normalizer(inputCol="_raw", outputCol="features", p=2.0)
+            .transform(raw)
+            .drop("_raw")
+        )
+
+    c = _featurize(corpus, id_col, vec_col, "vec_id")
+    p = _featurize(probes, probe_id_col, probe_vec_col, "qid")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

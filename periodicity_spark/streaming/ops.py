@@ -363,6 +363,10 @@ def stream_topk(
     )
     state_schema = f"seq long, ids array<{dt[id_col]}>, vals array<{dt[value_col]}>"
     kk = int(k)
+    # state values must round-trip in the INPUT column's type: coercing
+    # through Python float would silently corrupt int64 values above 2^53
+    int_val = dt[value_col] in ("tinyint", "smallint", "int", "bigint")
+    _coerce = int if int_val else float
 
     def _fn(key, pdfs, state):
         import pandas as pd
@@ -385,7 +389,7 @@ def stream_topk(
                 "seq": seq,
             }
         )
-        state.update((seq, [c[0] for c in cand], [float(c[1]) for c in cand]))
+        state.update((seq, [c[0] for c in cand], [_coerce(c[1]) for c in cand]))
 
     return events.groupBy(key_col).applyInPandasWithState(
         _fn,
@@ -442,6 +446,10 @@ def stream_neardup(
 
     sig = minhash_signatures_per_row(docs, k=k, n_hashes=n_hashes, r=r)
     cap = int(max_bucket)
+    # id type comes from the INPUT schema (as stream_topk does) — the
+    # batch lsh_candidate_pairs path is id-type generic, so this twin
+    # must accept string/int doc_ids alike
+    id_dt = {f.name: f.dataType.simpleString() for f in docs.schema.fields}["doc_id"]
 
     def _fn(key, pdfs, state):
         import pandas as pd
@@ -451,7 +459,9 @@ def stream_neardup(
         seen_set = set(seen)
         for pdf in pdfs:
             for d in pdf["doc_id"]:
-                d = int(d)
+                # unwrap numpy scalars so state round-trips cleanly;
+                # strings and other Python objects pass through as-is
+                d = d.item() if hasattr(d, "item") else d
                 if d not in seen_set:
                     seen_set.add(d)
                     new.append(d)
@@ -463,8 +473,8 @@ def stream_neardup(
                     lo, hi = (o, nd) if o < nd else (nd, o)
                     d1s.append(lo)
                     d2s.append(hi)
-        yield pd.DataFrame({"d1": pd.Series(d1s, dtype="int64"),
-                            "d2": pd.Series(d2s, dtype="int64")})
+        yield pd.DataFrame({"d1": pd.Series(d1s, dtype=object),
+                            "d2": pd.Series(d2s, dtype=object)})
         # once over the cap the bucket never emits again, so its ids are
         # dead weight — truncate to cap+1 as the over-cap sentinel, keeping
         # state bounded even for a degenerate boilerplate bucket fed by an
@@ -474,8 +484,8 @@ def stream_neardup(
 
     return sig.groupBy("band", "sig").applyInPandasWithState(
         _fn,
-        "d1 long, d2 long",
-        "ids array<long>",
+        f"d1 {id_dt}, d2 {id_dt}",
+        f"ids array<{id_dt}>",
         "update",
         GroupStateTimeout.NoTimeout,
     )

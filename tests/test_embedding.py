@@ -172,3 +172,40 @@ def test_quantize_int8_dirty_vectors_yield_null_not_crash(spark):
     assert got[3]["qvec"] is None and got[3]["scale"] is None
     assert got[4]["qvec"] == [0, 0, 0] and got[4]["scale"] == 0.0
     assert got[5]["qvec"] is None and got[5]["scale"] is None
+
+
+def test_embed_quantize_contract_holds_on_dirty_vectors(spark, tmp_path):
+    """The q_embed_quantize ↔ SQL_EMBED_QUANTIZE contract on DIRTY data:
+    both sides must emit ZERO rows for NULL/NaN/Inf vectors (Spark's
+    posexplode of a NULL qvec skips the vec; the oracle's WHERE
+    isfinite(scale) mirrors it). The driver's testdata is clean, so only
+    this test exercises the divergence ADVICE r5 flagged."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.selfcheck import compare
+
+    rows = [
+        (1, [0.5, -1.0, 0.25], 0),
+        (2, [0.3, float("nan"), 0.1], 0),
+        (3, [float("inf"), 1.0, 0.0], 1),
+        (4, [0.0, 0.0, 0.0], 1),
+        (5, None, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+    sdf = entrymod.queries()["embed_quantize"](spark, d).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{d}/embeddings.parquet/*.parquet')"
+    )
+    ddf = con.sql(entrymod.oracle_sql()["embed_quantize"]).df()
+    con.close()
+    problems = compare("embed_quantize", sdf, ddf)
+    assert not problems, "; ".join(problems[:4])
+    # only the clean vector (1) and the zero vector (4) survive
+    assert sorted(sdf["vec_id"].unique()) == [1, 4]

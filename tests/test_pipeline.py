@@ -501,21 +501,32 @@ def test_minhash_signatures_per_row_equals_aggregate_path(spark):
     assert sa == sb and len(sa) > 0
 
 
-def test_mllib_lsh_ann_survives_zero_and_nan_vectors(spark, emb):
-    """A zero vector or NaN-poisoned vector in the corpus (or probes) must
-    be excluded, never surface as a NaN-cosine rank-1 neighbor."""
+def test_mllib_lsh_ann_survives_zero_nan_and_null_vectors(spark, emb):
+    """A zero vector, NaN-poisoned vector, or NULL vector in the corpus
+    (or probes) must be excluded, never surface as a NaN-cosine rank-1
+    neighbor — and never crash. The NULL case is load-bearing: the LSH
+    model's internal size(hashes)>0 filter is pushed into the scan-level
+    conjunction where `NULL AND x` still evaluates x, so the whole
+    hash(normalize(·)) chain runs on the dirty row and must be total
+    (r6: array_to_vector NPE'd / gemv aborted without the placeholder)."""
     dirty = spark.createDataFrame(
         [
             (90001, [0.0] * 64),
             (90002, [float("nan")] + [0.1] * 63),
+            (90003, None),
         ],
         "vec_id long, embedding array<float>",
     )
     corpus = emb.select("vec_id", "embedding").unionByName(dirty)
     out = simsearch.ann_mllib_lsh(corpus, _probes(emb), k=10).toPandas()
-    assert not set(out["vec_id"]) & {90001, 90002}
+    assert not set(out["vec_id"]) & {90001, 90002, 90003}
     assert out["cosine"].notna().all()
     assert len(out) > 0
+    # dirty PROBES are dropped wholesale, not crashed on
+    dp = dirty.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    assert simsearch.ann_mllib_lsh(emb, dp, k=5).count() == 0
 
 
 def test_connected_components_raises_on_non_convergence(spark):

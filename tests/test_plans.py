@@ -86,6 +86,8 @@ GUARDED = [
     "uniform_sample_k",
     "gls_arrow",
     "simsearch_mllib",
+    # round 6 — Q15's revenue view is referenced twice; reuse guarded below
+    "tpch_q15",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
@@ -118,6 +120,17 @@ def test_cosine_neardup_single_deliberate_cartesian(spark, sf_dir):
     absence, not counts."""
     plan = _final_plan(spark, sf_dir, "cosine_neardup")
     assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q15_revenue_view_shuffle_is_reused(spark, sf_dir):
+    """Q15 references the revenue view twice (totals + their max). The two
+    references must share ONE lineitem scan+shuffle via ReusedExchange —
+    the explicit isnotnull(l_suppkey) in the view keeps both branches'
+    canonical plans identical (the supplier join would otherwise infer it
+    into only one branch and silently double the 100 TB fact scan)."""
+    plan = _final_plan(spark, sf_dir, "tpch_q15")
+    assert "ReusedExchange" in plan, "revenue view no longer shares its shuffle"
     assert "SortMergeJoin" not in plan
 
 

@@ -538,3 +538,95 @@ def test_stream_topk_supports_nondefault_key_types(spark, tmp_path):
     assert dict(tbl.dtypes)["user_id"] == "bigint"
     assert tbl.count() > 0
     assert tbl.groupBy("user_id").count().agg(F.max("count")).first()[0] <= 2
+
+
+def test_stream_topk_integer_values_exact_above_2_53(spark, tmp_path):
+    """State values must keep the input column's type: an int64 value above
+    2^53 must survive a state round-trip EXACTLY — coercion through Python
+    float would silently round it (ADVICE r5). The big value arrives in
+    batch 1, so batch 2's emission re-reads it from state."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_topk
+
+    big = (1 << 53) + 1  # not representable as float64
+    b1 = pd.DataFrame(
+        {"event_id": [1, 2], "event_type": ["a", "a"], "value": [big, 5]}
+    )
+    b2 = pd.DataFrame({"event_id": [3], "event_type": ["a"], "value": [7]})
+    src = str(tmp_path / "tkint_src")
+    schema = "event_id long, event_type string, value long"
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_topk(stream, k=2)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tkint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("tkint")
+    assert dict(tbl.dtypes)["value"] == "bigint"
+    final = (
+        tbl.filter(F.col("seq") == tbl.agg(F.max("seq")).first()[0])
+        .orderBy("rank")
+        .collect()
+    )
+    assert [r["event_id"] for r in final] == [1, 3]
+    assert final[0]["value"] == big, f"int64 corrupted: {final[0]['value']}"
+    assert final[1]["value"] == 7
+
+
+def test_stream_neardup_supports_string_doc_ids(spark, tmp_path):
+    """d1/d2 and the bucket state derive their type from the input schema —
+    string doc_ids must work, not crash on the hardcoded-long path
+    (ADVICE r5); pair ordering is lexicographic for strings."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_neardup
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["doc-b", "doc-a", "doc-c"],
+            "text": ["identical near dup text body here"] * 2
+            + ["completely different other content entirely unlike"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [33, 33, 50],
+        }
+    )
+    src = str(tmp_path / "ndstr_src")
+    schema = "doc_id string, text string, lang string, source string, n_chars long"
+    for i in range(2):
+        spark.createDataFrame(pdf.iloc[i::2], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_neardup(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ndstr")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    tbl = spark.table("ndstr")
+    assert dict(tbl.dtypes)["d1"] == "string"
+    pairs = {
+        (r["d1"], r["d2"]) for r in tbl.select("d1", "d2").distinct().collect()
+    }
+    assert pairs == {("doc-a", "doc-b")}, pairs
