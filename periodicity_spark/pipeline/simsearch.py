@@ -135,7 +135,7 @@ def cosine_topk_lsh(
     probes: DataFrame,
     k: int = 5,
     n_planes: int = 4,
-    n_tables: int = 16,
+    n_tables: int = 24,
     seed: int = 42,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -149,13 +149,14 @@ def cosine_topk_lsh(
     candidates. Recall follows 1−(1−(1−θ/π)^planes)^tables, so it is a
     property of the DATA's neighbor angles: the sf0.001 embeddings' true
     top-10 neighbors average cosine 0.296 (θ≈73°), and the measured
-    recall@10 at the 16×4 default is 0.878 with ~64% of the corpus as
-    candidates — one table at 8 planes (the r2 shape) measures 0.016. On a
-    near-duplicate corpus (neighbor cosine ≥0.7, the dedup regime) the same
-    16×4 predicts recall ≥0.999 at ~6% candidates, and more planes per
-    table becomes affordable. The bucket equi-join replaces the cross join:
-    the corpus side never broadcasts and shuffles only its (table, bucket)
-    exploded signatures."""
+    recall@10 at the 24×4 default is 0.962 with ~78% of the corpus as
+    candidates (16×4 measured 0.884 at ~63%; one table at 8 planes — the
+    r2 shape — 0.016; sf0.1 wall time is identical 16→24, the exact
+    re-rank dominates). On a near-duplicate corpus (neighbor cosine ≥0.7,
+    the dedup regime) the same 24×4 predicts recall ≥0.999 at ~9%
+    candidates, and more planes per table becomes affordable. The bucket
+    equi-join replaces the cross join: the corpus side never broadcasts
+    and shuffles only its (table, bucket) exploded signatures."""
     bud = multi_table_buckets(n_tables, n_planes, seed, dim)
     csig = corpus.select(
         F.col(id_col).alias("vec_id"),

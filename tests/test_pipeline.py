@@ -159,22 +159,23 @@ def test_ivf_recall_on_clustered_corpus(spark):
 
 
 def test_lsh_recall_vs_bruteforce(spark, emb, exact10):
-    """Measured multi-table LSH recall at the reported 16×4 default: 0.878
-    (single-table at 8 planes measures 0.016 on the same probes — the angle
-    distribution here is hard: true top-10 neighbors average cosine 0.296).
-    Also checks the candidate set stays a strict subset of the corpus and
-    ranks are well-formed."""
+    """Measured multi-table LSH recall at the 24×4 default: ≥0.95
+    (16×4 measured 0.884, single-table at 8 planes 0.016 on the same
+    probes — the angle distribution here is hard: true top-10 neighbors
+    average cosine 0.296). Also checks the candidate set stays a strict
+    subset of the corpus and ranks are well-formed."""
     lsh = simsearch.cosine_topk_lsh(emb, _probes32(emb), k=10).toPandas()
-    assert _recall(exact10, lsh) >= 0.85
+    assert _recall(exact10, lsh) >= 0.95
     for qid, g in lsh.groupby("qid"):
         assert list(g.sort_values("rank")["rank"]) == list(range(1, len(g) + 1))
 
 
 def test_lsh_candidate_fraction_bounded(spark, emb):
     """The bucket join prunes: candidates per probe stay well under the
-    corpus size (measured ~64% at 16×4 on this hard angle distribution;
-    near-duplicate regimes prune far harder — see the docstring formula)."""
-    bud = simsearch.multi_table_buckets(16, 4, 42, 64)
+    corpus size (measured ~78% at the 24×4 default on this hard angle
+    distribution; near-duplicate regimes prune far harder — see the
+    docstring formula)."""
+    bud = simsearch.multi_table_buckets(24, 4, 42, 64)
     csig = emb.select(
         F.col("vec_id"), F.posexplode(bud(F.col("embedding"))).alias("table", "bucket")
     )
@@ -188,7 +189,7 @@ def test_lsh_candidate_fraction_bounded(spark, emb):
         .distinct()
         .count()
     )
-    assert ncand / 32 < 0.75 * 500
+    assert ncand / 32 < 0.85 * 500
 
 
 def test_minhash_finds_planted_duplicates(spark):

@@ -162,6 +162,67 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert day3.iloc[0]["value"] == 1.0
 
 
+def test_stream_funnel_drops_and_counts_late_event(spark, tmp_path):
+    """Explicit late-data discard semantics for the stream-stream join: a
+    then-event arriving BEHIND the watermark must not create a funnel pair,
+    and the engine must COUNT the drop (numRowsDroppedByWatermark in the
+    progress state metrics) — pinning that lateness is discarded loudly,
+    not silently matched or silently lost."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_funnel
+
+    src = str(tmp_path / "fun_src")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+
+    def _write(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: one click→purchase pair, plus far-future events on BOTH
+    # sides — the global watermark is the MIN across the join's two
+    # watermark nodes, so both the click and the purchase branch must see
+    # a late-January event for the watermark to pass Jan 1
+    _write(
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 11:00:00", 7, "purchase", 1.0),
+            (3, "2024-01-20 00:00:00", 8, "click", 1.0),
+            (5, "2024-01-20 00:10:00", 9, "purchase", 1.0),
+        ]
+    )
+    ev = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream_funnel(ev)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("fun_late")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: a LATE purchase inside user 7's funnel window but far behind
+    # the watermark — must be dropped and counted, not matched
+    _write([(4, "2024-01-01 12:00:00", 7, "purchase", 1.0)])
+    q.processAllAvailable()
+    dropped = 0
+    for p in q.recentProgress:
+        for so in p["stateOperators"]:
+            dropped += so.get("numRowsDroppedByWatermark", 0)
+    q.stop()
+
+    out = spark.table("fun_late").toPandas()
+    assert set(out["then_id"]) == {2}, out.to_string()
+    assert dropped >= 1, "late event was not counted as watermark-dropped"
+
+
 def test_stream_zscore_rows_stay_aligned_under_shuffled_arrival(spark, tmp_path):
     """Regression: rows arriving out of ts order within a micro-batch must
     keep (ts, value) aligned with their (z, anomaly) — a sort without
