@@ -252,6 +252,39 @@ def rolling_median3_residual(ts: DataFrame) -> DataFrame:
     return ts.select("series_id", "time", (v - med3).alias("value"))
 
 
+def robust_noise_np(v, sigma: float = 3.0, n_iter: int = 3):
+    """NumPy kernel of the robust noise estimate: median3-residual (reflect
+    edges, NULL neighbors coalesced to the center value, matching the window
+    formulation's F.coalesce(F.lag(...), value)) → n_iter k-sigma clip →
+    std/0.893421 (reference core.py:369-399). Returns None when the series
+    yields no estimate (empty / constant → empty kept set), mirroring the
+    distributed twin where the stats aggregate emits no row. Shared by
+    estimate_noise_local and the fused wps.denoise kernel — the math lives
+    once."""
+    import numpy as np
+
+    v = np.asarray(v, dtype=float)
+    if len(v) == 0:
+        return None
+    prev = np.concatenate(([np.nan], v[:-1]))
+    nxt = np.concatenate((v[1:], [np.nan]))
+    prev = np.where(np.isnan(prev), v, prev)
+    nxt = np.where(np.isnan(nxt), v, nxt)
+    med3 = np.maximum(np.minimum(prev, v), np.minimum(np.maximum(prev, v), nxt))
+    r = v - med3
+    r = r[~np.isnan(r)]
+    if len(r) == 0:
+        return None
+    kept = r
+    sd = 0.0
+    for _ in range(int(n_iter)):
+        if len(kept) == 0:
+            return None
+        mu, sd = float(np.mean(kept)), float(np.std(kept))
+        kept = r[np.abs(r - mu) < float(sigma) * sd]
+    return sd / 0.893421
+
+
 def estimate_noise_local(
     ts: DataFrame, sigma: float = 3.0, n_iter: int = 3
 ) -> DataFrame:
@@ -266,37 +299,16 @@ def estimate_noise_local(
     sg, ni = float(sigma), int(n_iter)
 
     def _per_series(pdf):
-        import numpy as np
         import pandas as pd
 
+        from periodicity_spark.operators.clean import robust_noise_np
+
         pdf = pdf.sort_values("time")
-        v = pdf["value"].to_numpy(dtype=float)
-        if len(v) == 0:
+        noise = robust_noise_np(pdf["value"].to_numpy(dtype=float), sg, ni)
+        if noise is None:
             return None
-        # median3 with reflect edges (edge median = median(x0, x0, x1));
-        # NULL-valued neighbors coalesce to the center value, matching the
-        # window formulation's F.coalesce(F.lag(...), value) — null rows stay
-        # in the neighborhood, their own residual drops below
-        prev = np.concatenate(([np.nan], v[:-1]))
-        nxt = np.concatenate((v[1:], [np.nan]))
-        prev = np.where(np.isnan(prev), v, prev)
-        nxt = np.where(np.isnan(nxt), v, nxt)
-        med3 = np.maximum(np.minimum(prev, v), np.minimum(np.maximum(prev, v), nxt))
-        r = v - med3
-        r = r[~np.isnan(r)]
-        if len(r) == 0:
-            return None
-        kept = r
-        sd = 0.0
-        for _ in range(ni):
-            if len(kept) == 0:
-                # distributed twin: an aggregate over an empty kept set emits
-                # no stats row, so the series drops out (σ=0 constant series)
-                return None
-            mu, sd = float(np.mean(kept)), float(np.std(kept))
-            kept = r[np.abs(r - mu) < sg * sd]
         return pd.DataFrame(
-            {"series_id": [pdf["series_id"].iloc[0]], "noise": [sd / 0.893421]}
+            {"series_id": [pdf["series_id"].iloc[0]], "noise": [noise]}
         )
 
     return grouped_apply(ts, _per_series, "series_id string, noise double")

@@ -105,37 +105,30 @@ def denoise(
     noise estimate (operators.clean.estimate_noise), broadcast-joined so the
     two passes stay one job. The shrinkage itself is whole-series sequential
     → bucketed Arrow stage (grouped_apply). → (series_id, time, value)."""
-    from periodicity_spark.operators.clean import estimate_noise_local
     from periodicity_spark.session import grouped_apply
 
     base = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
-    if sigma is None:
-        # one-pass kernel twin: the distributed estimate_noise runs a driver
-        # loop of n_iter aggregate jobs over a cached residual — at 100 TB
-        # that cache spills; the kernel does the whole clip per series in the
-        # same bucketed Arrow stage family the shrinkage below uses
-        sg = estimate_noise_local(base).select(
-            "series_id", F.col("noise").alias("_sigma")
-        )
-        # LEFT join + 0-fallback: series the noise estimator can't score
-        # (constant / too short) pass through unshrunk instead of vanishing
-        base = base.join(F.broadcast(sg), "series_id", "left").withColumn(
-            "_sigma", F.coalesce(F.col("_sigma"), F.lit(0.0))
-        )
-    else:
-        base = base.withColumn("_sigma", F.lit(float(sigma)))
     det = bool(detrend)
+    fixed = None if sigma is None else float(sigma)
 
+    # σ default: the robust noise estimate runs INSIDE the same per-series
+    # kernel as the shrinkage (both are whole-series-local), so the operator
+    # is ONE scan + ONE bucketed shuffle total. The r5 shape ran
+    # estimate_noise_local as a second Arrow stage and broadcast-joined it
+    # back — a second full shuffle of every series for a per-series scalar
+    # the shrinkage kernel can compute in place. A series the estimator
+    # can't score (constant / too short) gets σ=0 and passes through
+    # unshrunk, same as the old LEFT-join + 0-fallback.
     def _per_series(pdf):
         import pandas as pd
+
+        from periodicity_spark.operators.clean import robust_noise_np
         from periodicity_spark.timefrequency.kernels import denoise_db4
 
         pdf = pdf.sort_values("time")
-        y = denoise_db4(
-            pdf["value"].to_numpy(dtype=float),
-            float(pdf["_sigma"].iloc[0]),
-            detrend=det,
-        )
+        v = pdf["value"].to_numpy(dtype=float)
+        sg = fixed if fixed is not None else (robust_noise_np(v) or 0.0)
+        y = denoise_db4(v, float(sg), detrend=det)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].iloc[0],

@@ -203,6 +203,23 @@ def test_value_quantiles_single_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_denoise_single_shuffle_no_join(spark, sf_dir):
+    """The wavelet-shrinkage denoise must stay ONE scan + ONE bucketed
+    Arrow shuffle: the σ estimate runs inside the shrinkage kernel (r6),
+    not as a second Arrow stage broadcast-joined back — a regression here
+    doubles the full-series shuffle at 100 TB."""
+    plan = _final_plan(spark, sf_dir, "denoise")
+    # the adaptive plan string renders the tree twice (final + initial):
+    # count DISTINCT exchange keys, not substring hits
+    keys = {
+        line.split("hashpartitioning(")[1].split(",")[0]
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    }
+    assert len(keys) == 1, f"denoise grew extra shuffles: {keys}"
+    assert "BroadcastExchange" not in plan and "Join" not in plan
+
+
 def test_tpch_q6_all_three_predicates_pushed(spark, sf_dir):
     """Q6 is the pushdown benchmark: the shipdate range, discount range,
     and quantity bound must ALL reach the parquet scan as PushedFilters.
