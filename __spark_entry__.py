@@ -686,14 +686,15 @@ def q_gls_default_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the events scan + downsample aggregate run once, not ~6× (plan audit:
     # 12 scans / 44 exchanges unpersisted → 1 scan of events persisted)
     day = persisted(day, f"gdg_day:{sf_dir}")
-    pg = gls_periodogram(day, freq_grid=None, n=5.0, min_count=GLS_MIN_N)
-    # On a uniformly-resampled series the grid's endpoint fmax = 1/(2·dt) IS
-    # the Nyquist frequency, where the GLS normal equations are singular
-    # (SS→0; power is 0/0 noise and cross-engine fp order decides the sign).
-    # Drop the degenerate endpoint rows with a cutoff strictly between grid
-    # points — frequencies are bit-identical on both engines, so the filter
-    # selects the same rows.
-    pg = pg.filter(F.col("frequency") < 0.4995)
+    # near-Nyquist endpoint exclusion is the engine's documented
+    # max_frequency grid parameter (see default_freq_grid): the singular
+    # endpoint rows (SS→0, power = 0/0 noise) are dropped BEFORE the
+    # periodogram computes them, with a cutoff strictly between grid points
+    # so both engines select identical rows
+    from periodicity_spark.spectral.gls import default_freq_grid
+
+    grid = default_freq_grid(day, n=5.0, max_frequency=0.4995)
+    pg = gls_periodogram(day, freq_grid=grid, min_count=GLS_MIN_N)
     return pg.select(
         "series_id",
         F.round("frequency", 9).alias("frequency"),

@@ -34,12 +34,23 @@ from periodicity_spark.functions.stats import series_stats
 TWO_PI = 2.0 * math.pi
 
 
-def default_freq_grid(ts: DataFrame, n: float = 5.0) -> DataFrame:
+def default_freq_grid(
+    ts: DataFrame, n: float = 5.0, max_frequency: float | None = None
+) -> DataFrame:
     """Per-series np.arange(fmin, fmax+df, df) with the reference defaults
     (spectral.py:88-97): df=1/(n·baseline), fmin=df/2, fmax=1/(2·median_dt).
 
     Implemented as sequence+explode over the per-series stats row — the grid
     is declared, not materialized on the driver.
+
+    max_frequency: optional STRICT upper cutoff on the emitted grid. On a
+    uniformly-sampled series the grid's endpoint fmax = 1/(2·dt) IS the
+    Nyquist frequency, where the GLS normal equations are singular (SS→0;
+    power is 0/0 noise whose sign is decided by floating-point op order).
+    Callers that need cross-engine-reproducible output should cap the grid
+    strictly below Nyquist here — dropping the degenerate rows BEFORE the
+    periodogram computes them — rather than filtering the power table
+    afterwards. Default None keeps the full reference grid.
     """
     st = series_stats(ts).select(
         "series_id",
@@ -56,7 +67,7 @@ def default_freq_grid(ts: DataFrame, n: float = 5.0) -> DataFrame:
         "nf",
         F.ceil((F.col("fmax") + F.col("df") - F.col("fmin")) / F.col("df")).cast("int"),
     )
-    return st.select(
+    grid = st.select(
         "series_id",
         F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("k"),
         "fmin",
@@ -65,6 +76,22 @@ def default_freq_grid(ts: DataFrame, n: float = 5.0) -> DataFrame:
         "series_id",
         (F.col("fmin") + F.col("k") * F.col("df")).alias("frequency"),
     )
+    if max_frequency is not None:
+        grid = grid.filter(F.col("frequency") < float(max_frequency))
+    return grid
+
+
+def _recode_tiny(df: DataFrame, order_col: str, code_col: str) -> DataFrame:
+    """Dense integer recode of a TINY side: row_number over a GLOBAL
+    (partition-less) window — deterministic and collision-free, unlike a
+    64-bit hash. The single-partition funnel this implies is safe ONLY for
+    sides already assumed broadcast-small (one row per series / per grid
+    point); every caller gates on the same tiny-side assumption as its
+    broadcast hint and exposes an escape hatch (broadcast_stats=None/False)
+    that skips the recode entirely. Do not point this at a fact table."""
+    from pyspark.sql import Window
+
+    return df.withColumn(code_col, F.row_number().over(Window.orderBy(order_col)))
 
 
 def uniform_freq_grid(
@@ -146,11 +173,7 @@ def gls_periodogram(
     # partition recode window.
     int_keys = bool(broadcast_stats)
     if int_keys:
-        from pyspark.sql import Window
-
-        pre = pre.withColumn(
-            "_code", F.row_number().over(Window.orderBy("series_id"))
-        )
+        pre = _recode_tiny(pre, "series_id", "_code")
         key = "_code"
     else:
         key = "series_id"
@@ -173,11 +196,7 @@ def gls_periodogram(
     # so output doubles are bit-identical to the string-keyed plan).
     index_grid = int_keys and not per_series_grid
     if index_grid:
-        from pyspark.sql import Window
-
-        freq_grid = freq_grid.withColumn(
-            "_k", F.row_number().over(Window.orderBy("frequency"))
-        )
+        freq_grid = _recode_tiny(freq_grid, "frequency", "_k")
     if per_series_grid:
         joined = base.join(_hint(pre), "series_id").join(
             freq_grid, "series_id"
