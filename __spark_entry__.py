@@ -1912,6 +1912,50 @@ FROM s
 """
 
 
+def q_boilerplate_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.text.remove_boilerplate — CCNet/RefinedWeb per-source
+    frequent-line removal. The testdata's documents carry no newlines, so
+    the contract exercises the machinery at the token level (delim=' ':
+    a token in ≥60% of a source's docs is 'boilerplate' there) — the
+    explode → two combine-friendly counts → broadcast totals → verdict
+    join → in-row ordered reconstruction path is identical to the
+    newline-delimited production shape."""
+    from periodicity_spark.pipeline.text import remove_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_boilerplate(docs, delim=" ", min_doc_frac=0.6, min_docs=2)
+    return out.select("doc_id", "text", "n_kept", "n_removed")
+
+
+SQL_BOILERPLATE_RM = """
+WITH lines AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS line,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+counts AS (
+  SELECT source, line, count(DISTINCT doc_id) AS nd
+  FROM lines GROUP BY 1, 2
+),
+tot AS (SELECT source, count(*) AS ndocs FROM documents GROUP BY 1),
+freq AS (
+  SELECT counts.source, line
+  FROM counts JOIN tot USING (source)
+  WHERE nd >= greatest(2, ceil(0.6 * ndocs))
+),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (f.line IS NOT NULL) AS is_freq
+  FROM lines l LEFT JOIN freq f ON l.source = f.source AND l.line = f.line
+)
+SELECT doc_id,
+       coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT is_freq), '') AS text,
+       count(*) FILTER (WHERE NOT is_freq) AS n_kept,
+       count(*) FILTER (WHERE is_freq) AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.text.curate — the full C4/Gopher-style curation verdict
     (language gate × quality floor × length floor × modal-bigram ceiling)
@@ -4457,6 +4501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_hits": q_stopword_hits,
         "text_quality": q_text_quality,
         "corpus_curate": q_corpus_curate,
+        "boilerplate_rm": q_boilerplate_rm,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "token_counts": q_token_counts,
@@ -4601,6 +4646,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_hits": SQL_STOPWORD_HITS,
         "text_quality": SQL_TEXT_QUALITY,
         "corpus_curate": SQL_CORPUS_CURATE,
+        "boilerplate_rm": SQL_BOILERPLATE_RM,
         "lang_id": SQL_LANG_ID,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -86,6 +86,10 @@ HEADLINE = [
     # the Arrow per-series GLS strategy, same oracle as gls_power — the
     # bench shows the two exact strategies side by side
     "gls_arrow",
+    # round 6: TPC-H Q15 (ReusedExchange revenue view) and CCNet-style
+    # boilerplate removal (explode + two counts + reconstruct)
+    "tpch_q15",
+    "boilerplate_rm",
 ]
 
 

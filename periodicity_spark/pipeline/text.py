@@ -534,3 +534,82 @@ def curate(
         n.alias("n_tokens"),
         top_bigram.alias("top_bigram_frac"),
     )
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    delim: str = "\n",
+    min_doc_frac: float = 0.5,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: a line (``delim``-split
+    segment) occurring in ≥ max(min_docs, ceil(min_doc_frac·docs-in-group))
+    DISTINCT documents of the same ``group_col`` (site/domain/crawl) is
+    boilerplate — navigation, cookie banners, footers — and every
+    occurrence of it is removed from every document of that group. The
+    per-group framing is the published recipe: a line frequent on one site
+    is boilerplate there even if globally rare.
+
+    Scale shape (the 100 TB story): explode is a narrow projection;
+    frequency counting is two map-side-combinable aggregates on
+    (group, line, doc) then (group, line) — never a distinct over the
+    corpus; per-group doc totals are a tiny broadcast; the boilerplate
+    verdict joins back by (group, line) equi-join (AQE promotes the
+    usually-small frequent side to broadcast at runtime); reconstruction
+    is ONE groupBy(doc) with an in-row sort_array — order restored from
+    the carried position, no window. Empty documents (every line removed)
+    are kept with empty text, not dropped.
+
+    → (doc_id, text, n_kept, n_removed): text with boilerplate lines
+    removed, delimiter re-joined, original order preserved.
+    """
+    import re as _re
+
+    frac, mind = float(min_doc_frac), int(min_docs)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.split(text_col, _re.escape(delim))).alias("pos", "line"),
+    )
+    # exact distinct-doc counts without a distinct(): two combine-friendly
+    # aggregates (the first collapses within-doc repeats)
+    per_doc = lines.select("_grp", "line", "doc_id").groupBy(
+        "_grp", "line", "doc_id"
+    ).agg(F.lit(1))
+    counts = per_doc.groupBy("_grp", "line").agg(
+        F.count(F.lit(1)).alias("_nd")
+    )
+    totals = docs.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count(F.lit(1)).alias("_ndocs")
+    )
+    frequent = (
+        counts.join(F.broadcast(totals), "_grp")
+        .filter(
+            F.col("_nd")
+            >= F.greatest(F.lit(mind), F.ceil(F.lit(frac) * F.col("_ndocs")))
+        )
+        .select("_grp", "line", F.lit(True).alias("_freq"))
+    )
+    flagged = lines.join(frequent, ["_grp", "line"], "left").select(
+        "doc_id",
+        "pos",
+        "line",
+        F.coalesce(F.col("_freq"), F.lit(False)).alias("_freq"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("pos", "line", "_freq")))
+    kept = F.filter(F.col("_arr"), lambda x: ~x["_freq"])
+    return (
+        flagged.groupBy("doc_id")
+        .agg(arr.alias("_arr"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda x: x["line"]), delim
+            ).alias("text"),
+            F.size(kept).cast("long").alias("n_kept"),
+            (F.size("_arr") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )

@@ -541,3 +541,51 @@ def test_connected_components_raises_on_non_convergence(spark):
     # and with enough rounds the same chain collapses to one component
     comp = dedup.connected_components(chain, max_iter=40).toPandas()
     assert set(comp["component_id"]) == {0}
+
+
+def test_remove_boilerplate_newline_per_group_and_empty_doc(spark):
+    """The production (newline-delimited) shape: a footer line frequent on
+    site A is removed from ALL of A's docs but kept on site B where it is
+    rare; a doc made ENTIRELY of boilerplate survives with empty text; and
+    the min_docs floor stops tiny groups from flagging everything."""
+    from periodicity_spark.pipeline.text import remove_boilerplate
+
+    rows = [
+        # site A: 3 docs sharing the footer (3/3 >= max(2, ceil(0.5*3)))
+        (1, "a", "unique one\ncookie footer"),
+        (2, "a", "unique two\ncookie footer"),
+        (3, "a", "cookie footer"),  # all-boilerplate doc
+        # site B: footer appears once in 2 docs -> 1 < max(2, 1) kept
+        (4, "b", "cookie footer\nreal content"),
+        (5, "b", "other text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, min_doc_frac=0.5, min_docs=2).collect()
+    }
+    assert len(out) == 5
+    assert out[1]["text"] == "unique one" and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "" and out[3]["n_kept"] == 0 and out[3]["n_removed"] == 1
+    assert out[4]["text"] == "cookie footer\nreal content", "site-B footer wrongly removed"
+    assert out[5]["text"] == "other text" and out[5]["n_removed"] == 0
+
+
+def test_remove_boilerplate_preserves_order_and_within_doc_repeats(spark):
+    """Line order is restored from carried positions (not arrival order),
+    and within-doc repeats count ONCE toward the distinct-doc frequency
+    but are each removed when the line is boilerplate."""
+    from periodicity_spark.pipeline.text import remove_boilerplate
+
+    rows = [
+        (1, "a", "x\nkeep1\nx\nkeep2"),
+        (2, "a", "x\nother"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(docs, min_doc_frac=0.5, min_docs=2).collect()
+    }
+    assert out[1]["text"] == "keep1\nkeep2" and out[1]["n_removed"] == 2
+    assert out[2]["text"] == "other" and out[2]["n_removed"] == 1

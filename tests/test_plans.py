@@ -88,6 +88,9 @@ GUARDED = [
     "simsearch_mllib",
     # round 6 — Q15's revenue view is referenced twice; reuse guarded below
     "tpch_q15",
+    # round 6 — boilerplate removal: totals broadcast, verdict join stays
+    # equi (AQE may promote the frequent side to broadcast)
+    "boilerplate_rm",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
