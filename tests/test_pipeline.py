@@ -589,3 +589,29 @@ def test_remove_boilerplate_preserves_order_and_within_doc_repeats(spark):
     }
     assert out[1]["text"] == "keep1\nkeep2" and out[1]["n_removed"] == 2
     assert out[2]["text"] == "other" and out[2]["n_removed"] == 1
+
+
+def test_jaccard_verify_strategies_agree(spark):
+    """The array-intersect verify (default) and the row-join verify must
+    produce identical (d1, d2, jaccard) sets — same pairs, exact same
+    double values."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.char_shingles(docs, k=5)
+    cand = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(sh, n_hashes=16, r=4)
+    )
+    a = (
+        dedup.jaccard_verify(cand, sh, strategy="array")
+        .toPandas()
+        .sort_values(["d1", "d2"], ignore_index=True)
+    )
+    b = (
+        dedup.jaccard_verify(cand, sh, strategy="rows")
+        .toPandas()
+        .sort_values(["d1", "d2"], ignore_index=True)
+    )
+    assert len(a) == len(b) > 0
+    assert (a["d1"] == b["d1"]).all() and (a["d2"] == b["d2"]).all()
+    assert (a["jaccard"] == b["jaccard"]).all(), "jaccard values diverge"
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.jaccard_verify(cand, sh, strategy="nope")
