@@ -257,6 +257,39 @@ FROM s GROUP BY 1, 2
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators.agg.cohort_retention — the product-analytics cohort
+    rollup over the events fact table: cohort = day index (days since
+    2024-01-01, via the drift-proof aligned time axis) of each user's
+    first event; retention(d) = active-users(cohort, cohort+d) /
+    cohort_size. Shape: user-day collapse → user-keyed first-day join →
+    tiny (cohort, offset) aggregate + broadcast cohort sizes."""
+    from periodicity_spark.operators.agg import cohort_retention
+
+    ev = events_with_time(spark, sf_dir)
+    return cohort_retention(ev, day=F.floor("time"))
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (
+  SELECT user_id,
+         floor((epoch_us(ts) - 1704067200000000) / 86400000000.0)::BIGINT AS day
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+act AS (SELECT DISTINCT user_id, day FROM e),
+first AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1),
+sizes AS (SELECT cohort, count(*) AS cohort_size FROM first GROUP BY 1),
+j AS (
+  SELECT f.cohort, a.day - f.cohort AS day_offset
+  FROM act a JOIN first f USING (user_id)
+)
+SELECT cohort, day_offset, count(*) AS n_users, cohort_size,
+       round(count(*)::DOUBLE / cohort_size, 6) AS retention
+FROM j JOIN sizes USING (cohort)
+GROUP BY cohort, day_offset, cohort_size
+"""
+
+
 def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ops_windows.derivative(_ts(spark, sf_dir))
     return d.select("series_id", "time", F.col("value").alias("deriv"))
@@ -4453,6 +4486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_daily": q_downsample_daily,
         "fold_phase": q_fold_phase,
         "sessionize": q_sessionize,
+        "cohort_retention": q_cohort_retention,
         "derivative": q_derivative,
         "zero_crossings": q_zero_crossings,
         "peaks": q_peaks,
@@ -4601,6 +4635,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample_daily": SQL_DOWNSAMPLE_DAILY,
         "fold_phase": SQL_FOLD_PHASE,
         "sessionize": SQL_SESSIONIZE,
+        "cohort_retention": SQL_COHORT_RETENTION,
         "derivative": SQL_DERIVATIVE,
         "zero_crossings": SQL_ZERO_CROSSINGS,
         "peaks": SQL_PEAKS,

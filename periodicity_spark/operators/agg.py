@@ -116,3 +116,54 @@ def hist(ts: DataFrame, lo: float, hi: float, nbins: int) -> DataFrame:
 def baseline(ts: DataFrame) -> DataFrame:
     """t_max − t_min (reference core.py:504-506)."""
     return reduce_series(ts, (F.max("time") - F.min("time")).alias("baseline"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    day: Column | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort retention — the canonical product-analytics rollup: a
+    user's cohort is the day of their FIRST event; retention at offset d
+    is the fraction of that cohort active (≥1 event) d days later.
+
+    ``day``: an integer day-index expression (any epoch); defaults to
+    calendar days of ``ts_col``. An integer index keeps the operator
+    immune to timestamp physical-type drift and engine date-dtype
+    differences — callers format the index back to dates at the edge.
+
+    Scale shape (events is the 100 TB fact table): the per-(user, day)
+    distinct is a map-side-combinable aggregate that collapses raw events
+    to user-days BEFORE anything wide happens; the per-user first-day
+    aggregate rides a user-keyed shuffle; their join is user-keyed; the
+    final (cohort, offset) aggregate is tiny (days²). Cohort sizes join
+    back by broadcast — one row per cohort day. No window functions, no
+    self-join of the fact table.
+
+    → (cohort long, day_offset long, n_users, cohort_size, retention)."""
+    if day is None:
+        day = F.datediff(F.to_date(ts_col), F.to_date(F.lit("1970-01-01")))
+    day = day.cast("long")
+    ev = events.filter(day.isNotNull() & F.col(user_col).isNotNull())
+    act = ev.groupBy(F.col(user_col).alias("_u"), day.alias("_day")).agg(F.lit(1))
+    first = act.groupBy("_u").agg(F.min("_day").alias("_cohort"))
+    joined = act.join(first, "_u").select(
+        "_cohort", (F.col("_day") - F.col("_cohort")).alias("day_offset")
+    )
+    ret = joined.groupBy("_cohort", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = first.groupBy("_cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        ret.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort"),
+            "day_offset",
+            "n_users",
+            "cohort_size",
+            F.round(
+                F.col("n_users") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+    )

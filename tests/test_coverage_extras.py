@@ -203,3 +203,35 @@ def test_mirror_fill_oracle_cascade_guard():
                         if s2 <= x < e2 and any(y in nulls for y in srcs(s2, e2)):
                             depth3 += 1
         assert depth3 == 0, f"sf{sf}: {depth3} depth-3 mirror chains — oracle needs a 3rd pass"
+
+
+def test_cohort_retention_semantics(spark):
+    """Hand-computable cohort fixture: day-0 retention is 1.0 by
+    construction for every cohort; a returning user counts once per
+    (cohort, offset) even with many events that day; users never mix
+    across cohorts."""
+    from periodicity_spark.operators.agg import cohort_retention
+
+    rows = [
+        # cohort day 0: users 1, 2 — user 1 returns day 1 (twice) and day 3
+        (1, "2024-01-01 10:00:00"), (2, "2024-01-01 11:00:00"),
+        (1, "2024-01-02 09:00:00"), (1, "2024-01-02 19:00:00"),
+        (1, "2024-01-04 09:00:00"),
+        # cohort day 2: user 3, returns day 3
+        (3, "2024-01-03 08:00:00"), (3, "2024-01-04 08:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    out = {
+        (r["cohort"], r["day_offset"]): r
+        for r in cohort_retention(ev).collect()
+    }
+    base = 19723  # days from 1970-01-01 to 2024-01-01
+    assert out[(base, 0)]["n_users"] == 2 and out[(base, 0)]["retention"] == 1.0
+    assert out[(base, 1)]["n_users"] == 1 and out[(base, 1)]["retention"] == 0.5
+    assert out[(base, 3)]["n_users"] == 1
+    assert (base, 2) not in out  # nobody from cohort 0 active on day 2
+    assert out[(base + 2, 0)]["n_users"] == 1 and out[(base + 2, 0)]["cohort_size"] == 1
+    assert out[(base + 2, 1)]["retention"] == 1.0
+    assert len(out) == 5

@@ -91,6 +91,9 @@ GUARDED = [
     # round 6 — boilerplate removal: totals broadcast, verdict join stays
     # equi (AQE may promote the frequent side to broadcast)
     "boilerplate_rm",
+    # round 6 — cohort retention: user-day collapse, user-keyed join,
+    # broadcast cohort sizes
+    "cohort_retention",
 ]
 
 # deliberate all-pairs baseline: its cartesian is the documented exception
