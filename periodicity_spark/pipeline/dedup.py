@@ -379,23 +379,18 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
             .withColumnRenamed("src", "id")
         )
+        nl = F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label")))
+        # the changed flag is computed IN the propagation select (old and
+        # new label are both on the row), so convergence detection is a
+        # plain count over the checkpointed frontier — not a second join
+        # of consecutive frontiers per round
         new_labels = (
             labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-            )
+            .select("id", nl.alias("label"), (nl != F.col("label")).alias("_chg"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new")
-            .join(labels, "id")
-            .filter(F.col("new") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             converged = True
             break
