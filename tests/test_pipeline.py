@@ -615,3 +615,49 @@ def test_jaccard_verify_strategies_agree(spark):
     assert (a["jaccard"] == b["jaccard"]).all(), "jaccard values diverge"
     with pytest.raises(ValueError, match="strategy"):
         dedup.jaccard_verify(cand, sh, strategy="nope")
+
+
+def test_remove_boilerplate_random_differential(spark):
+    """Randomized differential vs a direct Python reference: random docs
+    over a small line vocabulary (forcing frequency collisions across
+    sources), thresholds exercised at both the frac and min_docs edges."""
+    rng = np.random.default_rng(23)
+    vocab = [f"line {i} text" for i in range(12)]
+    rows = []
+    for d in range(40):
+        src = f"s{int(rng.integers(0, 3))}"
+        n = int(rng.integers(1, 7))
+        lines = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        rows.append((d, src, "\n".join(lines)))
+    frac, mind = 0.4, 2
+
+    # python reference
+    from collections import defaultdict
+
+    docs_by_src = defaultdict(list)
+    for d, s, t in rows:
+        docs_by_src[s].append((d, t.split("\n")))
+    import math
+
+    want = {}
+    for s, docs_ in docs_by_src.items():
+        counts = defaultdict(set)
+        for d, ls in docs_:
+            for ln in ls:
+                counts[ln].add(d)
+        thr = max(mind, math.ceil(frac * len(docs_)))
+        freq = {ln for ln, ds in counts.items() if len(ds) >= thr}
+        for d, ls in docs_:
+            kept = [ln for ln in ls if ln not in freq]
+            want[d] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+
+    from periodicity_spark.pipeline.text import remove_boilerplate
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_removed"])
+        for r in remove_boilerplate(
+            df, min_doc_frac=frac, min_docs=mind
+        ).collect()
+    }
+    assert got == want
