@@ -185,9 +185,14 @@ def lmd_sift(t, x, dt, smooth_iter=12):
     pos = np.clip(pos, 0, len(et) - 1)
     mu_g = mu_e[pos]
     env_g = env_e[pos]
-    # triangle smoothing; window from the largest extrema gap
+    # triangle smoothing; window from the largest extrema gap — clamped to
+    # 2n−1 (odd by construction): the mirror pad reflects at most n−1
+    # samples per side, so a larger kernel (irregular sampling: one gap
+    # ≫ median dt on a short series) would shrink the convolution output
+    # below n and crash the (Fc − mu)/env broadcast downstream
     window = np.max(np.diff(et) / dt) // 3
     window = int(max(3, window + (1 - window % 2)))
+    window = min(window, 2 * len(x) - 1)
     kern = _triangle_kernel(window)
     for _ in range(smooth_iter):
         mu_g = _smooth_mirror(mu_g, kern)

@@ -91,3 +91,21 @@ def test_ceemdan_local_strategy_matches_ensemble(spark):
     for k in pe.columns:
         denom = np.linalg.norm(pe[k]) or 1.0
         assert np.linalg.norm(pe[k] - pl[k]) / denom < 1e-6, f"mode {k}"
+
+
+def test_lmd_survives_irregular_gap_short_series():
+    """Regression (r6, found by the sf0.1 full audit): a short series whose
+    largest extrema gap is huge relative to the median dt derived a
+    smoothing window longer than the mirror pad can support — the
+    convolution output shrank below n and the (Fc−mu)/env broadcast
+    crashed the whole Spark stage. The window is now clamped to 2n−1; the
+    amplitude-×-frequency reconstruction identity must still hold."""
+    import numpy as np
+
+    from periodicity_spark.decomposition.kernels import lmd
+
+    t = np.array([0.0, 0.01, 0.02, 0.03, 0.04, 5.0, 5.01, 5.02, 5.03, 5.04])
+    x = np.array([0.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 0.0])
+    pfs, res = lmd(t, x)
+    recon = sum(A * F for A, F in pfs) + res
+    assert np.abs(recon - x).max() < 1e-12
