@@ -1638,11 +1638,20 @@ def _mh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the verified near-dup pair list feeds BOTH dedup_minhash and
     # dedup_components — persist it once per (session, sf_dir) so the
     # clustering query reuses the 4.7 s pair derivation instead of
-    # re-running the whole shingle→sign→bucket→verify pipeline
-    pairs = dedup.minhash_near_duplicates(
-        _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4
+    # re-running the whole shingle→sign→bucket→verify pipeline.
+    # persisted_LAZY, not persisted: minhash_near_duplicates eagerly
+    # localCheckpoints the shingle table AT CONSTRUCTION, so building the
+    # DataFrame just to have the memo discard it on a hit re-paid ~3.4 s
+    # of shingling per consumer (measured: dedup_components 5.0→1.7 s)
+    from periodicity_spark.session import persisted_lazy
+
+    return persisted_lazy(
+        spark,
+        f"mh_pairs:{sf_dir}",
+        lambda: dedup.minhash_near_duplicates(
+            _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4
+        ),
     )
-    return persisted(pairs, f"mh_pairs:{sf_dir}")
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
