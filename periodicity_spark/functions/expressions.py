@@ -66,14 +66,20 @@ def bfill(col: str = "value", time: str = "time") -> Column:
 
 def derivative(value: str = "value", time: str = "time") -> Column:
     """Centered finite difference d(value)/d(time) with one-sided edges
-    (reference core.py:524-526, xarray differentiate semantics)."""
+    (reference core.py:524-526, xarray differentiate semantics).
+
+    try_divide, not /: DUPLICATE TIMESTAMPS make the denominator 0 and an
+    ANSI division aborts the whole stage for one bad row — the derivative
+    at a zero-dt neighbor pair is undefined and becomes NULL (the
+    reference's NumPy path emits ±inf there; NULL is this engine's
+    NaN/undefined convention)."""
     w = series_window()
     v_prev, v_next = F.lag(value).over(w), F.lead(value).over(w)
     t_prev, t_next = F.lag(time).over(w), F.lead(time).over(w)
     v, t = F.col(value), F.col(time)
-    centered = (v_next - v_prev) / (t_next - t_prev)
-    fwd = (v_next - v) / (t_next - t)
-    bwd = (v - v_prev) / (t - t_prev)
+    centered = F.try_divide(v_next - v_prev, t_next - t_prev)
+    fwd = F.try_divide(v_next - v, t_next - t)
+    bwd = F.try_divide(v - v_prev, t - t_prev)
     return F.when(t_prev.isNull(), fwd).when(t_next.isNull(), bwd).otherwise(centered)
 
 

@@ -56,7 +56,10 @@ def acf_lag_grid(ts: DataFrame, max_lag: int, demean: bool = True) -> DataFrame:
         .select(
             "series_id",
             F.col("lag").cast("double").alias("lag"),
-            (F.col("_num") / F.col("_den")).alias("acf"),
+            # try_divide: a constant (or single-repeated-sample) series has
+            # zero lag-0 autocovariance — ACF is undefined there and must be
+            # NULL, not an ANSI abort of the whole stage
+            F.try_divide(F.col("_num"), F.col("_den")).alias("acf"),
         )
     )
 

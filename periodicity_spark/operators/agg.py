@@ -87,9 +87,12 @@ def polyfit_linear(ts: DataFrame) -> DataFrame:
     """
     return reduce_series(
         ts,
-        (
-            (F.avg(F.col("time") * F.col("value")) - F.avg("time") * F.avg("value"))
-            / (F.avg(F.col("time") * F.col("time")) - F.avg("time") * F.avg("time"))
+        # try_divide: a single-sample (or duplicate-timestamp-only) series
+        # has zero time variance — the slope is undefined (NULL), not an
+        # ANSI stage abort
+        F.try_divide(
+            F.avg(F.col("time") * F.col("value")) - F.avg("time") * F.avg("value"),
+            F.avg(F.col("time") * F.col("time")) - F.avg("time") * F.avg("time"),
         ).alias("slope"),
     ).join(
         reduce_series(ts, F.avg("value").alias("_my"), F.avg("time").alias("_mt")),

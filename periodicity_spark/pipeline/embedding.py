@@ -59,9 +59,16 @@ def pca_fit(
     Determinism: the covariance is rounded to 1e-9 before ``eigh`` so
     run-to-run float-summation ulp noise (partial-merge order) cannot flip
     near-degenerate eigenvectors, and each component's sign is fixed by
-    making its largest-|.|, lowest-index coordinate positive."""
+    making its largest-|.|, lowest-index coordinate positive.
+
+    Dirty vectors (NULL, or any NaN/Inf component) are excluded before the
+    moment pass — one NaN vector otherwise poisons the summed moments and
+    the whole fit; zero vectors are legitimate data points and kept."""
     import numpy as np
 
+    from periodicity_spark.pipeline.simsearch import _finite_rows
+
+    emb = _finite_rows(emb, vec_col, allow_zero=True)
     rows = (
         _moment_partials(emb, vec_col)
         .groupBy("idx")
@@ -101,10 +108,15 @@ def pca_project(
     """→ (id_col, out_col array<double>): centered projection onto the
     fitted components. One Arrow map stage (batch ``(X - μ) @ Wᵀ``), zero
     shuffles; the (k, d) component matrix ships inside the serialized
-    closure (kilobytes)."""
+    closure (kilobytes). Dirty vectors (NULL / NaN / Inf — excluded from
+    the fit too) have no defined projection and are dropped: one NULL row
+    would otherwise abort the whole Arrow stage on the ragged np.asarray."""
     import numpy as np
     import pandas as pd
 
+    from periodicity_spark.pipeline.simsearch import _finite_rows
+
+    emb = _finite_rows(emb, vec_col, allow_zero=True)
     mu = np.asarray(mean, dtype=float)
     W = np.asarray(components, dtype=float)
 

@@ -371,9 +371,13 @@ def pps_sample(
         F.sum("_w").over(w).alias("cum"),
     )
     step = F.max("cum").over(wall) / F.lit(float(k))
+    # try_divide: a domain whose TOTAL weight is 0 (e.g. all-empty docs
+    # with quality 0) has step = 0 — there is no probability mass to
+    # sample, so every take comparison is NULL and the domain yields no
+    # rows, instead of an ANSI divide-by-zero aborting the job
     out = cummed.withColumn(
         "take",
-        F.floor(F.col("cum") / step)
-        > F.floor((F.col("cum") - F.col("weight")) / step),
+        F.floor(F.try_divide(F.col("cum"), step))
+        > F.floor(F.try_divide(F.col("cum") - F.col("weight"), step)),
     )
     return out.filter("take").drop("take", "cum")

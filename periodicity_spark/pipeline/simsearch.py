@@ -43,6 +43,21 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _finite_rows(df: DataFrame, vec_col: str, allow_zero: bool = False) -> DataFrame:
+    """Drop rows whose vector is NULL or contains NaN/±Inf (and, unless
+    ``allow_zero``, zero-norm vectors — no direction, undefined cosine).
+    coalesce(..., false): a NULL vector makes the predicate NULL, and the
+    row must be DROPPED, not passed through by three-valued logic. One
+    dirty vector otherwise poisons collected index metadata (centroids,
+    PCA moments) or ranks above every real neighbor via NaN comparisons."""
+    arr = F.col(vec_col).cast("array<double>")
+    n2 = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+    cond = ~F.isnan(n2) & (n2 != F.lit(float("inf")))
+    if not allow_zero:
+        cond = cond & (n2 > 0)
+    return df.filter(F.coalesce(cond, F.lit(False)))
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame,
     probes: DataFrame,
@@ -122,7 +137,17 @@ def multi_table_buckets(n_tables: int, n_planes: int, seed: int, dim: int):
         import numpy as np
         import pandas as pd
 
-        m = np.stack([np.asarray(v, float) for v in vecs])
+        # defensive: a NULL / wrong-dimension vector becomes a zero vector
+        # (callers filter dirty rows upstream, but np.stack on a ragged
+        # batch would abort the whole stage for one bad row)
+        m = np.stack(
+            [
+                np.asarray(v, float)
+                if v is not None and len(v) == dim
+                else np.zeros(dim)
+                for v in vecs
+            ]
+        )
         signs = (m @ planes.T) > 0  # (B, nt*npl)
         out = signs.reshape(len(m), nt, npl) @ weights  # (B, nt)
         return pd.Series(list(out))
@@ -157,6 +182,11 @@ def cosine_topk_lsh(
     candidates, and more planes per table becomes affordable. The bucket
     equi-join replaces the cross join: the corpus side never broadcasts
     and shuffles only its (table, bucket) exploded signatures."""
+    # dirty vectors (NULL/NaN/Inf/zero) have undefined cosine, and a NULL
+    # vector crashes the bucket UDF's np.stack — excluded up front like
+    # the brute-force path's NULL-cosine filter
+    corpus = _finite_rows(corpus, vec_col)
+    probes = _finite_rows(probes, probe_vec_col)
     bud = multi_table_buckets(n_tables, n_planes, seed, dim)
     csig = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -209,9 +239,13 @@ def ivf_centroids(
     aggregations (assignment = native argmax over broadcast centroids;
     update = groupBy mean over exploded components). Returns a list of
     (centroid_id, vector) collected to the driver — the index metadata is
-    tiny by design and ships as literals/broadcast."""
+    tiny by design and ships as literals/broadcast. Dirty vectors
+    (NULL/NaN/Inf/zero) are excluded — one NULL row in the hash sample
+    otherwise crashes the driver-side centroid build, and one NaN row
+    poisons a Lloyd mean for the whole cluster."""
     import numpy as np
 
+    corpus = _finite_rows(corpus, vec_col)
     sampled = (
         corpus.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
@@ -293,6 +327,11 @@ def cosine_topk_ivf(
     recall@10 = 0.794 at the 16/8 default, 0.872 at n_probe=10, 0.60 at the
     old n_probe=4 default. On clustered corpora (the regime IVF is for)
     recall concentrates far above the touched fraction."""
+    # dirty vectors have undefined cosine — excluded up front, like the
+    # brute-force path's NULL-cosine filter (and a NaN dot would otherwise
+    # rank ABOVE every real neighbor in the centroid/candidate ordering)
+    corpus = _finite_rows(corpus, vec_col)
+    probes = _finite_rows(probes, probe_vec_col)
     cents = ivf_centroids(corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col)
     lists = assign_to_centroids(corpus, cents, id_col, vec_col)
     c = corpus.select(
@@ -346,12 +385,17 @@ def semantic_dedup(
     from the centroid; lowest-id is used here so results are exactly
     reproducible and engine-independent).
 
-    → (vec_id, centroid, keep) for ALL vectors, keep = false for dropped.
+    → (vec_id, centroid, keep) for every vector with a DEFINED direction
+    (NULL/NaN/Inf/zero-norm vectors are excluded up front — their cosine
+    is undefined, and a NaN cosine compares greater-than-threshold under
+    Spark's NaN ordering, which would silently drop the CLEAN partner of
+    a dirty vector); keep = false for dropped.
 
     Scale shape: the only corpus-sized movement is one shuffle on the
     cluster id; the quadratic pairwise work is confined within clusters
     (n²/k per cluster in expectation — the entire point of clustering
     first). Centroid metadata is k rows, collected + broadcast."""
+    corpus = _finite_rows(corpus, vec_col)
     cents = ivf_centroids(
         corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
     )

@@ -136,11 +136,15 @@ def gls_model(ts: DataFrame, f0: float, new_times: DataFrame, err_col: str | Non
         - F.col("a12") * (F.col("a12") * F.col("b3") - F.col("b2") * F.col("a13"))
         + F.col("b1") * (F.col("a12") * F.col("a23") - F.col("a22") * F.col("a13"))
     )
+    # try_divide: a degenerate series (constant, single-point, duplicate
+    # times) has singular normal equations (det = 0) — the model is
+    # undefined there (NULL coefficients → NULL predictions), not an ANSI
+    # stage abort
     theta = g.select(
         "series_id",
-        (t1 / det).alias("_th0"),
-        (t2 / det).alias("_th1"),
-        (t3 / det).alias("_th2"),
+        F.try_divide(t1, det).alias("_th0"),
+        F.try_divide(t2, det).alias("_th1"),
+        F.try_divide(t3, det).alias("_th2"),
         "_ymean",
     )
     if "series_id" not in new_times.columns:

@@ -207,7 +207,9 @@ def composite_spectrum(ts: DataFrame, periods: list[float]) -> DataFrame:
     gnorm = g.join(F.broadcast(gmax), "series_id").select(
         "series_id",
         (1.0 / F.col("frequency")).alias("period"),
-        (F.col("power") / F.col("_gmax")).alias("_gn"),
+        # try_divide: an (all-zero-power) degenerate spectrum has _gmax = 0
+        # — the normalized value is undefined (NULL), not a stage abort
+        F.try_divide(F.col("power"), F.col("_gmax")).alias("_gn"),
     )
     ryy = acf_fft(fill_gaps(ts))
     probe = gnorm.select("series_id", F.col("period").alias("time"))

@@ -401,7 +401,14 @@ def test_cosine_ops_survive_zero_norm_embedding(spark):
     pairs = simsearch.cosine_near_duplicates(df, threshold=0.5).toPandas()
     assert set(map(tuple, pairs[["d1", "d2"]].to_numpy())) == {(0, 2)}
     sd = simsearch.semantic_dedup(df, threshold=0.5, n_centroids=2).toPandas()
-    assert len(sd) == 3  # zero vector classified, job not aborted
+    # r6 contract: a zero-norm vector has no direction — it is EXCLUDED
+    # from the clustering output (it previously slipped through and, for
+    # NaN vectors, could drop its clean cluster partner via Spark's
+    # NaN-compares-greater ordering); clean vectors are all present
+    assert set(sd["vec_id"]) == {0, 2}
+    assert sd["keep"].tolist() == [False, True] or set(
+        sd[sd["keep"]]["vec_id"]
+    ) == {0}  # lowest-id kept among the (0,2) near-dup pair
 
 
 def test_cross_doc_duplication_planted(spark):
