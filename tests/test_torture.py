@@ -158,3 +158,76 @@ def test_torture_no_crash(name, spark, torture_dir):
     df = entrymod.queries()[name](spark, torture_dir)
     pdf = df.toPandas()
     assert pdf.shape[1] > 0
+
+
+@pytest.fixture(scope="module")
+def sparse_dir(spark, tmp_path_factory):
+    """Near-empty dataset: every table holds 1-3 clean rows — below every
+    min_count / n_centroids / grid default. Flushes out the driver-side
+    `.collect()[0]` / `first() is None` crash class that clean full-size
+    data never exercises."""
+    out = str(tmp_path_factory.mktemp("sparse"))
+
+    def schema_of(table):
+        return spark.read.parquet(f"{REAL}/{table}.parquet").schema
+
+    def _as_single_file(df, table):
+        import glob
+        import shutil
+
+        tmp = f"{out}/_tmp_{table}"
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{out}/{table}.parquet")
+        shutil.rmtree(tmp)
+
+    def write(table, rows):
+        _as_single_file(spark.createDataFrame(rows, schema_of(table)), table)
+
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        _as_single_file(spark.read.parquet(f"{REAL}/{dim}.parquet").limit(2), dim)
+
+    import datetime as dt
+
+    def t(s):
+        return dt.datetime.fromisoformat(s)
+
+    write("orders", [(1, 1, "O", 100.0, t("1996-01-05 00:00:00"), "1-URGENT")])
+    write(
+        "lineitem",
+        [(1, 1, 1, 1, 5.0, 100.0, 0.05, 0.02, "N", "O", t("1996-01-10 00:00:00"))],
+    )
+    write(
+        "events",
+        [
+            (1, t("2024-01-01 06:00:00"), 1, "A", 1.0, '{"k": 1}'),
+            (2, t("2024-01-02 06:00:00"), 1, "A", 2.0, '{"k": 2}'),
+            (3, t("2024-01-03 06:00:00"), 1, "A", 1.5, '{"k": 3}'),
+        ],
+    )
+    write(
+        "documents",
+        [(0, "the quick brown fox jumps over the lazy dog", "en", "s0", 44)],
+    )
+    write(
+        "embeddings",
+        [
+            (0, [1.0] * 32 + [0.0] * 32, 0),
+            (1, [0.0] * 32 + [1.0] * 32, 1),
+        ],
+    )
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries()))
+def test_sparse_no_incidental_crash(name, spark, sparse_dir):
+    """Every query must either produce a (possibly empty) result or refuse
+    the degenerate input with an EXPLICIT ValueError/RuntimeError carrying a
+    message — never an incidental IndexError/TypeError/KeyError or a Spark
+    stage abort."""
+    try:
+        pdf = entrymod.queries()[name](spark, sparse_dir).toPandas()
+    except (ValueError, RuntimeError) as e:
+        assert str(e), "explicit refusals must carry a message"
+        return
+    assert pdf.shape[1] > 0
