@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
     """→ (idx, val): flattened per-batch partial moments. idx 0 = count,
-    1..d = Σx, d+1 .. d+d² = row-major Σxxᵀ."""
+    1..d = Σx, d+1 .. d+d² = row-major Σxxᵀ. Dirty rows (NULL vector, any
+    NaN/Inf component) are dropped INSIDE the kernel — one np.isfinite mask
+    per batch, cheaper than a JVM aggregate-HOF filter and one NaN vector
+    would otherwise poison the summed moments for the whole fit."""
     import numpy as np
     import pandas as pd
 
@@ -38,7 +41,13 @@ def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            vs = [np.asarray(v, dtype=float) for v in pdf[vec_col] if v is not None]
+            if not vs:
+                continue
+            X = np.asarray(vs)
+            X = X[np.isfinite(X).all(axis=1)]
+            if not len(X):
+                continue
             d = X.shape[1]
             out = np.empty(1 + d + d * d)
             out[0] = float(len(X))
@@ -61,14 +70,11 @@ def pca_fit(
     near-degenerate eigenvectors, and each component's sign is fixed by
     making its largest-|.|, lowest-index coordinate positive.
 
-    Dirty vectors (NULL, or any NaN/Inf component) are excluded before the
-    moment pass — one NaN vector otherwise poisons the summed moments and
+    Dirty vectors (NULL, or any NaN/Inf component) are excluded inside the
+    moment kernel — one NaN vector otherwise poisons the summed moments and
     the whole fit; zero vectors are legitimate data points and kept."""
     import numpy as np
 
-    from periodicity_spark.pipeline.simsearch import _finite_rows
-
-    emb = _finite_rows(emb, vec_col, allow_zero=True)
     rows = (
         _moment_partials(emb, vec_col)
         .groupBy("idx")
@@ -109,24 +115,35 @@ def pca_project(
     fitted components. One Arrow map stage (batch ``(X - μ) @ Wᵀ``), zero
     shuffles; the (k, d) component matrix ships inside the serialized
     closure (kilobytes). Dirty vectors (NULL / NaN / Inf — excluded from
-    the fit too) have no defined projection and are dropped: one NULL row
-    would otherwise abort the whole Arrow stage on the ragged np.asarray."""
+    the fit too) have no defined projection and are dropped inside the
+    kernel: one NULL row would otherwise abort the whole Arrow stage on
+    the ragged np.asarray."""
     import numpy as np
     import pandas as pd
 
-    from periodicity_spark.pipeline.simsearch import _finite_rows
-
-    emb = _finite_rows(emb, vec_col, allow_zero=True)
     mu = np.asarray(mean, dtype=float)
     W = np.asarray(components, dtype=float)
+    d_in = mu.size
 
     def gen(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            ok = np.array(
+                [v is not None and len(v) == d_in for v in pdf[vec_col]]
+            )
+            if not ok.any():
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=float) for v in pdf[vec_col][ok]]
+            )
+            fin = np.isfinite(X).all(axis=1)
+            if not fin.any():
+                continue
+            X = X[fin]
+            ids = pdf[id_col].values[ok][fin]
             P = (X - mu) @ W.T
-            yield pd.DataFrame({id_col: pdf[id_col].values, out_col: list(P)})
+            yield pd.DataFrame({id_col: ids, out_col: list(P)})
 
     return emb.select(id_col, vec_col).mapInPandas(
         gen, f"{id_col} long, {out_col} array<double>"
