@@ -1972,8 +1972,8 @@ def q_boilerplate_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BOILERPLATE_RM = """
 WITH lines AS (
   SELECT doc_id, source,
-         unnest(string_split(text, ' ')) AS line,
-         generate_subscripts(string_split(text, ' '), 1) AS pos
+         unnest(string_split(coalesce(text, ''), ' ')) AS line,
+         generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS pos
   FROM documents
 ),
 counts AS (
@@ -3033,7 +3033,7 @@ def q_simsearch_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return simsearch.ann_mllib_lsh(emb, probes, k=5)
+    return simsearch.ann_mllib_lsh(emb, probes, k=5, dim=64)
 
 
 

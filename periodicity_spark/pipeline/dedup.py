@@ -265,13 +265,21 @@ def jaccard_verify(
             "d2",
         )
         n_both = F.size(F.array_intersect("_a1", "_a2"))
-        out = j.select(
-            "d1",
-            "d2",
-            (
-                n_both
-                / (F.col("_n1") + F.col("_n2") - n_both).cast("double")
-            ).alias("jaccard"),
+        # drop zero-overlap candidates BEFORE the division: the rows
+        # strategy's inner equi-join on shingle can never emit such a
+        # pair, so keeping them here would make the two strategies
+        # diverge at threshold=0, breaking the bit-identical contract
+        out = (
+            j.withColumn("_nb", n_both)
+            .filter(F.col("_nb") > 0)
+            .select(
+                "d1",
+                "d2",
+                (
+                    F.col("_nb")
+                    / (F.col("_n1") + F.col("_n2") - F.col("_nb")).cast("double")
+                ).alias("jaccard"),
+            )
         )
         if threshold > 0:
             out = out.filter(F.col("jaccard") >= threshold)
@@ -414,13 +422,17 @@ def keep_canonical(
 ) -> DataFrame:
     """Final dedup stage: drop every document that belongs to a duplicate
     cluster but is not the cluster's canonical (minimum-id) member. The
-    drop set (components where doc_id ≠ component_id) is a left-anti join
-    key — tiny relative to the corpus, so the join broadcasts and the
-    corpus never shuffles. Returns docs minus non-canonical duplicates."""
+    drop set (components where doc_id ≠ component_id) is pre-projected to
+    the bare key so the anti join moves 8-byte ids, never document rows —
+    but its SIZE is (dup-rate × corpus): on a crawl-scale corpus with
+    30-50% duplication that is billions of ids, so no broadcast hint here.
+    AQE broadcasts when runtime stats prove the drop side small and falls
+    back to a shuffled anti join when it isn't (the repo-wide let-AQE-
+    decide policy; a forced broadcast was an executor-OOM hazard)."""
     drop = components.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return docs.join(F.broadcast(drop), id_col, "left_anti")
+    return docs.join(drop, id_col, "left_anti")
 
 
 def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -29,11 +29,19 @@ from pyspark.sql import functions as F
 
 
 def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
-    """→ (idx, val): flattened per-batch partial moments. idx 0 = count,
-    1..d = Σx, d+1 .. d+d² = row-major Σxxᵀ. Dirty rows (NULL vector, any
-    NaN/Inf component) are dropped INSIDE the kernel — one np.isfinite mask
-    per batch, cheaper than a JVM aggregate-HOF filter and one NaN vector
-    would otherwise poison the summed moments for the whole fit."""
+    """→ (d, idx, val): flattened per-batch partial moments, KEYED by the
+    vector dimension d. Per d: idx 0 = count, 1..d = Σx, d+1 .. d+d² =
+    row-major Σxxᵀ. Dirty rows (NULL vector, any NaN/Inf component) are
+    dropped INSIDE the kernel — one np.isfinite mask per batch, cheaper
+    than a JVM aggregate-HOF filter and one NaN vector would otherwise
+    poison the summed moments for the whole fit. Ragged vectors (a length
+    differing from the corpus's true dimension) are handled by grouping
+    the batch BY length and emitting one partial per length: np.asarray on
+    a ragged list would raise and abort the whole Arrow stage — the exact
+    failure mode the NaN mask exists to remove — and any per-batch
+    majority vote would mix flat layouts across batches when a corrupt row
+    lands alone in its own batch. The caller picks the majority-count d
+    after the global merge, mirroring pca_project's len(v)==d_in guard."""
     import numpy as np
     import pandas as pd
 
@@ -44,18 +52,28 @@ def _moment_partials(emb: DataFrame, vec_col: str) -> DataFrame:
             vs = [np.asarray(v, dtype=float) for v in pdf[vec_col] if v is not None]
             if not vs:
                 continue
-            X = np.asarray(vs)
-            X = X[np.isfinite(X).all(axis=1)]
-            if not len(X):
-                continue
-            d = X.shape[1]
-            out = np.empty(1 + d + d * d)
-            out[0] = float(len(X))
-            out[1 : 1 + d] = X.sum(axis=0)
-            out[1 + d :] = (X.T @ X).ravel()
-            yield pd.DataFrame({"idx": np.arange(out.size, dtype=np.int64), "val": out})
+            lens = np.array([v.size for v in vs])
+            for d in np.unique(lens):
+                d = int(d)
+                if d == 0:
+                    continue
+                X = np.asarray([v for v in vs if v.size == d])
+                X = X[np.isfinite(X).all(axis=1)]
+                if not len(X):
+                    continue
+                out = np.empty(1 + d + d * d)
+                out[0] = float(len(X))
+                out[1 : 1 + d] = X.sum(axis=0)
+                out[1 + d :] = (X.T @ X).ravel()
+                yield pd.DataFrame(
+                    {
+                        "d": np.full(out.size, d, dtype=np.int64),
+                        "idx": np.arange(out.size, dtype=np.int64),
+                        "val": out,
+                    }
+                )
 
-    return emb.select(vec_col).mapInPandas(gen, "idx long, val double")
+    return emb.select(vec_col).mapInPandas(gen, "d long, idx long, val double")
 
 
 def pca_fit(
@@ -77,14 +95,20 @@ def pca_fit(
 
     rows = (
         _moment_partials(emb, vec_col)
-        .groupBy("idx")
+        .groupBy("d", "idx")
         .agg(F.sum("val").alias("val"))
         .collect()
     )
-    flat = np.zeros(max(r["idx"] for r in rows) + 1)
+    if not rows:
+        raise ValueError("PCA needs at least 2 vectors, got 0")
+    # majority dimension wins: ragged (corrupt) vectors contributed their
+    # own d-keyed partials, which are simply ignored here
+    counts = {r["d"]: r["val"] for r in rows if r["idx"] == 0}
+    d = int(max(counts, key=counts.get))
+    flat = np.zeros(1 + d + d * d)
     for r in rows:
-        flat[r["idx"]] = r["val"]
-    d = int(round((-1 + np.sqrt(1 + 4 * (flat.size - 1))) / 2))
+        if r["d"] == d:
+            flat[r["idx"]] = r["val"]
     n = flat[0]
     if n < 2:
         raise ValueError(f"PCA needs at least 2 vectors, got {int(n)}")

@@ -596,6 +596,7 @@ def ann_mllib_lsh(
     vec_col: str = "embedding",
     probe_id_col: str = "qid",
     probe_vec_col: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """ANN top-k through Spark MLlib's BucketedRandomProjectionLSH — the
     built-in Euclidean-LSH index as an alternative scale path to the
@@ -638,12 +639,19 @@ def ann_mllib_lsh(
     # pushed filter is not guaranteed). array_to_vector NPEs on NULL and
     # the hash's gemv aborts on a wrong-dim vector, so dirty rows get a
     # finite placeholder of the corpus dimension; _clean still drops them
-    # before any join output.
-    first = (
-        corpus.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
-    )
-    dim = int(first[0]) if first else 1
-    placeholder = F.array_repeat(F.lit(0.5), dim).cast("array<double>")
+    # before any join output. A per-row lazy placeholder (array_repeat by
+    # size(vec)) would NOT work: a wrong-dim dirty row would reproduce its
+    # own wrong dimension and still abort the gemv. Pass ``dim`` to skip
+    # the one-row probe job (a plan-building function running an eager
+    # Spark job is surprising, and the first row's length is not
+    # guaranteed typical); the probe stays as a fallback so the
+    # no-argument call keeps working on clean corpora.
+    if dim is None:
+        first = (
+            corpus.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col)).first()
+        )
+        dim = int(first[0]) if first else 1
+    placeholder = F.array_repeat(F.lit(0.5), int(dim)).cast("array<double>")
 
     # L2-normalize via MLlib's Normalizer: one JVM pass per vector.
     # (An F.transform lambda dividing by the aggregate norm would

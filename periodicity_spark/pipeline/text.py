@@ -569,10 +569,16 @@ def remove_boilerplate(
     import re as _re
 
     frac, mind = float(min_doc_frac), int(min_docs)
+    # NULL text coalesces to '' so the doc survives as an empty document
+    # (split(NULL) is NULL and posexplode of NULL emits no rows — without
+    # the coalesce a NULL-text doc would vanish from the output entirely,
+    # contradicting the empty-documents-are-kept contract above)
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("_grp"),
-        F.posexplode(F.split(text_col, _re.escape(delim))).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(delim))
+        ).alias("pos", "line"),
     )
     # exact distinct-doc counts without a distinct(): two combine-friendly
     # aggregates (the first collapses within-doc repeats)

@@ -209,3 +209,24 @@ def test_embed_quantize_contract_holds_on_dirty_vectors(spark, tmp_path):
     assert not problems, "; ".join(problems[:4])
     # only the clean vector (1) and the zero vector (4) survive
     assert sorted(sdf["vec_id"].unique()) == [1, 4]
+
+
+def test_pca_fit_survives_ragged_vectors(spark):
+    """A wrong-dimension vector in the corpus must be DROPPED by the moment
+    kernel, not abort the Arrow stage (np.asarray on a ragged list raises —
+    r6 ADVICE: the guard was asymmetric with pca_project's len(v)==d_in
+    mask). The fit must equal the fit over only the clean rows."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(40, 6))
+    rows = [(i, X[i].tolist(), 0) for i in range(40)]
+    dirty = rows + [
+        (100, [1.0, 2.0], 0),          # short
+        (101, X[0].tolist() + [9.0], 0),  # long
+        (102, None, 0),                # NULL
+        (103, [float("nan")] * 6, 0),  # NaN
+    ]
+    sch = "vec_id long, embedding array<float>, label int"
+    clean_fit = embedding.pca_fit(spark.createDataFrame(rows, sch), k=3)
+    dirty_fit = embedding.pca_fit(spark.createDataFrame(dirty, sch), k=3)
+    for a, b in zip(clean_fit, dirty_fit):
+        np.testing.assert_allclose(a, b, atol=1e-9)

@@ -668,3 +668,72 @@ def test_remove_boilerplate_random_differential(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_jaccard_verify_zero_overlap_pair_omitted_by_both_strategies(spark):
+    """A candidate pair sharing ZERO shingles must be absent from BOTH
+    strategies' output at threshold=0: the rows strategy's inner equi-join
+    can never emit it, and the array strategy now filters n_both > 0
+    instead of emitting a jaccard=0.0 row (r6 ADVICE: the divergence broke
+    the bit-identical contract)."""
+    sh = spark.createDataFrame(
+        [(1, "aaaaa"), (1, "bbbbb"), (2, "ccccc"), (2, "ddddd"), (3, "aaaaa")],
+        "doc_id long, shingle string",
+    )
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "d1 long, d2 long")
+    for strategy in ("array", "rows"):
+        got = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in dedup.jaccard_verify(cand, sh, strategy=strategy).collect()
+        }
+        assert (1, 2) not in got, f"{strategy}: zero-overlap pair emitted"
+        assert got == {(1, 3): pytest.approx(0.5)}, strategy
+
+
+def test_keep_canonical_no_forced_broadcast_hint(spark):
+    """keep_canonical must NOT carry a static broadcast hint on the drop
+    side (r6 verdict: the drop set is dup-rate × corpus — billions of ids
+    on a crawl-scale corpus, an executor-OOM broadcast). AQE decides at
+    runtime instead. Correctness of the anti join is asserted alongside."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, component_id long",
+    )
+    out = dedup.keep_canonical(docs, comp)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, "static broadcast hint present"
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 3, 4]
+
+
+def test_remove_boilerplate_null_text_kept_as_empty(spark):
+    """A NULL-text document must survive remove_boilerplate as an empty
+    document (text='', n_kept counts the single empty segment), not vanish
+    (r6 ADVICE: split(NULL) -> NULL used to drop the doc entirely)."""
+    from periodicity_spark.pipeline.text import remove_boilerplate
+
+    docs = spark.createDataFrame(
+        [(1, "s", "nav\nbody1"), (2, "s", "nav\nbody2"), (3, "s", None)],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed"])
+        for r in remove_boilerplate(docs, min_doc_frac=0.5, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3}, "NULL-text doc dropped"
+    assert out[1] == ("body1", 1) and out[2] == ("body2", 1)
+    assert out[3][0] == ""
+
+
+def test_ann_mllib_lsh_explicit_dim_no_eager_job(emb, spark):
+    """With dim= passed, building the ann_mllib_lsh plan must not run an
+    eager count-style job (r6 ADVICE), and results must equal the probe-
+    derived default."""
+    a = simsearch.ann_mllib_lsh(emb, _probes(emb), k=5, dim=64).toPandas()
+    b = simsearch.ann_mllib_lsh(emb, _probes(emb), k=5).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["qid", "rank"], ignore_index=True),
+        b.sort_values(["qid", "rank"], ignore_index=True),
+    )

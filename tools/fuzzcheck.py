@@ -32,17 +32,27 @@ VOCAB = (
 ).split()
 
 
-def generate(out_dir: str, seed: int, scale: int = 1) -> None:
-    """Write all ten tables as single parquet FILES under out_dir."""
+def generate(
+    out_dir: str, seed: int, scale: int = 1, row_group_size: int | None = None
+) -> None:
+    """Write all ten tables as single parquet FILES under out_dir.
+
+    row_group_size caps parquet row-group length. Spark's split granularity
+    inside one file is the row group, so the pyarrow default (1 Mi rows)
+    would leave a scale=1000 lineitem scan with only ~6 splittable units;
+    the scale soak passes ~256k so a single file still fans out to 32 tasks.
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(seed)
 
     def write(name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
+        kw = {"row_group_size": row_group_size} if row_group_size else {}
         pq.write_table(
             pa.Table.from_pandas(df, schema=schema, preserve_index=False),
             f"{out_dir}/{name}.parquet",
+            **kw,
         )
 
     regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
