@@ -1535,6 +1535,193 @@ GROUP BY c_mktsegment
 """
 
 
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to this
+    schema: lineitem has no l_receiptdate/l_commitdate, so "late" is
+    l_shipdate more than 100 days after o_orderdate. The classic shape is
+    preserved exactly — for each late lineitem of a finished order,
+    EXISTS another supplier's lineitem in the same order AND NOT EXISTS
+    another supplier's LATE lineitem in the same order; count per
+    supplier, restricted to one nation.
+
+    Decorrelation for scale: the two correlated subqueries over the same
+    table become per-order supplier-group statistics — one aggregate to
+    (orderkey, suppkey) granularity (map-side combined; carries the
+    per-group late-row count so duplicate late lineitems of one supplier
+    in one order are counted like the row-granularity original), then
+    window counts over orderkey: n_supp>1 ⟺ the EXISTS, n_late_supp=1 ⟺
+    the NOT-EXISTS. Lineitem is projected to 3 columns before the
+    shuffles; the nation-filtered supplier dim broadcasts at the end
+    (can't filter earlier — the EXISTS clauses quantify over ALL
+    suppliers of the order). ORDER BY numwait DESC, s_name is a total
+    order (names unique), so LIMIT 100 is deterministic."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    lo = (
+        rd("lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            rd("orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "_late",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+            ).cast("int"),
+        )
+    )
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("_late").alias("_n_late_rows")
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_os = per_os.withColumn("_n_supp", F.count(F.lit(1)).over(w)).withColumn(
+        "_n_late_supp", F.sum((F.col("_n_late_rows") > 0).cast("int")).over(w)
+    )
+    nat_supp = (
+        rd("supplier")
+        .join(
+            rd("nation").filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        per_os.filter(
+            (F.col("_n_late_rows") > 0)
+            & (F.col("_n_supp") > 1)
+            & (F.col("_n_late_supp") == 1)
+        )
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("_n_late_rows").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 100 DAY)
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to this schema: there is
+    no partsupp table, so the supply-price list is derived as
+    min(l_extendedprice) per (l_partkey, l_suppkey) — identically in the
+    oracle, so the correlated scalar-min shape runs on the same relation.
+    For selected parts (size band + type), find the European suppliers
+    whose cost equals the per-part REGIONAL minimum (the correlated
+    scalar subquery), with supplier/nation dims joined for output.
+
+    Decorrelation for scale: the correlated min re-evaluated per row in
+    the original becomes ONE per-part min aggregate over the
+    region-filtered supply list, joined back on (partkey, cost-equal) —
+    exact double equality is safe because both sides carry the same
+    unrounded min. The part filter is pushed to the scan and the
+    filtered part + European-supplier dims broadcast into the supply
+    list, so the only large shuffle is the (part,supp) aggregate with
+    map-side combine. ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    is a total order on this output (one row per part×supplier), so
+    LIMIT 100 is deterministic."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    parts = (
+        rd("part")
+        .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    eur_supp = (
+        rd("supplier")
+        .join(
+            rd("nation")
+            .join(
+                rd("region").filter(F.col("r_name") == "EUROPE"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .select("n_nationkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        rd("lineitem")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(eur_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("_cost"))
+    )
+    min_cost = supply.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.min("_cost").alias("_min_cost")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("_pk"))
+            & (F.col("_cost") == F.col("_min_cost")),
+        )
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("_cost", 2).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       round(ps_supplycost, 2) AS cost
+FROM part, supplier, supply, nation, region
+WHERE p_partkey = ps_partkey
+  AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 20
+  AND p_type = 'PROMO'
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(s2.ps_supplycost)
+    FROM supply s2, supplier sp, nation n2, region r2
+    WHERE s2.ps_partkey = part.p_partkey
+      AND sp.s_suppkey = s2.ps_suppkey
+      AND sp.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, pos 1-based,
     centroid, n) — the class-prototype aggregation under semantic
@@ -4531,6 +4718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": q_tpch_q19,
         "tpch_q13": q_tpch_q13,
         "tpch_q22": q_tpch_q22,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q2": q_tpch_q2,
         "embedding_centroids": q_embedding_centroids,
         "embed_quantize": q_embed_quantize,
         "events_json": q_events_json,
@@ -4677,6 +4866,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q19": SQL_TPCH_Q19,
         "tpch_q13": SQL_TPCH_Q13,
         "tpch_q22": SQL_TPCH_Q22,
+        "tpch_q21": SQL_TPCH_Q21,
+        "tpch_q2": SQL_TPCH_Q2,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "embed_quantize": SQL_EMBED_QUANTIZE,
         "events_json": SQL_EVENTS_JSON,

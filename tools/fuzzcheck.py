@@ -67,7 +67,7 @@ def generate(
         pd.DataFrame(
             {
                 "n_nationkey": range(n_nat),
-                "n_name": [f"NATION{i:02d}" for i in range(n_nat)],
+                "n_name": [f"NATION_{i}" for i in range(n_nat)],
                 "n_regionkey": rng.integers(0, 5, n_nat),
             }
         ),
