@@ -1722,6 +1722,333 @@ LIMIT 100
 """
 
 
+def _supply(spark: SparkSession, sf_dir: str, with_qty: bool = False) -> DataFrame:
+    """The partsupp surrogate shared by the adapted Q2/Q9/Q11/Q20: this
+    schema has no partsupp table, so the supply-price list is derived
+    from lineitem as min(l_extendedprice) per (l_partkey, l_suppkey)
+    (optionally + sum(l_quantity) as the availqty surrogate) — computed
+    IDENTICALLY in the DuckDB oracles, so the classic correlated shapes
+    run over the same relation in both engines. One map-side-combined
+    aggregate over a 4-column lineitem projection."""
+    cols = ["l_partkey", "l_suppkey", "l_extendedprice"] + (
+        ["l_quantity"] if with_qty else []
+    )
+    aggs = [F.min("l_extendedprice").alias("ps_supplycost")] + (
+        [F.sum("l_quantity").alias("ps_availqty")] if with_qty else []
+    )
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(*cols)
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(*aggs)
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: part selection by
+    p_type = 'ECONOMY' (no p_name LIKE corpus here) and supply cost from
+    the shared partsupp surrogate. profit = extprice·(1−disc) −
+    cost·qty, grouped by supplier nation × order year.
+
+    Scale shape: the 6-way join keeps exactly two big-side shuffles —
+    lineitem⋈supply on (partkey,suppkey) and ⋈orders on orderkey; the
+    type-filtered part (pushed to scan), supplier and nation dims all
+    broadcast. The nation×year aggregate is map-side combined, output is
+    |nations|×|years| rows."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    parts = rd("part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    sn = (
+        rd("supplier")
+        .join(rd("nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    li = rd("lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            _supply(spark, sf_dir),
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            rd("orders").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("ps_supplycost") * F.col("l_quantity")
+                ),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+SQL_TPCH_Q9 = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supply ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'ECONOMY'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), adapted: stock value per part over
+    one nation's suppliers, keeping parts whose value exceeds a fraction
+    of the nation's total — the HAVING-against-global-scalar shape.
+    supply cost/availqty come from the shared partsupp surrogate.
+
+    Scale shape: the nation-filtered supplier dim broadcasts into the
+    supply list; per-part aggregate is map-side combined; the global
+    total is a 1-row aggregate over the SAME filtered frame, broadcast
+    back as a cross join (BroadcastNestedLoopJoin with a single build
+    row) — no second scan of lineitem thanks to the shared cached-free
+    lineage, and no correlated re-evaluation."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    nat_supp = (
+        rd("supplier")
+        .join(
+            rd("nation").filter(F.col("n_name") == "NATION_7"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    sup = _supply(spark, sf_dir, with_qty=True).join(
+        F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    per_part = sup.groupBy("ps_partkey").agg(
+        F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("_value")
+    )
+    # TPC-H scales the 0.0001 fraction by 1/SF so the predicate keeps
+    # selecting at any scale; a fixed fraction goes vacuous as the part
+    # count grows, so the scale-invariant form is used: keep parts above
+    # 2x the average per-part value
+    total = per_part.agg(
+        (F.sum("_value") * 2.0 / F.count(F.lit(1))).alias("_thr")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select("ps_partkey", F.round("_value", 2).alias("value"))
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice) AS ps_supplycost,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS value
+FROM supply, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_7'
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost * ps_availqty) > (
+  SELECT sum(value) * 2.0 / count(*) FROM (
+    SELECT sum(ps_supplycost * ps_availqty) AS value
+    FROM supply, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_7'
+    GROUP BY ps_partkey))
+"""
+
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority), adapted: lineitem has no
+    l_shipmode/l_receiptdate, so the group key is l_returnflag and
+    "late" is shipped > 60 days after order date, within one ship year.
+    The shape is the classic join + two conditional (CASE) sums.
+
+    Scale shape: the shipdate year range is pushed to the lineitem scan;
+    the orderkey equi-join is the one shuffle (the cross-table 60-day
+    predicate evaluates on join output); the 2-column aggregate is
+    map-side combined to |returnflags| rows."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    li = (
+        rd("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(
+            rd("orders").select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (part/supplier relationship), adapted: the part-supplier
+    relation is the distinct (l_partkey, l_suppkey) pairs (partsupp
+    surrogate) and the complaint exclusion is suppliers with negative
+    balance (no comment text here) — the NOT-IN-subquery shape (safe as
+    an anti join: s_suppkey is non-null).
+
+    Scale shape: brand/type/size filters push to the part scan and the
+    filtered part broadcasts into the pair list; the excluded-supplier
+    set is a filtered dim scan broadcast as an anti join; distinct pairs
+    and the count-distinct aggregate are the two shuffles, both on
+    bounded-cardinality keys."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    pairs = (
+        rd("lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    parts = rd("part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    complained = rd("supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complained),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: suppliers of
+    brand-selected parts (p_name text domains differ across datasets) whose availqty surrogate (total quantity ever
+    supplied, from the shared supply list) exceeds half the quantity
+    they shipped of that part in 1997 — the nested-IN + correlated
+    half-sum shape. Pairs with no 1997 shipments drop out in both
+    engines (the correlated scalar is NULL → predicate unknown; here the
+    inner join to the 1997 aggregate drops them identically).
+
+    Scale shape: the name-filtered part broadcasts into both (part,supp)
+    aggregates; those two aggregates shuffle on the same key pair (AQE
+    co-plans them); the qualifying supplier-key set is distinct-reduced
+    before the final semi join against the nation-filtered supplier dim."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    parts = (
+        rd("part")
+        .filter(F.col("p_brand").like("Brand#1%"))
+        .select("p_partkey")
+    )
+    sup = _supply(spark, sf_dir, with_qty=True).join(
+        F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    q97 = (
+        rd("lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("_pk"), F.col("l_suppkey").alias("_sk")
+        )
+        .agg((F.lit(0.5) * F.sum("l_quantity")).alias("_half97"))
+    )
+    qualifying = (
+        sup.join(
+            q97,
+            (F.col("ps_partkey") == F.col("_pk"))
+            & (F.col("ps_suppkey") == F.col("_sk")),
+        )
+        .filter(F.col("ps_availqty") > F.col("_half97"))
+        .select(F.col("ps_suppkey").alias("_qk"))
+        .distinct()
+    )
+    return (
+        rd("supplier")
+        .join(
+            rd("nation").filter(F.col("n_name") == "NATION_3"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(qualifying, F.col("s_suppkey") == F.col("_qk"), "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM supply
+    WHERE ps_partkey IN (SELECT p_partkey FROM part
+                         WHERE p_brand LIKE 'Brand#1%')
+      AND ps_availqty > (
+        SELECT 0.5 * sum(l_quantity) FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'))
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+"""
+
+
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids in long format (label, pos 1-based,
     centroid, n) — the class-prototype aggregation under semantic
@@ -4720,6 +5047,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": q_tpch_q22,
         "tpch_q21": q_tpch_q21,
         "tpch_q2": q_tpch_q2,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
         "embedding_centroids": q_embedding_centroids,
         "embed_quantize": q_embed_quantize,
         "events_json": q_events_json,
@@ -4868,6 +5200,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q22": SQL_TPCH_Q22,
         "tpch_q21": SQL_TPCH_Q21,
         "tpch_q2": SQL_TPCH_Q2,
+        "tpch_q9": SQL_TPCH_Q9,
+        "tpch_q11": SQL_TPCH_Q11,
+        "tpch_q12": SQL_TPCH_Q12,
+        "tpch_q16": SQL_TPCH_Q16,
+        "tpch_q20": SQL_TPCH_Q20,
         "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
         "embed_quantize": SQL_EMBED_QUANTIZE,
         "events_json": SQL_EVENTS_JSON,
