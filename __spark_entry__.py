@@ -3807,6 +3807,27 @@ def q_interp_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
 
 
+def q_interp_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the reference hht-tutorial preprocessing chain (core.py:655-658 +
+    # tutorial interp(new_time, method="spline", s=noise)): smoothing
+    # spline with an splrep-style residual target onto a uniform grid.
+    # no SQL oracle: the Reinsch banded solve is a Python kernel;
+    # correctness is pinned by the dense-QP differential unit
+    # (tests/test_core_ops.py::test_smoothing_spline_kernel_contract)
+    grid = spark.range(61).select((F.col("id") * F.lit(0.5)).alias("time"))
+    out = ops_resample.interp(_ts(spark, sf_dir), grid, "spline", s=5.0)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
+def q_interp_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interp(method='quadratic') — midpoint-knot k=2 B-spline collocation;
+    # rows-only (Python kernel), values pinned by
+    # tests/test_core_ops.py::test_quadratic_spline_kernel_contract
+    grid = spark.range(61).select((F.col("id") * F.lit(0.5)).alias("time"))
+    out = ops_resample.interp_quadratic(_ts(spark, sf_dir), grid)
+    return out.select("series_id", "time", F.round("value", 6).alias("value"))
+
+
 def q_noise_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ops_clean.estimate_noise(_ts(spark, sf_dir))
     return out.select("series_id", F.round("noise", 6).alias("noise"))
@@ -5124,6 +5145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_fill": q_mirror_fill,
         "interp_nearest": q_interp_nearest,
         "interp_spline": q_interp_spline,
+        "interp_smooth": q_interp_smooth,
+        "interp_quadratic": q_interp_quadratic,
         "simsearch_ivf": q_simsearch_ivf,
         "pca_embed": q_pca_embed,
         "semantic_dedup": q_semantic_dedup,

@@ -20,33 +20,30 @@ from __future__ import annotations
 import numpy as np
 
 
-def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Not-a-knot cubic spline interpolation (the classic tridiagonal solve).
-    Extrapolates with the boundary cubics, like scipy splev on an
-    interpolating spline. Falls back to linear for < 4 knots."""
+def _solve_tridiag(lo: np.ndarray, dg: np.ndarray, up: np.ndarray, rhs: np.ndarray) -> np.ndarray:
+    """Thomas algorithm for a tridiagonal system (lo[i] multiplies x[i-1] in
+    row i, up[i] multiplies x[i+1]). O(n), no pivoting — all callers build
+    diagonally-dominant or totally-positive systems where this is stable."""
+    n = len(dg)
+    c = np.empty(n)
+    d = np.empty(n)
+    c[0] = up[0] / dg[0]
+    d[0] = rhs[0] / dg[0]
+    for i in range(1, n):
+        den = dg[i] - lo[i] * c[i - 1]
+        c[i] = up[i] / den if i < n - 1 else 0.0
+        d[i] = (rhs[i] - lo[i] * d[i - 1]) / den
+    x = np.empty(n)
+    x[-1] = d[-1]
+    for i in range(n - 2, -1, -1):
+        x[i] = d[i] - c[i] * x[i + 1]
+    return x
+
+
+def _eval_cubic(xk, yk, M, x):
+    """Evaluate the piecewise cubic with knot values yk and second
+    derivatives M at probes x; boundary segments extrapolate (splev-like)."""
     n = len(xk)
-    if n < 2:
-        return np.full_like(x, yk[0] if n else np.nan, dtype=float)
-    if n < 4:
-        return np.interp(x, xk, yk)
-    h = np.diff(xk)
-    # build the not-a-knot system for second derivatives M[0..n-1]
-    A = np.zeros((n, n))
-    rhs = np.zeros(n)
-    for i in range(1, n - 1):
-        A[i, i - 1] = h[i - 1]
-        A[i, i] = 2 * (h[i - 1] + h[i])
-        A[i, i + 1] = h[i]
-        rhs[i] = 6 * ((yk[i + 1] - yk[i]) / h[i] - (yk[i] - yk[i - 1]) / h[i - 1])
-    # not-a-knot: third derivative continuous at x1 and x_{n-2}
-    A[0, 0] = -h[1]
-    A[0, 1] = h[0] + h[1]
-    A[0, 2] = -h[0]
-    A[n - 1, n - 3] = -h[-1]
-    A[n - 1, n - 2] = h[-2] + h[-1]
-    A[n - 1, n - 1] = -h[-2]
-    M = np.linalg.solve(A, rhs)
-    # evaluate piecewise; clamp segment index for extrapolation
     idx = np.clip(np.searchsorted(xk, x) - 1, 0, n - 2)
     x0, x1 = xk[idx], xk[idx + 1]
     hi = x1 - x0
@@ -57,6 +54,240 @@ def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
         + b * yk[idx + 1]
         + ((a**3 - a) * M[idx] + (b**3 - b) * M[idx + 1]) * hi * hi / 6.0
     )
+
+
+def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Not-a-knot cubic spline interpolation, O(n): the two not-a-knot
+    corner rows (third-derivative continuity at x1/x_{n-2}) are eliminated
+    into the first/last interior rows, leaving a pure tridiagonal Thomas
+    solve for the interior second derivatives — the earlier dense
+    np.linalg.solve was O(n³)/O(n²) memory and broke down at
+    10k+-sample series. Extrapolates with the boundary cubics, like scipy
+    splev on an interpolating spline. Falls back to linear for < 4 knots."""
+    n = len(xk)
+    if n < 2:
+        return np.full_like(x, yk[0] if n else np.nan, dtype=float)
+    if n < 4:
+        return np.interp(x, xk, yk)
+    h = np.diff(xk)
+    # interior rows i=1..n-2:  h[i-1]·M[i-1] + 2(h[i-1]+h[i])·M[i] + h[i]·M[i+1] = r[i]
+    r = 6.0 * np.diff(np.diff(yk) / h)
+    lo = h[:-1].astype(float).copy()
+    dg = 2.0 * (h[:-1] + h[1:])
+    up = h[1:].astype(float).copy()
+    # not-a-knot left:  M0 = ((h0+h1)·M1 − h0·M2) / h1  → fold into row i=1
+    dg0 = dg[0] + lo[0] * (h[0] + h[1]) / h[1]
+    up0 = up[0] - lo[0] * h[0] / h[1]
+    # not-a-knot right: M[n-1] = ((h[-2]+h[-1])·M[n-2] − h[-1]·M[n-3]) / h[-2]
+    dgl = dg[-1] + up[-1] * (h[-2] + h[-1]) / h[-2]
+    lol = lo[-1] - up[-1] * h[-1] / h[-2]
+    dg[0], up[0], lo[0] = dg0, up0, 0.0
+    dg[-1], lo[-1], up[-1] = dgl, lol, 0.0
+    Mi = _solve_tridiag(np.r_[0.0, lo[1:]], dg, np.r_[up[:-1], 0.0], r)
+    M = np.empty(n)
+    M[1:-1] = Mi
+    M[0] = ((h[0] + h[1]) * Mi[0] - h[0] * Mi[1]) / h[1]
+    M[-1] = ((h[-2] + h[-1]) * Mi[-1] - h[-1] * Mi[-2]) / h[-2]
+    return _eval_cubic(xk, yk, M, x)
+
+
+def _solve_penta_spd(d0, d1, d2, rhs):
+    """Banded LDLᵀ solve for a symmetric positive-definite pentadiagonal
+    system. d0 = main diagonal (len n), d1 = first off-diagonal (len n-1),
+    d2 = second off-diagonal (len n-2). O(n)."""
+    n = len(d0)
+    D = np.empty(n)
+    e1 = np.empty(max(n - 1, 0))
+    e2 = np.empty(max(n - 2, 0))
+    z = np.empty(n)
+    for i in range(n):
+        di = d0[i]
+        zi = rhs[i]
+        if i >= 1:
+            di -= e1[i - 1] ** 2 * D[i - 1]
+            zi -= e1[i - 1] * D[i - 1] * z[i - 1]
+        if i >= 2:
+            di -= e2[i - 2] ** 2 * D[i - 2]
+            zi -= e2[i - 2] * D[i - 2] * z[i - 2]
+        D[i] = di
+        z[i] = zi / di
+        if i + 1 < n:
+            t = d1[i]
+            if i >= 1:
+                t -= e2[i - 1] * e1[i - 1] * D[i - 1]
+            e1[i] = t / di
+        if i + 2 < n:
+            e2[i] = d2[i] / di
+    x = np.empty(n)
+    for i in range(n - 1, -1, -1):
+        xi = z[i]
+        if i + 1 < n:
+            xi -= e1[i] * x[i + 1]
+        if i + 2 < n:
+            xi -= e2[i] * x[i + 2]
+        x[i] = xi
+    return x
+
+
+def _smoothing_fit(xk: np.ndarray, yk: np.ndarray, lam: float):
+    """Natural cubic smoothing spline for a FIXED λ (Reinsch 1967 /
+    Green-Silverman 1994): minimize Σ(f(xᵢ)−yᵢ)² + λ∫f″². Interior second
+    derivatives γ solve (R + λQᵀQ)γ = Qᵀy (symmetric pentadiagonal,
+    banded LDLᵀ, O(n)); fitted knot values are u = y − λQγ.
+    → (u, M, rss) with M the full second-derivative vector (natural:
+    M₀ = M_{n-1} = 0) and rss = Σ(u−y)²."""
+    n = len(xk)
+    h = np.diff(xk).astype(float)
+    inv = 1.0 / h
+    # Qᵀy: second divided differences, length n-2
+    qty = np.diff(np.diff(yk) * inv)
+    # R (tridiag, symmetric): diag (h[i-1]+h[i])/3, off h[i]/6
+    r0 = (h[:-1] + h[1:]) / 3.0
+    r1 = h[1:-1] / 6.0
+    # QᵀQ (pentadiag, symmetric) from Q columns (1/h[i-1], -(1/h[i-1]+1/h[i]), 1/h[i])
+    a = inv[:-1]
+    b = -(inv[:-1] + inv[1:])
+    c = inv[1:]
+    q0 = a * a + b * b + c * c
+    q1 = b[:-1] * a[1:] + c[:-1] * b[1:]
+    q2 = c[:-2] * a[2:]
+    gam = _solve_penta_spd(
+        r0 + lam * q0,
+        (r1 + lam * q1) if n > 3 else np.empty(0),
+        lam * q2 if n > 4 else np.empty(0),
+        qty,
+    )
+    # u = y − λ·Qγ
+    qg = np.zeros(n)
+    qg[:-2] += a * gam
+    qg[1:-1] += b * gam
+    qg[2:] += c * gam
+    u = yk - lam * qg
+    M = np.zeros(n)
+    M[1:-1] = gam
+    return u, M, float(np.sum((lam * qg) ** 2))
+
+
+def smoothing_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray, s: float) -> np.ndarray:
+    """Cubic smoothing spline with an splrep-style smoothing condition
+    (reference core.py:655-658 passes ``s`` straight to splrep): among
+    natural cubic splines, picks the smoothest f with Σ(f(xᵢ)−yᵢ)² = s
+    (Reinsch's formulation — FITPACK reaches the same residual target via
+    B-spline knot insertion, so fitted values differ slightly in the
+    interior but the contract, s=0 ⇒ interpolation and growing s ⇒ the
+    least-squares line, is identical). λ is found by bisection in log-λ
+    (each probe is one O(n) banded solve; RSS(λ) is monotone increasing).
+    s at or above the straight-line RSS returns the least-squares line."""
+    n = len(xk)
+    if s <= 0 or n < 4:
+        return cubic_spline(xk, yk, x)
+    # line-fit ceiling
+    A = np.vstack([np.ones(n), xk]).T
+    coef, *_ = np.linalg.lstsq(A, yk, rcond=None)
+    line_rss = float(np.sum((A @ coef - yk) ** 2))
+    if s >= line_rss or line_rss <= 1e-30:
+        return coef[0] + coef[1] * np.asarray(x, dtype=float)
+    # bracket λ: RSS(λ) monotone ↑, → 0 as λ→0, → line_rss as λ→∞
+    lo_l, hi_l = 1e-12, 1.0
+    while _smoothing_fit(xk, yk, hi_l)[2] < s and hi_l < 1e18:
+        hi_l *= 64.0
+    while _smoothing_fit(xk, yk, lo_l)[2] > s and lo_l > 1e-30:
+        lo_l /= 64.0
+    for _ in range(64):
+        mid = np.sqrt(lo_l * hi_l)
+        if _smoothing_fit(xk, yk, mid)[2] < s:
+            lo_l = mid
+        else:
+            hi_l = mid
+    u, M, _ = _smoothing_fit(xk, yk, np.sqrt(lo_l * hi_l))
+    return _eval_cubic(xk, u, M, x)
+
+
+def _bspline2_basis(t: np.ndarray, x: np.ndarray):
+    """Nonzero degree-2 B-spline basis at each probe: → (span, B) where
+    span[i] indexes the knot interval t[span]≤x<t[span+1] (right edge
+    clamped) and B[i] = (B_{span-2}(x), B_{span-1}(x), B_{span}(x)) by
+    two levels of the Cox-de Boor recursion, vectorized over probes."""
+    nb = len(t) - 3  # number of basis functions
+    span = np.clip(np.searchsorted(t, x, side="right") - 1, 2, nb - 1)
+    # degree 1 from degree 0 on [t[span], t[span+1])
+    def w(lo_idx, hi_idx):
+        den = t[hi_idx] - t[lo_idx]
+        out = np.zeros_like(den, dtype=float)
+        np.divide(1.0, den, out=out, where=den > 0)
+        return out
+    x = np.asarray(x, dtype=float)
+    # level 1: B_{span-1,1}, B_{span,1}
+    w1a = (t[span + 1] - x) * w(span, span + 1)
+    w1b = (x - t[span]) * w(span, span + 1)
+    # level 2
+    b0 = w1a * (t[span + 1] - x) * w(span - 1, span + 1)
+    b2 = w1b * (x - t[span]) * w(span, span + 2)
+    b1 = w1a * (x - t[span - 1]) * w(span - 1, span + 1) + w1b * (
+        t[span + 2] - x
+    ) * w(span, span + 2)
+    return span, np.stack([b0, b1, b2], axis=1)
+
+
+def quadratic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """C¹ quadratic (k=2) interpolating spline with scipy
+    make_interp_spline's default knots for even degree — data-midpoint
+    interior knots ((x₁+x₂)/2 … clipped of the outermost pair) — which is
+    what xarray/interp1d kind='quadratic' resolves to (reference
+    core.py:643 accepts 'quadratic'). Collocation is a banded (≤3
+    nonzeros per row) totally-positive system solved without pivoting in
+    O(n); evaluation is vectorized Cox-de Boor. Falls back to linear for
+    < 3 points."""
+    n = len(xk)
+    if n < 3:
+        if n < 2:
+            return np.full_like(x, yk[0] if n else np.nan, dtype=float)
+        return np.interp(x, xk, yk)
+    mids = (xk[1:] + xk[:-1]) / 2.0
+    t = np.r_[[xk[0]] * 3, mids[1:-1], [xk[-1]] * 3]
+    span, B = _bspline2_basis(t, xk)
+    # assemble banded collocation: row i touches columns span-2..span;
+    # offsets (col − row) stay within [-2, 2] for this knot layout
+    d = {off: np.zeros(n) for off in range(-2, 3)}
+    for k3 in range(3):
+        cols = span - 2 + k3
+        offs = cols - np.arange(n)
+        for off in range(-2, 3):
+            m = offs == off
+            d[off][np.where(m)[0]] = B[m, k3]
+    # banded LU without pivoting (B-spline collocation with
+    # Schoenberg-Whitney-interlaced knots admits it; de Boor 1978)
+    l2, l1, d0, u1, u2 = (d[-2].copy(), d[-1].copy(), d[0].copy(), d[1].copy(), d[2].copy())
+    rhs = np.asarray(yk, dtype=float).copy()
+    for i in range(n - 1):
+        piv = d0[i]
+        if i + 1 < n and l1[i + 1] != 0.0:
+            f = l1[i + 1] / piv
+            d0[i + 1] -= f * u1[i]
+            if i + 2 < n:
+                u1[i + 1] -= f * u2[i]
+            rhs[i + 1] -= f * rhs[i]
+            l1[i + 1] = 0.0
+        if i + 2 < n and l2[i + 2] != 0.0:
+            f = l2[i + 2] / piv
+            l1[i + 2] -= f * u1[i]
+            d0[i + 2] -= f * u2[i]
+            rhs[i + 2] -= f * rhs[i]
+            l2[i + 2] = 0.0
+    c = np.empty(n)
+    for i in range(n - 1, -1, -1):
+        v = rhs[i]
+        if i + 1 < n:
+            v -= u1[i] * c[i + 1]
+        if i + 2 < n:
+            v -= u2[i] * c[i + 2]
+        c[i] = v / d0[i]
+    xp = np.clip(np.asarray(x, dtype=float), xk[0], xk[-1])
+    span_p, Bp = _bspline2_basis(t, xp)
+    out = (
+        c[span_p - 2] * Bp[:, 0] + c[span_p - 1] * Bp[:, 1] + c[span_p] * Bp[:, 2]
+    )
+    return out
 
 
 def find_extrema_idx(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

@@ -166,15 +166,37 @@ def interp_zero(ts: DataFrame, grid: DataFrame) -> DataFrame:
     return out.select("series_id", "time", pick.alias("value"))
 
 
-def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
-    """Cubic-spline interpolation onto a probe grid (reference
-    interp(method='spline'), core.py:655-658 — splrep/splev with the default
-    s=0 interpolating spline; here the engine's own not-a-knot kernel,
-    decomposition/kernels.py:23, same one the EMD envelopes use).
+def interp_spline(ts: DataFrame, grid: DataFrame, s: float = 0.0) -> DataFrame:
+    """Spline interpolation/smoothing onto a probe grid (reference
+    interp(method='spline'), core.py:655-658 — splrep/splev, with the
+    smoothing condition ``s`` forwarded as in the reference's hht tutorial
+    chain interp(..., method='spline', s=noise)).
+
+    s=0 (default) is the engine's own O(N) not-a-knot interpolating
+    kernel (decomposition/kernels.py, same one the EMD envelopes use);
+    s>0 is the Reinsch natural cubic smoothing spline picking the
+    smoothest f with Σ(f(xᵢ)−yᵢ)² = s (FITPACK reaches the same residual
+    target by B-spline knot insertion, so interiors differ slightly; the
+    s=0 ⇒ interpolation / large-s ⇒ least-squares-line contract is
+    identical and pinned by tests).
 
     Samples and probes union into one bucketed-grouped Arrow UDF (a single
-    shuffle; per-series Arrow overhead amortized across the bucket); the
-    tridiagonal solve is O(N) per series."""
+    shuffle; per-series Arrow overhead amortized across the bucket); both
+    kernels are banded O(N) solves per series."""
+    return _interp_kernel(ts, grid, kind="spline", s=float(s))
+
+
+def interp_quadratic(ts: DataFrame, grid: DataFrame) -> DataFrame:
+    """C¹ quadratic-spline interpolation onto a probe grid (reference
+    interp(method='quadratic'), core.py:643 — xarray→interp1d
+    kind='quadratic'; here the engine's own midpoint-knot k=2 B-spline
+    collocation, banded O(N) per series)."""
+    return _interp_kernel(ts, grid, kind="quadratic")
+
+
+def _interp_kernel(
+    ts: DataFrame, grid: DataFrame, kind: str, s: float = 0.0
+) -> DataFrame:
     from periodicity_spark.session import grouped_apply
 
     if "series_id" not in grid.columns:
@@ -192,7 +214,11 @@ def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
     def _per_series(pdf):
         import numpy as np
         import pandas as pd
-        from periodicity_spark.decomposition.kernels import cubic_spline
+        from periodicity_spark.decomposition.kernels import (
+            cubic_spline,
+            quadratic_spline,
+            smoothing_spline,
+        )
 
         probe = pdf[pdf["_isp"] == 1]
         sample = pdf[pdf["_isp"] == 0].sort_values("time")
@@ -202,9 +228,14 @@ def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
         if len(sample) == 0:
             v = np.full(len(x), np.nan)
         else:
-            v = cubic_spline(
-                sample["time"].to_numpy(float), sample["value"].to_numpy(float), x
-            )
+            xk = sample["time"].to_numpy(float)
+            yk = sample["value"].to_numpy(float)
+            if kind == "quadratic":
+                v = quadratic_spline(xk, yk, x)
+            elif s > 0:
+                v = smoothing_spline(xk, yk, x, s)
+            else:
+                v = cubic_spline(xk, yk, x)
         return pd.DataFrame(
             {"series_id": probe["series_id"].iloc[0], "time": x, "value": v}
         )
@@ -216,20 +247,27 @@ def interp_spline(ts: DataFrame, grid: DataFrame) -> DataFrame:
     )
 
 
-def interp(ts: DataFrame, grid: DataFrame, method: str = "linear") -> DataFrame:
+def interp(ts: DataFrame, grid: DataFrame, method: str = "linear", **kwargs) -> DataFrame:
     """Probe-grid interpolation dispatcher (reference interp(),
     core.py:636-662). methods: linear | slinear (alias) | nearest | zero |
-    spline | cubic (alias)."""
+    quadratic | spline | cubic (alias). Extra kwargs are forwarded to the
+    spline path (``s`` — the splrep smoothing condition), mirroring the
+    reference's **kwargs passthrough."""
     m = {
         "linear": interp_linear,
         "slinear": interp_linear,
         "nearest": interp_nearest,
         "zero": interp_zero,
+        "quadratic": interp_quadratic,
         "spline": interp_spline,
         "cubic": interp_spline,
     }
     if method not in m:
         raise ValueError(f"unknown interp method: {method!r}")
+    if method in ("spline", "cubic"):
+        return m[method](ts, grid, **kwargs)
+    if kwargs:
+        raise TypeError(f"interp method {method!r} takes no extra kwargs: {kwargs}")
     return m[method](ts, grid)
 
 

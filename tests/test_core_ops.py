@@ -279,6 +279,129 @@ def test_interp_spline_matches_numpy_kernel(spark):
     assert err_sp < err_li
 
 
+def test_cubic_spline_banded_equals_dense(spark):
+    """The O(N) banded not-a-knot solve must reproduce the original dense
+    np.linalg.solve formulation (which broke down at 10k+-sample series)."""
+    from periodicity_spark.decomposition.kernels import cubic_spline
+
+    rng = np.random.default_rng(0)
+    for n in [4, 5, 17, 300]:
+        t = np.sort(rng.uniform(0, 10, n)) + np.arange(n) * 1e-6
+        v = rng.standard_normal(n)
+        h = np.diff(t)
+        A = np.zeros((n, n))
+        rhs = np.zeros(n)
+        for i in range(1, n - 1):
+            A[i, i - 1] = h[i - 1]
+            A[i, i] = 2 * (h[i - 1] + h[i])
+            A[i, i + 1] = h[i]
+            rhs[i] = 6 * ((v[i + 1] - v[i]) / h[i] - (v[i] - v[i - 1]) / h[i - 1])
+        A[0, 0], A[0, 1], A[0, 2] = -h[1], h[0] + h[1], -h[0]
+        A[n - 1, n - 3], A[n - 1, n - 2], A[n - 1, n - 1] = -h[-1], h[-2] + h[-1], -h[-2]
+        M = np.linalg.solve(A, rhs)
+        x = np.linspace(-1, 11, 101)
+        idx = np.clip(np.searchsorted(t, x) - 1, 0, n - 2)
+        x0, x1 = t[idx], t[idx + 1]
+        hi = x1 - x0
+        a, b = (x1 - x) / hi, (x - x0) / hi
+        dense = (
+            a * v[idx] + b * v[idx + 1]
+            + ((a**3 - a) * M[idx] + (b**3 - b) * M[idx + 1]) * hi * hi / 6.0
+        )
+        np.testing.assert_allclose(cubic_spline(t, v, x), dense, atol=1e-9)
+
+
+def test_smoothing_spline_kernel_contract(spark):
+    """Reinsch smoothing spline: banded solve equals the dense QP solution
+    at fixed λ; the s-targeted fit hits Σresid² = s; s=0 interpolates;
+    s beyond the line RSS returns the least-squares line."""
+    from periodicity_spark.decomposition.kernels import (
+        _smoothing_fit,
+        smoothing_spline,
+    )
+
+    rng = np.random.default_rng(5)
+    for n in [4, 6, 40, 200]:
+        t = np.sort(rng.uniform(0, 10, n)) + np.arange(n) * 1e-6
+        v = rng.standard_normal(n)
+        h = np.diff(t)
+        Q = np.zeros((n, n - 2))
+        R = np.zeros((n - 2, n - 2))
+        for j in range(1, n - 1):
+            Q[j - 1, j - 1] = 1 / h[j - 1]
+            Q[j, j - 1] = -(1 / h[j - 1] + 1 / h[j])
+            Q[j + 1, j - 1] = 1 / h[j]
+            R[j - 1, j - 1] = (h[j - 1] + h[j]) / 3
+            if j < n - 2:
+                R[j - 1, j] = R[j, j - 1] = h[j] / 6
+        for lam in [1e-6, 1e-2, 1.0, 100.0]:
+            gam = np.linalg.solve(R + lam * Q.T @ Q, Q.T @ v)
+            u_dense = v - lam * Q @ gam
+            # rtol 1e-5: at λ=100 with dense spacing the system's
+            # conditioning is ~1e10, so banded-vs-dense round-off
+            # legitimately reaches ~1e-7 relative
+            u, _, rss = _smoothing_fit(t, v, lam)
+            np.testing.assert_allclose(u, u_dense, rtol=1e-5, atol=1e-6)
+            assert rss == pytest.approx(float(np.sum((u_dense - v) ** 2)), rel=1e-4, abs=1e-6)
+    t = np.linspace(0, 10, 200)
+    v = np.sin(t) + rng.normal(0, 0.3, 200)
+    for s in [0.5, 5.0, 17.0]:
+        fit = smoothing_spline(t, v, t, s)
+        assert float(np.sum((fit - v) ** 2)) == pytest.approx(s, rel=1e-6)
+    np.testing.assert_allclose(smoothing_spline(t, v, t, 0.0), v, atol=1e-9)
+    A = np.vstack([np.ones(200), t]).T
+    coef, *_ = np.linalg.lstsq(A, v, rcond=None)
+    np.testing.assert_allclose(smoothing_spline(t, v, t, 1e9), A @ coef, atol=1e-9)
+    # the point of smoothing: recovers the clean signal better than interp
+    sm = smoothing_spline(t, v, t, 200 * 0.09)
+    assert np.mean((sm - np.sin(t)) ** 2) < 0.25 * np.mean((v - np.sin(t)) ** 2)
+
+
+def test_quadratic_spline_kernel_contract(spark):
+    """Midpoint-knot k=2 B-spline: interpolates the data exactly and
+    reproduces any quadratic polynomial (k=2 polynomial-reproduction
+    property) to machine precision."""
+    from periodicity_spark.decomposition.kernels import quadratic_spline
+
+    rng = np.random.default_rng(6)
+    for n in [3, 4, 10, 100]:
+        t = np.sort(rng.uniform(0, 10, n)) + np.arange(n) * 1e-5
+        v = rng.standard_normal(n)
+        np.testing.assert_allclose(quadratic_spline(t, v, t), v, atol=1e-8)
+    t = np.linspace(0, 5, 30)
+    v = 2 * t**2 - 3 * t + 1
+    x = np.linspace(0, 5, 301)
+    np.testing.assert_allclose(quadratic_spline(t, v, x), 2 * x**2 - 3 * x + 1, atol=1e-8)
+
+
+def test_interp_smoothing_and_quadratic_distributed(spark):
+    """interp(method='spline', s=...) and interp(method='quadratic') through
+    the Arrow operator must equal the local kernels per series; unknown
+    kwargs on non-spline methods raise."""
+    from periodicity_spark.decomposition.kernels import (
+        quadratic_spline,
+        smoothing_spline,
+    )
+
+    rng = np.random.default_rng(9)
+    t = np.sort(rng.uniform(0, 10, 60))
+    v = np.sin(t) + 0.2 * rng.standard_normal(60)
+    newt = np.linspace(0.2, 9.8, 37)
+    grid = spark.createDataFrame(pd.DataFrame({"time": newt}))
+    sm = (
+        resample.interp(_ts(spark, t, v), grid, "spline", s=2.5)
+        .orderBy("time").toPandas()["value"].to_numpy()
+    )
+    np.testing.assert_allclose(sm, smoothing_spline(t, v, newt, 2.5), rtol=1e-10)
+    qd = (
+        resample.interp(_ts(spark, t, v), grid, "quadratic")
+        .orderBy("time").toPandas()["value"].to_numpy()
+    )
+    np.testing.assert_allclose(qd, quadratic_spline(t, v, newt), rtol=1e-10)
+    with pytest.raises(TypeError):
+        resample.interp(_ts(spark, t, v), grid, "linear", s=1.0)
+
+
 def test_hht_tutorial_preprocessing_chain(spark):
     """Reference hht tutorial chain: gappy signal → interp(method='spline')
     onto a uniform grid → HHT marginal spectrum peaks at the tone."""
