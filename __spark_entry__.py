@@ -3204,25 +3204,68 @@ ORDER BY d1, d2
 
 
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact all-pairs embedding-cosine near-dup (distributed cartesian — the
-    # O(n²) baseline; cosine_near_duplicates_lsh is the corpus-scale path)
-    out = simsearch.cosine_near_duplicates(_emb(spark, sf_dir), threshold=0.4)
+    """Embedding-cosine near-dup through the LSH scale path (pipeline.
+    simsearch.cosine_near_duplicates_lsh): quantization-faithfulness
+    audit — the corpus unioned with its int8-quantized reconstruction
+    (ids offset by 10⁷), near-dup pairs at cosine ≥ 0.99. Every clean
+    vector's quantized twin sits at cosine ≈ 0.99998, so the planted
+    pair set is the full corpus — a non-vacuous exactness gate for the
+    LSH path (the previous registered query ran the exact O(n²)
+    cartesian baseline; that kernel remains as the library function +
+    the differential oracle in tests/test_pipeline.py).
+
+    The oracle is the exact all-pairs SQL at the same threshold, so the
+    gate asserts LSH-with-verify ≡ exact on this data: at the planted
+    cosine, a 16-bit band matches with p≈0.967, and missing all 10 bands
+    has probability ≈1e-15 per pair — zero misses even at sf1's 500k
+    planted pairs. r=16 keeps mid-similarity cluster pairs (cos≈0.6,
+    band rate 0.004) from flooding the candidate join."""
+    from periodicity_spark.pipeline import embedding as emb_ops
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb_ops.quantize_int8(emb).filter(F.col("scale").isNotNull())
+    dq = q.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
+        ).alias("embedding"),
+    )
+    out = simsearch.cosine_near_duplicates_lsh(
+        emb.unionByName(dq), threshold=0.99, n_planes=160, bands=10, dim=64
+    )
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 
 
 SQL_COSINE_NEARDUP = """
-WITH z AS (
-  SELECT a.vec_id AS d1, b.vec_id AS d2,
-         unnest(a.embedding)::DOUBLE AS av, unnest(b.embedding)::DOUBLE AS bv
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM base
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+              ELSE list_transform(v, x -> round(x / scale * 127) / 127.0 * scale)
+         END AS v
+  FROM quant WHERE isfinite(scale)
 ),
 p AS (
-  SELECT d1, d2, sum(av * bv) AS dot,
-         sqrt(sum(av * av)) AS n1, sqrt(sum(bv * bv)) AS n2
-  FROM z GROUP BY 1, 2
+  SELECT a.vec_id AS d1, b.vec_id AS d2,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+           AS cosine
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
-SELECT d1, d2, round(dot / (n1 * n2), 6) AS cosine
-FROM p WHERE dot / (n1 * n2) >= 0.4
+SELECT d1, d2, round(cosine, 6) AS cosine
+FROM p WHERE cosine >= 0.99
 """
 
 

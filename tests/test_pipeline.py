@@ -247,6 +247,36 @@ def test_cosine_neardup_lsh_recall_on_planted_neardups(spark):
     assert found <= exact_pairs
 
 
+def test_cosine_neardup_lsh_equals_exact_on_quantized_twins(spark, emb):
+    """The registered cosine_neardup contract (r7): corpus ∪ its int8
+    quantized reconstruction, LSH at threshold 0.99 with (n_planes=160,
+    bands=10, r=16) must equal the exact O(n²) kernel EXACTLY — every
+    vector's quantized twin sits at cosine ≈ 0.99998 where the per-pair
+    all-bands-miss probability is ~1e-15, so recall is 1 on real data
+    (this is what lets the exact cartesian retire from the query suite)."""
+    from periodicity_spark.pipeline import embedding as emb_ops
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb_ops.quantize_int8(base).filter(F.col("scale").isNotNull())
+    dq = q.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dq)
+    lsh = simsearch.cosine_near_duplicates_lsh(
+        corpus, threshold=0.99, n_planes=160, bands=10
+    ).toPandas()
+    exact = simsearch.cosine_near_duplicates(corpus, threshold=0.99).toPandas()
+    lp = {(r.d1, r.d2): round(r.cosine, 9) for r in lsh.itertuples()}
+    ep = {(r.d1, r.d2): round(r.cosine, 9) for r in exact.itertuples()}
+    assert lp == ep
+    assert len(lp) == base.count()  # one planted twin per clean vector
+
+
 def test_ngram_jaccard_planted_duplicates_and_df_cap(spark):
     rng = np.random.default_rng(3)
     vocab = [f"w{i}" for i in range(200)]
