@@ -245,14 +245,24 @@ def ivf_centroids(
     poisons a Lloyd mean for the whole cluster."""
     import numpy as np
 
+    from periodicity_spark.operators.topk import topk_per_key
+
     corpus = _finite_rows(corpus, vec_col)
-    sampled = (
+    # deterministic hash-min sample WITHOUT a global sort: each input
+    # partition pre-reduces to its k smallest hashes (zero shuffle), the
+    # global merge sees ≤ k × partitions rows — same winners as
+    # orderBy(_h).limit(k), which sorted the whole corpus to keep k rows
+    sampled = topk_per_key(
         corpus.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .orderBy("_h")
-        .limit(n_centroids)
-        .collect()
-    )
+        .withColumn("_g", F.lit(0)),
+        ["_g"],
+        "_h",
+        n_centroids,
+        descending=False,
+        rank_col=None,
+    ).collect()
+    sampled = sorted(sampled, key=lambda r: r["_h"])[:n_centroids]
     cents = np.array([[float(x) for x in r[vec_col]] for r in sampled])
     for _ in range(n_iter):
         assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
@@ -296,13 +306,16 @@ def centroid_dots(vecs: DataFrame, cents, id_col="vec_id", vec_col="embedding") 
 
 
 def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
-    """→ (id_col, centroid): nearest centroid by dot product."""
+    """→ (id_col, centroid): nearest centroid by dot product. One max_by
+    aggregate (map-side combined) — the earlier row_number window sorted
+    every id's centroid list; argmax needs no sort. Ties break to the
+    lowest centroid id (the struct's negated second field), matching the
+    window formulation."""
     dots = centroid_dots(corpus, cents, id_col, vec_col)
-    w = Window.partitionBy(id_col).orderBy(F.desc("dot"), F.asc("centroid"))
-    return (
-        dots.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(F.col(id_col), "centroid")
+    return dots.groupBy(id_col).agg(
+        F.max_by(
+            "centroid", F.struct(F.col("dot"), (-F.col("centroid")).alias("_nc"))
+        ).alias("centroid")
     )
 
 
