@@ -691,3 +691,175 @@ def test_stream_neardup_supports_string_doc_ids(spark, tmp_path):
         (r["d1"], r["d2"]) for r in tbl.select("d1", "d2").distinct().collect()
     }
     assert pairs == {("doc-a", "doc-b")}, pairs
+
+
+# ---------------------------------------------------------------------------
+# checkpoint-and-restart: the one Structured-Streaming property the memory-
+# sink suite can't see. Each test starts a query with a checkpointLocation,
+# stops it cold mid-stream, appends more source data while it is down, and
+# restarts the SAME pipeline from the checkpoint — asserting recovered state
+# and exactly-once output.
+# ---------------------------------------------------------------------------
+
+
+def _write_events(spark, src, rows):
+    import pandas as pd
+
+    schema = "series_id string, ts timestamp, value double"
+    pdf = pd.DataFrame(rows, columns=["series_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src)
+
+
+def _events_reader(spark, src):
+    return spark.readStream.schema(
+        "series_id string, ts timestamp, value double"
+    ).parquet(src)
+
+
+def test_restart_downsample_exactly_once(spark, tmp_path):
+    """stream_downsample through kill → restart-from-checkpoint: windows
+    finalized across the restart boundary appear EXACTLY once in the file
+    sink, and their aggregates include pre-restart events recovered from
+    state (not just replayed post-restart files)."""
+    from periodicity_spark.streaming import stream_downsample
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_downsample(_events_reader(spark, src), window="1 day", watermark="2 days")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # run 1: day-3 (2 events) + day-10 → watermark reaches day 8,
+    # the day-3 window emits; the day-10 window stays OPEN in state
+    _write_events(spark, src, [
+        ("s", "2024-01-03 06:00:00", 1.0),
+        ("s", "2024-01-03 18:00:00", 3.0),
+        ("s", "2024-01-10 12:00:00", 10.0),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()  # cold stop mid-stream
+
+    # while down: another day-10 event (must merge into the RECOVERED open
+    # window) and a day-20 event (advances the watermark, finalizing day 10)
+    _write_events(spark, src, [
+        ("s", "2024-01-10 18:00:00", 20.0),
+        ("s", "2024-01-20 12:00:00", 7.0),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    key = out["t_start"].astype(str).str[:10]
+    # exactly-once: no (series, window) appears twice across the restart
+    assert not out.duplicated(subset=["series_id", "t_start"]).any(), out.to_string()
+    day3 = out[key == "2024-01-03"]
+    assert len(day3) == 1 and day3.iloc[0]["n"] == 2 and day3.iloc[0]["value"] == 2.0
+    day10 = out[key == "2024-01-10"]
+    assert len(day10) == 1, "day-10 window lost or duplicated across restart"
+    # 10.0 arrived before the kill, 20.0 after: mean 15 proves state recovery
+    assert day10.iloc[0]["n"] == 2 and day10.iloc[0]["value"] == 15.0
+
+
+def test_restart_dedup_state_survives(spark, tmp_path):
+    """stream_dedup (dropDuplicatesWithinWatermark) through restart: a key
+    seen before the kill must still be suppressed after recovery, and fresh
+    keys pass — exactly-once ingestion across failures."""
+    from periodicity_spark.streaming import stream_dedup
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_dedup(_events_reader(spark, src), watermark="2 days")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_events(spark, src, [
+        ("s", "2024-01-05 12:00:00", 1.0),
+        ("s", "2024-01-05 12:00:00", 1.0),  # in-batch dup
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, [
+        ("s", "2024-01-05 12:00:00", 1.0),   # replay of a pre-kill key
+        ("s", "2024-01-05 13:00:00", 2.0),   # fresh key
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) == 2, out.to_string()
+    assert sorted(out["value"]) == [1.0, 2.0]
+
+
+def test_restart_topk_state_recovered(spark, tmp_path):
+    """stream_topk (applyInPandasWithState) through restart: the post-
+    restart emission must rank pre-kill values recovered from the state
+    store against post-restart arrivals — the running top-k is not reset."""
+    import pandas as pd
+
+    from periodicity_spark.streaming import stream_topk
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+    schema = "event_id long, event_type string, ts timestamp, value double"
+
+    def _write(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "event_type", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src)
+
+    # memory sink refuses checkpoint recovery; foreachBatch→parquet is the
+    # restartable update-mode sink (and the production shape for this op)
+    def _start():
+        ev = spark.readStream.schema(schema).parquet(src)
+        return (
+            stream_topk(ev, k=2)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write([
+        (1, "click", "2024-01-01 00:00:00", 50.0),
+        (2, "click", "2024-01-01 00:01:00", 40.0),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    # while down: one value that beats the recovered #2 but not #1
+    _write([(3, "click", "2024-01-01 00:02:00", 45.0)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    last = out[out["seq"] == out["seq"].max()].sort_values("rank")
+    # 50 (pre-kill, from state) stays #1; 45 (post-restart) displaces 40
+    assert list(last["event_id"]) == [1, 3], out.to_string()
+    assert list(last["value"]) == [50.0, 45.0]
