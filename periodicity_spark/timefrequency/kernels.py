@@ -15,19 +15,61 @@ from __future__ import annotations
 
 import numpy as np
 
-# Daubechies-4 decomposition low-pass filter (public constants)
-_DB4_LO = np.array(
-    [
-        -0.010597401784997278,
-        0.032883011666982945,
-        0.030841381835986965,
-        -0.18703481171888114,
-        -0.02798376941698385,
-        0.6308807679295904,
-        0.7148465705525415,
-        0.23037781330885523,
-    ]
-)
+# Orthogonal-wavelet decomposition low-pass filters, in dec_lo order
+# (public constants from the Daubechies/Symlet literature — the same
+# values pywt ships; the reference forwards its wavelet= kwarg to pywt,
+# timefrequency.py:151-159). Every entry is validated by the QMF
+# property tests (Σh = √2, Σh² = 1, even-shift orthonormality) in
+# tests/test_timefrequency.py — a transcription error in any digit
+# breaks those identities at ~1e-10.
+WAVELET_FILTERS = {
+    "haar": np.array([0.7071067811865476, 0.7071067811865476]),
+    "db1": np.array([0.7071067811865476, 0.7071067811865476]),
+    "db2": np.array(
+        [
+            -0.12940952255092145,
+            0.22414386804185735,
+            0.8365163037378079,
+            0.48296291314469025,
+        ]
+    ),
+    "db3": np.array(
+        [
+            0.035226291882100656,
+            -0.08544127388224149,
+            -0.13501102001039084,
+            0.4598775021193313,
+            0.8068915093133388,
+            0.3326705529509569,
+        ]
+    ),
+    "db4": np.array(
+        [
+            -0.010597401784997278,
+            0.032883011666982945,
+            0.030841381835986965,
+            -0.18703481171888114,
+            -0.02798376941698385,
+            0.6308807679295904,
+            0.7148465705525415,
+            0.23037781330885523,
+        ]
+    ),
+    "sym4": np.array(
+        [
+            -0.07576571478927333,
+            -0.02963552764599851,
+            0.49761866763201545,
+            0.8037387518059161,
+            0.29785779560527736,
+            -0.09921954357684722,
+            -0.012603967262037833,
+            0.0322231006040427,
+        ]
+    ),
+}
+
+_DB4_LO = WAVELET_FILTERS["db4"]
 
 
 def cwt_morlet(x: np.ndarray, dt: float, periods: np.ndarray, B: float = 2.0, C: float = 1.0) -> np.ndarray:
@@ -170,9 +212,20 @@ def _idwt_per(a, d, lo, n):
     return y[:n]
 
 
-def denoise_db4(x: np.ndarray, sigma: float, detrend: bool = False) -> np.ndarray:
-    """Wavelet shrinkage (reference timefrequency.py:151-159): periodized db4
-    wavedec → soft-threshold σ√(2 ln N) on detail coefficients → waverec."""
+def denoise_dwt(
+    x: np.ndarray, sigma: float, detrend: bool = False, wavelet: str = "db4"
+) -> np.ndarray:
+    """Wavelet shrinkage (reference timefrequency.py:151-159): periodized
+    wavedec in the requested family → soft-threshold σ√(2 ln N) on detail
+    coefficients → waverec. The reference forwards ``wavelet`` to pywt;
+    here it selects from WAVELET_FILTERS (the DWT machinery is generic
+    over the filter)."""
+    try:
+        lo = WAVELET_FILTERS[wavelet]
+    except KeyError:
+        raise ValueError(
+            f"unknown wavelet {wavelet!r}; available: {sorted(WAVELET_FILTERS)}"
+        ) from None
     n = len(x)
     threshold = sigma * np.sqrt(2 * np.log(n))
     levels = max(1, int(np.log2(max(n, 8))) - 3)
@@ -185,14 +238,19 @@ def denoise_db4(x: np.ndarray, sigma: float, detrend: bool = False) -> np.ndarra
         approx = np.concatenate([approx, np.full(m - n, approx[-1])])
     details = []
     for _ in range(levels):
-        if len(approx) < len(_DB4_LO):
+        if len(approx) < len(lo):
             break
-        approx, d = _dwt_per(approx, _DB4_LO)
+        approx, d = _dwt_per(approx, lo)
         details.append(d)
     if detrend:
         approx = np.zeros_like(approx)
     soft = [np.sign(d) * np.maximum(np.abs(d) - threshold, 0.0) for d in details]
     y = approx
     for d in reversed(soft):
-        y = _idwt_per(y, d, _DB4_LO, 2 * len(d) if 2 * len(d) else len(y))
+        y = _idwt_per(y, d, lo, 2 * len(d) if 2 * len(d) else len(y))
     return y[:n]
+
+
+def denoise_db4(x: np.ndarray, sigma: float, detrend: bool = False) -> np.ndarray:
+    """Back-compat alias: denoise_dwt with the db4 default."""
+    return denoise_dwt(x, sigma, detrend, "db4")

@@ -96,12 +96,15 @@ def reconstruct(tf_with_coefs: DataFrame, B: float = 2.0) -> DataFrame:
 
 
 def denoise(
-    ts: DataFrame, sigma: float | None = None, detrend: bool = False
+    ts: DataFrame, sigma: float | None = None, detrend: bool = False,
+    wavelet: str = "db4",
 ) -> DataFrame:
     """Wavelet-shrinkage denoising (reference denoise(),
-    timefrequency.py:151-159): periodized db4 wavedec → soft-threshold
-    σ√(2 ln N) on the detail coefficients → waverec, via the package's own
-    db4 DWT (timefrequency/kernels.py). σ defaults to the per-series robust
+    timefrequency.py:151-159): periodized wavedec in the requested
+    orthogonal family (haar/db1/db2/db3/db4/sym4 — the reference forwards
+    ``wavelet`` to pywt) → soft-threshold σ√(2 ln N) on the detail
+    coefficients → waverec, via the package's own DWT
+    (timefrequency/kernels.py). σ defaults to the per-series robust
     noise estimate (operators.clean.estimate_noise), broadcast-joined so the
     two passes stay one job. The shrinkage itself is whole-series sequential
     → bucketed Arrow stage (grouped_apply). → (series_id, time, value)."""
@@ -110,6 +113,12 @@ def denoise(
     base = ts.filter(F.col("value").isNotNull()).select("series_id", "time", "value")
     det = bool(detrend)
     fixed = None if sigma is None else float(sigma)
+    wav = str(wavelet)
+    from periodicity_spark.timefrequency.kernels import WAVELET_FILTERS
+    if wav not in WAVELET_FILTERS:  # fail at plan time, not inside executors
+        raise ValueError(
+            f"unknown wavelet {wav!r}; available: {sorted(WAVELET_FILTERS)}"
+        )
 
     # σ default: the robust noise estimate runs INSIDE the same per-series
     # kernel as the shrinkage (both are whole-series-local), so the operator
@@ -123,12 +132,12 @@ def denoise(
         import pandas as pd
 
         from periodicity_spark.operators.clean import robust_noise_np
-        from periodicity_spark.timefrequency.kernels import denoise_db4
+        from periodicity_spark.timefrequency.kernels import denoise_dwt
 
         pdf = pdf.sort_values("time")
         v = pdf["value"].to_numpy(dtype=float)
         sg = fixed if fixed is not None else (robust_noise_np(v) or 0.0)
-        y = denoise_db4(v, float(sg), detrend=det)
+        y = denoise_dwt(v, float(sg), detrend=det, wavelet=wav)
         return pd.DataFrame(
             {
                 "series_id": pdf["series_id"].iloc[0],
