@@ -90,6 +90,15 @@ HEADLINE = [
     # boilerplate removal (explode + two counts + reconstruct)
     "tpch_q15",
     "boilerplate_rm",
+    # round 7: the two hardest relational shapes (decorrelated
+    # exists/not-exists over one table; correlated scalar-min), the
+    # profit 6-way join, the Reinsch smoothing spline (banded Arrow
+    # kernel), and cosine_neardup is now the LSH quantized-twin audit
+    # (same name above — plan changed from cartesian to bucket join)
+    "tpch_q21",
+    "tpch_q2",
+    "tpch_q9",
+    "interp_smooth",
 ]
 
 
