@@ -16,7 +16,12 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "periodicity_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus)
+        # SPARK_SHUFFLE_PARTITIONS: scale-soak knob — big-shuffle stages at
+        # sf1+ want 2-3× cores so each task's hash map fits its memory
+        # share (AQE coalesces the small ones back down for free)
+        shuffle_partitions = int(
+            os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus)
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
