@@ -85,17 +85,21 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = _time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"[FAIL] {name}: spark error: {str(e)[:400]}")
             failures += 1
             continue
+        t_spark = _time.time() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(sdf)} rows")
+            print(f"[rows-only] {name}: {len(sdf)} rows  spark={t_spark:.1f}s")
             continue
         try:
             ddf = con.sql(oracles[name]).df()
@@ -110,7 +114,7 @@ def main() -> int:
             for p in problems[:4]:
                 print(f"       {p}")
         else:
-            print(f"[OK]   {name}: {len(sdf)} rows match exactly")
+            print(f"[OK]   {name}: {len(sdf)} rows match exactly  spark={t_spark:.1f}s")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
