@@ -3945,7 +3945,10 @@ FROM sol s CROSS JOIN grid g
 
 
 def q_butterworth_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = ops_clean.butterworth(_ts(spark, sf_dir), fmin=0.2, fmax=2.0)
+    # driver events series are ~13 samples over 30 days -> Nyquist ~0.2-0.3
+    # cycles/day; the band must sit strictly inside it or the design is
+    # (correctly) refused per-series and the values come back NULL
+    out = ops_clean.butterworth(_ts(spark, sf_dir), fmin=0.02, fmax=0.15)
     return out.select("series_id", "time", F.round("value", 6).alias("value"))
 
 

@@ -368,14 +368,21 @@ def butterworth(
         pdf = pdf.sort_values("time")
         t = pdf["time"].to_numpy(float)
         x = pdf["value"].to_numpy(float)
-        nyq = 0.5 / float(np.median(np.diff(t)))
-        if lo is not None and hi is None:
-            sos = butter_sos(ordn, lo / nyq, "highpass")
-        elif lo is None and hi is not None:
-            sos = butter_sos(ordn, hi / nyq, "lowpass")
-        else:
-            sos = butter_sos(ordn, [lo / nyq, hi / nyq], "bandpass")
-        y = sosfiltfilt(sos, x)
+        try:
+            nyq = 0.5 / float(np.median(np.diff(t))) if len(t) > 1 else 0.0
+            # butter_sos raises (scipy's contract) when a cutoff falls at or
+            # beyond this series' Nyquist; in a many-series distributed run
+            # one under-sampled series must not kill the job — its rows come
+            # back with NULL values (the engine's negative-path convention)
+            if lo is not None and hi is None:
+                sos = butter_sos(ordn, lo / nyq, "highpass")
+            elif lo is None and hi is not None:
+                sos = butter_sos(ordn, hi / nyq, "lowpass")
+            else:
+                sos = butter_sos(ordn, [lo / nyq, hi / nyq], "bandpass")
+            y = sosfiltfilt(sos, x)
+        except (ValueError, ZeroDivisionError):
+            y = np.full(len(t), np.nan)
         return pd.DataFrame({"series_id": pdf["series_id"].iloc[0], "time": t, "value": y})
 
     return (

@@ -31,6 +31,14 @@ def butter_sos(order: int, Wn, btype: str = "lowpass") -> np.ndarray:
     """Digital Butterworth as second-order sections [n_sections, 6].
     Wn: cutoff(s) normalized to Nyquist (scipy convention)."""
     fs = 2.0
+    wn = np.atleast_1d(np.asarray(Wn, dtype=float))
+    if np.any(wn <= 0) or np.any(wn >= 1):
+        # scipy.signal.butter's contract: digital critical frequencies live
+        # strictly inside (0, Nyquist); outside it the tan() prewarp folds
+        # and the design silently goes NaN
+        raise ValueError(
+            f"critical frequencies must satisfy 0 < Wn < 1 (got {wn.tolist()})"
+        )
     p = _butter_prototype(order)
     z = np.array([], dtype=complex)
     k = 1.0
@@ -106,24 +114,25 @@ def butter_sos(order: int, Wn, btype: str = "lowpass") -> np.ndarray:
 
 
 def _sosfilt(sos: np.ndarray, x: np.ndarray, zi: np.ndarray | None = None) -> tuple[np.ndarray, np.ndarray]:
-    y = x.astype(float).copy()
     n_sections = len(sos)
     if zi is None:
         zi = np.zeros((n_sections, 2))
     zf = zi.copy()
+    # Python-float recursion: numpy scalars pay ~1 µs of boxing per op, which
+    # dominates at 1M-sample series; plain floats run the identical IEEE-754
+    # double arithmetic ~20x faster (bit-identical output)
+    y = x.astype(float).tolist()
     for s in range(n_sections):
-        b0, b1, b2, a0, a1, a2 = sos[s]
-        z1, z2 = zf[s]
-        out = np.empty_like(y)
+        b0, b1, b2, _a0, a1, a2 = (float(c) for c in sos[s])
+        z1, z2 = float(zf[s][0]), float(zf[s][1])
         for i in range(len(y)):
             xn = y[i]
             yn = b0 * xn + z1
             z1 = b1 * xn - a1 * yn + z2
             z2 = b2 * xn - a2 * yn
-            out[i] = yn
-        y = out
+            y[i] = yn
         zf[s] = (z1, z2)
-    return y, zf
+    return np.asarray(y), zf
 
 
 def _sos_zi(sos: np.ndarray) -> np.ndarray:

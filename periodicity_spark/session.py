@@ -36,6 +36,13 @@ def get_spark(app_name: str = "periodicity_spark", shuffle_partitions: int | Non
         # same column to micros — see sources/ingest.py for the alignment)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # scale-soak knob: selfcheck collects full results for the oracle
+        # compare, and at sf1+ a wide query's result can exceed the 1g
+        # default; the engine itself never collects result-sized data
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_MAX_RESULT_SIZE", "1g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Dio.netty.tryReflectionSetAccessible=true")
     )

@@ -33,7 +33,11 @@ VOCAB = (
 
 
 def generate(
-    out_dir: str, seed: int, scale: int = 1, row_group_size: int | None = None
+    out_dir: str,
+    seed: int,
+    scale: int = 1,
+    row_group_size: int | None = None,
+    only: set[str] | None = None,
 ) -> None:
     """Write all ten tables as single parquet FILES under out_dir.
 
@@ -48,6 +52,8 @@ def generate(
     rng = np.random.default_rng(seed)
 
     def write(name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
+        if only is not None and name not in only:
+            return
         kw = {"row_group_size": row_group_size} if row_group_size else {}
         pq.write_table(
             pa.Table.from_pandas(df, schema=schema, preserve_index=False),
@@ -220,10 +226,13 @@ def generate(
         ),
     )
 
-    # events: 15 users × 5 types, irregular timestamps over ~30 days, a mix
+    # events: 15×scale users × 5 types — the driver testdata scales SERIES
+    # COUNT with sf (sf0.01: 150 users × ~66 events; sf0.1: 1500 × ~66), and
+    # that many-short-series shape is also the 100 TB claim; keep mean series
+    # length ~66 as scale grows. Irregular timestamps over ~30 days, a mix
     # of periodic + trend + noise values so spectral operators see structure
     n_ev = 1000 * scale
-    users = rng.integers(0, 15, n_ev)
+    users = rng.integers(0, 15 * scale, n_ev)
     types = rng.choice(["signup", "click", "error", "view", "purchase"], n_ev)
     t0 = pd.Timestamp("2024-01-01")
     secs = np.sort(rng.uniform(0, 30 * 86400, n_ev))

@@ -8,7 +8,8 @@ gls_auto's strategy pick) needs at least one order-of-magnitude scale-up to
 be observed rather than argued. Output goes under /root/repo/.scale/ (git-
 ignored — these are derived artifacts, ~1-2 GiB each).
 
-Usage: python tools/make_scale.py sf1|sf5 [seed]
+Usage: python tools/make_scale.py sf1|sf5 [seed] [table ...]
+(naming tables regenerates only those files — e.g. after a generator fix)
 """
 
 from __future__ import annotations
@@ -27,11 +28,12 @@ SCALES = {"sf1": 1000, "sf5": 5000}
 def main() -> int:
     name = sys.argv[1] if len(sys.argv) > 1 else "sf1"
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 77
+    only = set(sys.argv[3:]) or None
     scale = SCALES[name]
     out = f"/root/repo/.scale/{name}"
     os.makedirs(out, exist_ok=True)
     t0 = time.time()
-    generate(out, seed=seed, scale=scale, row_group_size=262_144)
+    generate(out, seed=seed, scale=scale, row_group_size=262_144, only=only)
     sizes = {
         f: os.path.getsize(os.path.join(out, f)) // 1024 // 1024
         for f in sorted(os.listdir(out))
