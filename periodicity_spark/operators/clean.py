@@ -414,8 +414,18 @@ def acf_period_quality(ts: DataFrame, p_min: float, p_max: float) -> DataFrame:
         if len(t) < 16:
             return empty
         dt = float(np.median(np.diff(t)))
+        if not (dt > 0):
+            # duplicate-timestamp-dominated series: no sampling rate exists
+            return empty
         nyq = 0.5 / dt
-        wn = [max(1e-6, (1.0 / pmax_) / nyq), min(0.999, (1.0 / pmin_) / nyq)]
+        lo = (1.0 / pmax_) / nyq
+        hi = min(0.999, (1.0 / pmin_) / nyq)
+        if lo >= hi:
+            # the search band lies at/above this series' Nyquist — no period
+            # in [p_min, p_max] is resolvable from this sampling; same
+            # no-result contract as the too-short-series case above
+            return empty
+        wn = [max(1e-6, lo), hi]
         y = sosfiltfilt(butter_sos(5, wn, "bandpass"), x)
         # ACF via FFT (reference core.py:578-608)
         ml = int(np.searchsorted(t - t[0], 2 * pmax_))
