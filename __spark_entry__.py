@@ -91,7 +91,9 @@ def q_ts_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "series_id",
         "n",
         F.round("mean", 6).alias("mean_value"),
-        F.round("std", 6).alias("std_value"),
+        # n=1: Spark's stddev_samp yields NaN where DuckDB yields NULL —
+        # shape to NULL so the driver's typed value hash agrees
+        F.when(F.col("n") > 1, F.round("std", 6)).alias("std_value"),
         F.col("vmin"),
         F.col("vmax"),
         F.col("tmin"),
@@ -118,9 +120,13 @@ SELECT t.series_id AS series_id,
        max(t."time") AS tmax,
        max(t."time") - min(t."time") AS baseline,
        max(med.median_dt) AS median_dt
-FROM ts t JOIN med USING (series_id)
+FROM ts t LEFT JOIN med USING (series_id)
 GROUP BY t.series_id
 """
+# LEFT JOIN med: a single-sample series has no pairwise dt, so `med` has no
+# row for it — an inner join silently dropped the whole series from the
+# oracle while the engine (reference-faithfully: median of an empty diff is
+# NaN, the series still exists) kept it. Surfaced by the sf1 soak.
 
 
 def q_roll_time(spark: SparkSession, sf_dir: str) -> DataFrame:
