@@ -119,14 +119,26 @@ def test_no_sortmerge_or_cartesian(name, spark, sf_dir):
     # CartesianProduct, which is banned above.
 
 
-def test_cosine_neardup_single_deliberate_cartesian(spark, sf_dir):
-    """The one documented all-pairs join (at test size AQE builds it as a
-    broadcast nested-loop; at corpus size it stays a partitioned cartesian).
-    The plan string renders the adaptive tree twice, so assert presence and
-    absence, not counts."""
+def test_cosine_neardup_runs_the_lsh_plan(spark, sf_dir):
+    """The REGISTERED cosine_neardup query is the banded-LSH scale path
+    (round 7 re-point): its plan must contain no all-pairs join of either
+    physical shape. The deliberate O(n^2) exact kernel remains available as
+    pipeline.simsearch.cosine_near_duplicates, plan-asserted below."""
     plan = _final_plan(spark, sf_dir, "cosine_neardup")
-    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_exact_cosine_kernel_is_the_deliberate_cartesian(spark, sf_dir):
+    """The exact all-pairs LIBRARY function keeps its documented cartesian
+    (at test size AQE may build it as a broadcast nested-loop)."""
+    from periodicity_spark.pipeline import simsearch
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = simsearch.cosine_near_duplicates(vecs, threshold=0.99)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def test_tpch_q15_revenue_view_shuffle_is_reused(spark, sf_dir):

@@ -8,6 +8,7 @@ Usage: python tools/selfcheck.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -78,6 +79,13 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark("selfcheck")
     con = duckdb.connect()
+    # scale-soak knob: the heavy oracles (recursive minhash CTEs at sf1+)
+    # otherwise spill tens of GB to .tmp/ while the Spark session still
+    # holds its shuffle files — the combined footprint exhausts the disk.
+    # Keeping the oracle in RAM is both faster and disk-safe on this box.
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
