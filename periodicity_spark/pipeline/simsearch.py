@@ -306,16 +306,43 @@ def centroid_dots(vecs: DataFrame, cents, id_col="vec_id", vec_col="embedding") 
 
 
 def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
-    """→ (id_col, centroid): nearest centroid by dot product. One max_by
-    aggregate (map-side combined) — the earlier row_number window sorted
-    every id's centroid list; argmax needs no sort. Ties break to the
-    lowest centroid id (the struct's negated second field), matching the
-    window formulation."""
-    dots = centroid_dots(corpus, cents, id_col, vec_col)
-    return dots.groupBy(id_col).agg(
-        F.max_by(
-            "centroid", F.struct(F.col("dot"), (-F.col("centroid")).alias("_nc"))
-        ).alias("centroid")
+    """→ (id_col, centroid): nearest centroid by dot product, as an Arrow
+    matmul kernel — each batch computes X·Cᵀ in one BLAS call and emits the
+    argmax row-aligned, so the stage is a zero-shuffle projection of N rows.
+
+    The previous formulation (``centroid_dots``: posexplode + dim-join +
+    (id, centroid) aggregate) shuffles N·D·K rows — fine at K=16, but the
+    round-7 soak measured it as the dominant cost of semantic_dedup at sf1
+    once K scales with the corpus (500k×128×488 ≈ 3·10¹⁰ aggregate rows,
+    ~1 h; the matmul is ~3·10¹⁰ flops, seconds). ``centroid_dots`` remains
+    for consumers that need ALL K dots (the IVF probe side, where the
+    probe set is small). Ties break to the lowest centroid id (np.argmax
+    returns the first maximum), matching the old max_by tie-break.
+    Wrong-dimension vectors are dropped, mirroring _finite_rows' contract."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=float)
+    d = C.shape[1]
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vs = pdf[vec_col]
+            ok = vs.apply(lambda v: v is not None and len(v) == d)
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            X = _np.stack(pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=float)).to_numpy())
+            lab = (X @ C.T).argmax(axis=1)
+            yield _pd.DataFrame({id_col: pdf[id_col], "centroid": lab.astype("int32")})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        _assign, schema=f"{id_col} {id_type}, centroid int"
     )
 
 
