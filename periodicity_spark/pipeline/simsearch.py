@@ -661,6 +661,15 @@ def ann_mllib_lsh(
     hashes coming from the fitted pipeline model. Deterministic for a
     fixed ``seed``. Candidates are exactly re-ranked per probe.
 
+    Scale caveat (measured, round-7 sf1 soak): on L2-NORMALIZED vectors a
+    projection's spread is only ~1/sqrt(dim), so the default
+    ``bucket_length=1.0`` puts essentially every vector in one bucket per
+    table and the join degenerates to num_tables × brute force (336 s vs
+    49 s brute / 21 s hyperplane-LSH at 500k×128). For corpus-scale runs
+    pass ``bucket_length`` ≈ 0.5/sqrt(dim) (finer buckets trade top-k
+    recall for selectivity) — or use ``ann_lsh_topk``, the primary path,
+    whose sign-hash bands don't have this failure mode.
+
     → (qid, vec_id, cosine, rank): the same contract as
     ``cosine_topk_bruteforce``, approximate recall.
     """
