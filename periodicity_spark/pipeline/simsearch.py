@@ -12,6 +12,8 @@ JVM higher-order functions — no Python UDF in the hot path.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -639,7 +641,7 @@ def ann_mllib_lsh(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 10,
-    bucket_length: float = 1.0,
+    bucket_length: float | None = None,
     num_tables: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -661,14 +663,22 @@ def ann_mllib_lsh(
     hashes coming from the fitted pipeline model. Deterministic for a
     fixed ``seed``. Candidates are exactly re-ranked per probe.
 
-    Scale caveat (measured, round-7 sf1 soak): on L2-NORMALIZED vectors a
-    projection's spread is only ~1/sqrt(dim), so the default
-    ``bucket_length=1.0`` puts essentially every vector in one bucket per
-    table and the join degenerates to num_tables × brute force (336 s vs
-    49 s brute / 21 s hyperplane-LSH at 500k×128). For corpus-scale runs
-    pass ``bucket_length`` ≈ 0.5/sqrt(dim) (finer buckets trade top-k
-    recall for selectivity) — or use ``ann_lsh_topk``, the primary path,
-    whose sign-hash bands don't have this failure mode.
+    Bucket length (measured, round-7 sf1 soak + tuning sweep): on
+    L2-NORMALIZED vectors a projection's spread is only ~1/sqrt(dim), so
+    a naive ``bucket_length=1.0`` puts essentially every vector in one
+    bucket per table and the join degenerates to num_tables × brute force
+    (336 s vs 49 s brute / 21 s hyperplane-LSH at 500k×128). The default
+    (``bucket_length=None``) therefore derives ``2/sqrt(dim)`` — two
+    projection-σ per bucket — once the dimension is known. Measured
+    recall@10 at that width is 1.000 on every tested regime (clustered
+    20k×64 and 100k×128, uniform-sphere 20k×64 — the LSH worst case) and
+    it is never slower than the degenerate width. Finer buckets buy more
+    selectivity but the recall frontier is data-dependent: at 100k×128
+    clustered, 0.5/sqrt(dim) is 2.1× faster at recall 0.994, but the same
+    width drops to 0.803 on uniform vectors — so the aggressive setting
+    is an explicit opt-in, not the default. ``ann_lsh_topk`` remains the
+    primary scale path; its sign-hash bands have no width parameter to
+    mis-set.
 
     → (qid, vec_id, cosine, rank): the same contract as
     ``cosine_topk_bruteforce``, approximate recall.
@@ -711,6 +721,9 @@ def ann_mllib_lsh(
         )
         dim = int(first[0]) if first else 1
     placeholder = F.array_repeat(F.lit(0.5), int(dim)).cast("array<double>")
+    if bucket_length is None:
+        # 2 projection-σ per bucket on the unit sphere (see docstring)
+        bucket_length = 2.0 / math.sqrt(max(int(dim), 1))
 
     # L2-normalize via MLlib's Normalizer: one JVM pass per vector.
     # (An F.transform lambda dividing by the aggregate norm would
@@ -732,6 +745,23 @@ def ann_mllib_lsh(
 
     c = _featurize(corpus, id_col, vec_col, "vec_id")
     p = _featurize(probes, probe_id_col, probe_vec_col, "qid")
+    # MLlib's fit() throws "head of empty array" when every corpus row was
+    # dirty — return the contract's empty frame instead (fit is eager
+    # regardless, so the limit-1 emptiness probe adds no new eagerness)
+    if c.isEmpty() or p.isEmpty():
+        from pyspark.sql import types as T
+
+        qid_t = probes.schema[probe_id_col].dataType
+        vid_t = corpus.schema[id_col].dataType
+        schema = T.StructType(
+            [
+                T.StructField("qid", qid_t),
+                T.StructField("vec_id", vid_t),
+                T.StructField("cosine", T.DoubleType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -567,6 +567,28 @@ def test_mllib_lsh_ann_survives_zero_nan_and_null_vectors(spark, emb):
     assert simsearch.ann_mllib_lsh(emb, dp, k=5).count() == 0
 
 
+def test_ann_mllib_lsh_empty_corpus(emb, spark):
+    """An empty (or fully-dirty) corpus must return the contract's empty
+    frame, not die inside MLlib's fit ("head of empty array")."""
+    empty = emb.filter(F.lit(False))
+    out = simsearch.ann_mllib_lsh(empty, _probes(emb), k=5, dim=64)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["qid", "vec_id", "cosine", "rank"]
+    nulls = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    assert simsearch.ann_mllib_lsh(nulls, _probes(emb), k=5, dim=64).count() == 0
+
+
+def test_ann_mllib_lsh_derived_bucket_length_recall(spark, emb, exact10):
+    """The None default must derive 2/sqrt(dim) and keep recall@10 ≥ 0.95
+    (round-7 fix: the old 1.0 default put every normalized vector in one
+    bucket per table — num_tables × brute force at corpus scale)."""
+    got = simsearch.ann_mllib_lsh(emb, _probes32(emb), k=10).toPandas()
+    r = _recall(exact10, got)
+    assert r >= 0.95, f"derived-bucket recall@10 = {r:.3f}"
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A chain of diameter > max_iter must RAISE, not silently return a
     split labeling — leak_safe_split's guarantee depends on it."""
