@@ -418,6 +418,7 @@ def stream_neardup(
     n_hashes: int = 16,
     r: int = 4,
     max_bucket: int = 1000,
+    n_state_buckets: int = 256,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
     ingestion-time twin of ``pipeline.dedup.lsh_candidate_pairs``: each
@@ -437,6 +438,15 @@ def stream_neardup(
     oracle therefore holds on corpora whose buckets stay under the cap,
     which the contract test asserts).
 
+    State GROUPING is by a hash of (band, sig) into ``n_state_buckets``
+    slots, not by the raw key: a crawl-scale corpus produces one
+    (band, sig) key per document per band (~5M keys at 500k docs × 10
+    bands — measured to stall applyInPandasWithState's per-group
+    scheduling at sf1, round 7), so each state group instead carries a
+    dict of its keys' id-lists, serialized as parallel arrays. The md5-
+    derived sig hashes uniformly, so slots stay balanced; per-key pair
+    semantics are byte-identical to the per-key grouping.
+
     → (d1, d2) in update mode, d1 < d2, possibly duplicated across bands
     and batches — apply DISTINCT downstream.
     """
@@ -454,38 +464,64 @@ def stream_neardup(
     def _fn(key, pdfs, state):
         import pandas as pd
 
-        seen = list(state.get[0]) if state.exists else []
-        new = []
-        seen_set = set(seen)
+        def _unwrap(x):
+            return x.item() if hasattr(x, "item") else x
+
+        # state: parallel arrays keyed by "band:sig" → this slot's id lists
+        if state.exists:
+            ks, idls = state.get
+            buckets = {
+                kk: [_unwrap(i) for i in ids] for kk, ids in zip(ks, idls)
+            }
+        else:
+            buckets = {}
+        # accumulate the batch's arrivals per key first (a slot group sees
+        # many keys interleaved across chunks), then pair per key exactly
+        # as the per-key grouping did
+        arrivals: dict[str, list] = {}
+        arrived_sets: dict[str, set] = {}
         for pdf in pdfs:
-            for d in pdf["doc_id"]:
-                # unwrap numpy scalars so state round-trips cleanly;
-                # strings and other Python objects pass through as-is
-                d = d.item() if hasattr(d, "item") else d
+            for band, sg, d in zip(pdf["band"], pdf["sig"], pdf["doc_id"]):
+                kk = f"{_unwrap(band)}:{sg}"
+                d = _unwrap(d)
+                seen_set = arrived_sets.get(kk)
+                if seen_set is None:
+                    seen_set = set(buckets.get(kk, ()))
+                    arrived_sets[kk] = seen_set
+                    arrivals[kk] = []
                 if d not in seen_set:
                     seen_set.add(d)
-                    new.append(d)
-        new.sort()
+                    arrivals[kk].append(d)
         d1s, d2s = [], []
-        if len(seen) + len(new) <= cap:
-            for j, nd in enumerate(new):
-                for o in seen + new[:j]:
-                    lo, hi = (o, nd) if o < nd else (nd, o)
-                    d1s.append(lo)
-                    d2s.append(hi)
+        for kk, new in arrivals.items():
+            seen = buckets.get(kk, [])
+            new.sort()
+            if len(seen) + len(new) <= cap:
+                for j, nd in enumerate(new):
+                    for o in seen + new[:j]:
+                        lo, hi = (o, nd) if o < nd else (nd, o)
+                        d1s.append(lo)
+                        d2s.append(hi)
+            # once over the cap a key never emits again — truncate to
+            # cap+1 as the over-cap sentinel, keeping state bounded even
+            # for a degenerate boilerplate key fed by an unbounded stream
+            buckets[kk] = sorted(arrived_sets[kk])[: cap + 1]
         yield pd.DataFrame({"d1": pd.Series(d1s, dtype=object),
                             "d2": pd.Series(d2s, dtype=object)})
-        # once over the cap the bucket never emits again, so its ids are
-        # dead weight — truncate to cap+1 as the over-cap sentinel, keeping
-        # state bounded even for a degenerate boilerplate bucket fed by an
-        # unbounded stream
-        ids = sorted(seen_set)
-        state.update((ids[: cap + 1],))
+        ks = sorted(buckets)
+        state.update((ks, [buckets[kk] for kk in ks]))
 
-    return sig.groupBy("band", "sig").applyInPandasWithState(
-        _fn,
-        f"d1 {id_dt}, d2 {id_dt}",
-        f"ids array<{id_dt}>",
-        "update",
-        GroupStateTimeout.NoTimeout,
+    slot = F.pmod(F.xxhash64("band", "sig"), F.lit(int(n_state_buckets))).cast(
+        "int"
+    )
+    return (
+        sig.withColumn("_slot", slot)
+        .groupBy("_slot")
+        .applyInPandasWithState(
+            _fn,
+            f"d1 {id_dt}, d2 {id_dt}",
+            f"ks array<string>, idls array<array<{id_dt}>>",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )
