@@ -3238,8 +3238,14 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
         ).alias("embedding"),
     )
+    # min_bands=3: at cos 0.99+ a band matches with p ≥ 0.48 (0.97 for the
+    # planted near-identical twins), so requiring 3 of 10 bands misses a
+    # twin with P ≈ 4e-11 — while cutting the mid-cosine cluster-pair
+    # candidate flood ~10³× (the sf1 ENOSPC fix: the verify join ships
+    # vectors per candidate, so candidate volume IS the shuffle volume)
     out = simsearch.cosine_near_duplicates_lsh(
-        emb.unionByName(dq), threshold=0.99, n_planes=160, bands=10, dim=64
+        emb.unionByName(dq), threshold=0.99, n_planes=160, bands=10, dim=64,
+        min_bands=3,
     )
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 

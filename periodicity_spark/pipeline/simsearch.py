@@ -591,27 +591,46 @@ def cosine_near_duplicates_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 1000,
+    min_bands: int = 1,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup join, the corpus-scale path:
-    candidates = pairs sharing a (band, sig) bucket, then exact cosine
-    verification ≥ threshold → (d1, d2, cosine), d1 < d2.
+    candidates = pairs sharing ≥ ``min_bands`` (band, sig) buckets, then
+    exact cosine verification ≥ threshold → (d1, d2, cosine), d1 < d2.
 
     Defaults (r=8, b=8) target HIGH thresholds: at cos 0.98 a band matches
     with 0.59 → recall ≈ 1 − 0.41⁸ ≈ 0.999; at cos 0.9 recall ≈ 0.94; by
     cos 0.5 candidates are rare — which is the point, the bucket join stays
     tiny. Oversized buckets (degenerate vectors) are capped like MinHash-LSH.
-    Verification is exact, so precision is 1.0; only recall is approximate."""
+    Verification is exact, so precision is 1.0; only recall is approximate.
+
+    ``min_bands`` is the 100 TB knob for HIGH thresholds over CLUSTERED
+    corpora (measured, round-7 sf1 soak): a corpus of 10 clusters × 100k
+    members floods ≥1-band candidate generation with ~1.8B mid-cosine
+    pairs (cos≈0.6 matches one of 10 r=16 bands with p≈0.036) that all
+    FAIL verification — and the verify join ships two full vectors per
+    candidate, which exhausted a 76 GB disk before any wrong answer could
+    even be computed. Requiring k co-matching bands costs a fixed-width
+    (d1, d2) count shuffle and multiplies the flood by ~C(b,k)p_band^k:
+    at min_bands=3, cos-0.86 pairs survive with p≈0.013 and cos-0.6 pairs
+    essentially never, while a threshold-0.99 true pair (p_band ≈ 0.48 at
+    the boundary, 0.97 for near-identical) is missed with P ≤ C(10,2)·
+    p²(1−p)⁸ — ~4e-11 for near-identical pairs. Raise it only when the
+    threshold is high enough that true pairs match most bands."""
     sig = hyperplane_band_signatures(vecs, n_planes, bands, seed, dim, id_col, vec_col)
     counted = sig.withColumn(
         "_n", F.count("*").over(Window.partitionBy("band", "sig"))
     ).filter(F.col("_n") <= max_bucket)
     a = counted.select("band", "sig", F.col("vec_id").alias("d1"))
     b = counted.select("band", "sig", F.col("vec_id").alias("d2"))
+    # one sig per (vec, band), so rows per (d1, d2) = co-matching bands;
+    # the groupBy doubles as the old .distinct()
     cand = (
         a.join(b, ["band", "sig"])
         .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .filter(F.col("_nb") >= int(min_bands))
         .select("d1", "d2")
-        .distinct()
     )
     va = vecs.select(
         F.col(id_col).alias("d1"),

@@ -275,6 +275,33 @@ def test_cosine_neardup_lsh_equals_exact_on_quantized_twins(spark, emb):
     ep = {(r.d1, r.d2): round(r.cosine, 9) for r in exact.itertuples()}
     assert lp == ep
     assert len(lp) == base.count()  # one planted twin per clean vector
+    # min_bands=3 (what the registered sf-scale query passes) must still be
+    # exact here: twins match a band with p≈0.97, so requiring 3 of 10
+    # costs ~4e-11 recall while cutting the mid-cosine candidate flood
+    lsh3 = simsearch.cosine_near_duplicates_lsh(
+        corpus, threshold=0.99, n_planes=160, bands=10, min_bands=3
+    ).toPandas()
+    lp3 = {(r.d1, r.d2): round(r.cosine, 9) for r in lsh3.itertuples()}
+    assert lp3 == ep
+
+
+def test_cosine_neardup_lsh_min_bands_one_is_distinct_semantics(spark):
+    """min_bands=1 (the default) must behave exactly like the old
+    .distinct() candidate set — same pairs, no duplicates."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 64))
+    vecs = np.vstack([base, base + 0.02 * rng.standard_normal((8, 64))])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(16), "embedding": [v.tolist() for v in vecs]}
+        )
+    )
+    got = simsearch.cosine_near_duplicates_lsh(df, threshold=0.95).toPandas()
+    assert got.duplicated(["d1", "d2"]).sum() == 0
+    exact = simsearch.cosine_near_duplicates(df, threshold=0.95).toPandas()
+    assert set(map(tuple, got[["d1", "d2"]].to_numpy())) <= set(
+        map(tuple, exact[["d1", "d2"]].to_numpy())
+    )
 
 
 def test_ngram_jaccard_planted_duplicates_and_df_cap(spark):
