@@ -105,7 +105,11 @@ def _final_plan(spark, sf_dir, name):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan
-    return plan
+    # AdaptiveSparkPlan.toString appends the pre-AQE "== Initial Plan ==";
+    # the guard is about what EXECUTED, so assert on the final section only
+    # (since keep_canonical dropped its broadcast hint, the initial plan
+    # legitimately contains the SortMergeJoin that AQE converts to BHJ)
+    return plan.split("== Initial Plan ==")[0]
 
 
 @pytest.mark.parametrize("name", GUARDED)
