@@ -3238,14 +3238,18 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
         ).alias("embedding"),
     )
-    # min_bands=3: at cos 0.99+ a band matches with p ≥ 0.48 (0.97 for the
-    # planted near-identical twins), so requiring 3 of 10 bands misses a
-    # twin with P ≈ 4e-11 — while cutting the mid-cosine cluster-pair
-    # candidate flood ~10³× (the sf1 ENOSPC fix: the verify join ships
-    # vectors per candidate, so candidate volume IS the shuffle volume)
+    # r=24 + min_bands=2, both measured at 500k×64 (round-7 soak):
+    # r=16 buckets in dense cluster cores exceeded the max_bucket cap in
+    # every band, silently dropping 33/500k twins; r=24 shrinks buckets
+    # ~16× (all twins recovered, same wall). min_bands cuts the
+    # mid-cosine cluster-pair candidate flood — the sf1 ENOSPC fix: the
+    # verify join ships vectors per candidate, so candidate volume IS
+    # shuffle volume. At r=24 a cos-0.6 pair matches a band with p≈2.3e-4
+    # (P(≥2 of 10) ≈ 2e-6 — ~10⁵ fewer candidates), while a planted twin
+    # (cos ≥ 0.9999, band p≈0.91) is missed with P ≈ 7e-9.
     out = simsearch.cosine_near_duplicates_lsh(
-        emb.unionByName(dq), threshold=0.99, n_planes=160, bands=10, dim=64,
-        min_bands=3,
+        emb.unionByName(dq), threshold=0.99, n_planes=240, bands=10, dim=64,
+        min_bands=2,
     )
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 

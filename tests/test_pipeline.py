@@ -275,14 +275,16 @@ def test_cosine_neardup_lsh_equals_exact_on_quantized_twins(spark, emb):
     ep = {(r.d1, r.d2): round(r.cosine, 9) for r in exact.itertuples()}
     assert lp == ep
     assert len(lp) == base.count()  # one planted twin per clean vector
-    # min_bands=3 (what the registered sf-scale query passes) must still be
-    # exact here: twins match a band with p≈0.97, so requiring 3 of 10
-    # costs ~4e-11 recall while cutting the mid-cosine candidate flood
-    lsh3 = simsearch.cosine_near_duplicates_lsh(
-        corpus, threshold=0.99, n_planes=160, bands=10, min_bands=3
+    # the registered sf-scale config (r=24, min_bands=2) must also be
+    # exact here: twins match an r=24 band with p≈0.91, so requiring 2 of
+    # 10 costs ~7e-9 recall while cutting the mid-cosine candidate flood
+    # ~10⁵× and keeping dense-core buckets under the max_bucket cap
+    # (r=16 cap drops lost 33/500k twins in the sf1 soak)
+    lsh2 = simsearch.cosine_near_duplicates_lsh(
+        corpus, threshold=0.99, n_planes=240, bands=10, min_bands=2
     ).toPandas()
-    lp3 = {(r.d1, r.d2): round(r.cosine, 9) for r in lsh3.itertuples()}
-    assert lp3 == ep
+    lp2 = {(r.d1, r.d2): round(r.cosine, 9) for r in lsh2.itertuples()}
+    assert lp2 == ep
 
 
 def test_cosine_neardup_lsh_min_bands_one_is_distinct_semantics(spark):
