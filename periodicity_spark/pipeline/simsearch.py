@@ -690,8 +690,12 @@ def ann_mllib_lsh(
     (``bucket_length=None``) therefore derives ``2/sqrt(dim)`` — two
     projection-σ per bucket — once the dimension is known. Measured
     recall@10 at that width is 1.000 on every tested regime (clustered
-    20k×64 and 100k×128, uniform-sphere 20k×64 — the LSH worst case) and
-    it is never slower than the degenerate width. Finer buckets buy more
+    20k×64 and 100k×128, uniform-sphere 20k×64 — the LSH worst case, and
+    500k×64: 282 s vs the degenerate width's 336 s) and it is never
+    slower than the degenerate width. The gain is bounded, though: a
+    projection of unit vectors concentrates ~68% of the corpus within
+    ±1σ of bucket 0, so Euclidean bucketing discriminates unit-sphere
+    data weakly at any recall-safe width. Finer buckets buy more
     selectivity but the recall frontier is data-dependent: at 100k×128
     clustered, 0.5/sqrt(dim) is 2.1× faster at recall 0.994, but the same
     width drops to 0.803 on uniform vectors — so the aggressive setting
