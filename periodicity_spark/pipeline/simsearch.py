@@ -324,8 +324,15 @@ def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
     import numpy as np
 
     C = np.asarray(cents, dtype=float)
-    d = C.shape[1]
     id_type = corpus.schema[id_col].dataType.simpleString()
+    if C.size == 0:
+        # no centroids (empty/fully-dirty corpus): nothing can be assigned
+        return (
+            corpus.select(id_col, vec_col)
+            .filter(F.lit(False))
+            .select(id_col, F.lit(0).alias("centroid"))
+        )
+    d = C.shape[1]
 
     def _assign(batches):
         import numpy as _np
@@ -465,27 +472,44 @@ def semantic_dedup(
         .join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
         .localCheckpoint(eager=True)
     )
-    a = sided.select(
-        "centroid",
-        F.col("vec_id").alias("d1"),
-        F.col("_v").alias("_v1"),
-        F.col("_nv").alias("_n1"),
+    # within-cluster pairwise cosine as ONE BLAS gram matrix per cluster
+    # (Arrow kernel) instead of a self-join: the join's shuffle was already
+    # cluster-bounded, but its n²/k cosine evaluations ran one aggregate-HOF
+    # fold per pair in codegen — measured 977 s at 500k×64 (round-7 soak);
+    # X·Xᵀ on the same floats is ~33 GFLOP of matmul. Norms stay the
+    # Spark-computed _nv so only the dot's summation order changes
+    # (pairwise-BLAS vs left-to-right fold — a keep/drop flip needs a pair
+    # within float-ulp of the threshold). Column blocks cap peak memory at
+    # ~256 MB so one skewed mega-cluster cannot OOM its task.
+    id_dt = sided.schema["vec_id"].dataType.simpleString()
+    thr = float(threshold)
+
+    def _cluster_drops(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pdf[["vec_id"]].iloc[0:0]
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+        nv = pdf["_nv"].to_numpy(dtype=np.float64)
+        Xn = X / nv[:, None]
+        dropped = np.zeros(n, dtype=bool)
+        blk = max(1, min(n, 33_554_432 // n))
+        rows = np.arange(n)[:, None]
+        for s in range(1, n, blk):
+            e = min(n, s + blk)
+            m = (Xn @ Xn[s:e].T) >= thr
+            m &= rows < np.arange(s, e)[None, :]
+            dropped[s:e] |= m.any(axis=0)
+        return pd.DataFrame({"vec_id": pdf.loc[dropped, "vec_id"]})
+
+    drops = (
+        sided.select("centroid", "vec_id", "_v", "_nv")
+        .groupBy("centroid")
+        .applyInPandas(_cluster_drops, f"vec_id {id_dt}")
     )
-    b = sided.select(
-        "centroid",
-        F.col("vec_id").alias("d2"),
-        F.col("_v").alias("_v2"),
-        F.col("_nv").alias("_n2"),
-    )
-    dup_pairs = (
-        a.join(b, "centroid")
-        .filter(F.col("d1") < F.col("d2"))
-        .filter(
-            _cosine(_dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2"))
-            >= F.lit(threshold)
-        )
-    )
-    drops = dup_pairs.select(F.col("d2").alias("vec_id")).distinct()
     return (
         sided.select("vec_id", "centroid")
         .join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left")

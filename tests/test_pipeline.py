@@ -596,6 +596,17 @@ def test_mllib_lsh_ann_survives_zero_nan_and_null_vectors(spark, emb):
     assert simsearch.ann_mllib_lsh(emb, dp, k=5).count() == 0
 
 
+def test_semantic_dedup_empty_and_all_dirty_corpus(emb, spark):
+    """An empty (or fully-dirty) corpus must return an empty frame, not
+    die in assign_to_centroids on a zero-size centroid array."""
+    empty = emb.filter(F.lit(False))
+    assert simsearch.semantic_dedup(empty, n_centroids=2).count() == 0
+    nulls = emb.select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+    assert simsearch.semantic_dedup(nulls, n_centroids=2).count() == 0
+
+
 def test_ann_mllib_lsh_empty_corpus(emb, spark):
     """An empty (or fully-dirty) corpus must return the contract's empty
     frame, not die inside MLlib's fit ("head of empty array")."""
