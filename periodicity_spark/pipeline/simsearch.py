@@ -579,29 +579,58 @@ def hyperplane_band_signatures(
     → (vec_id, band, sig). Two vectors collide in a band iff all r sign bits
     agree there; P(bit agrees) = 1 − θ/π, so a band matches with p^r and any
     of b bands with 1−(1−p^r)^b — r tunes precision, b recall (same banding
-    logic as MinHash-LSH, dedup.py)."""
+    logic as MinHash-LSH, dedup.py).
+
+    Computed as ONE Arrow matmul per batch (sign(X·Pᵀ), then a bit-pack
+    per band). The previous formulation compiled n_planes literal-array
+    HOF folds into the plan — at 240 planes × 64 dims that is ~15k literal
+    nodes whose interpreted folds dominated the whole near-dup query
+    (15.4 s of 20.5 s at 4k vectors, round-7 measure); the matmul is
+    milliseconds of BLAS. NULL and wrong-dimension vectors are dropped at
+    signature time: the old expression bucketed them all at sig 0 (every
+    NULL dot compares false), where they could never pass exact
+    verification — emitting no signature is output-equivalent and keeps
+    the degenerate all-NULL bucket out of the join."""
     import numpy as np
 
     r = n_planes // bands
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    band_sigs = []
-    for j in range(bands):
-        sig: Column = F.lit(0).cast("long")
-        for i in range(r):
-            plane = F.array(*[F.lit(float(x)) for x in planes[j * r + i]])
-            d = _dot(plane, F.col(vec_col))
-            sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
-        band_sigs.append(sig.alias(f"_b{j}"))
-    wide = vecs.select(F.col(id_col).alias("vec_id"), *band_sigs)
-    pairs = F.array(
-        *[
-            F.struct(F.lit(j).alias("band"), F.col(f"_b{j}").alias("sig"))
-            for j in range(bands)
-        ]
-    )
-    return wide.select("vec_id", F.explode(pairs).alias("_bs")).select(
-        "vec_id", F.col("_bs.band").alias("band"), F.col("_bs.sig").alias("sig")
+    P = planes
+    nb, rr, d_in = int(bands), int(r), int(dim)
+    id_type = vecs.schema[id_col].dataType.simpleString()
+
+    def _sigs(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        weights = (_np.int64(1) << _np.arange(rr, dtype=_np.int64))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ok = pdf[vec_col].apply(lambda v: v is not None and len(v) == d_in)
+            pdf = pdf[ok]
+            if not len(pdf):
+                continue
+            X = _np.stack(
+                pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=_np.float64)).to_numpy()
+            )
+            S = (X @ P.T) > 0  # n × n_planes sign bits
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            sigs = _np.concatenate(
+                [S[:, j * rr : (j + 1) * rr] @ weights for j in range(nb)]
+            )
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.tile(ids, nb),
+                    "band": _np.repeat(_np.arange(nb, dtype=_np.int32), n),
+                    "sig": sigs,
+                }
+            )
+
+    return vecs.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _sigs, schema=f"vec_id {id_type}, band int, sig long"
     )
 
 
