@@ -94,12 +94,22 @@ def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
 def _solve_penta_spd(d0, d1, d2, rhs):
     """Banded LDLᵀ solve for a symmetric positive-definite pentadiagonal
     system. d0 = main diagonal (len n), d1 = first off-diagonal (len n-1),
-    d2 = second off-diagonal (len n-2). O(n)."""
+    d2 = second off-diagonal (len n-2). O(n).
+
+    The recursion runs on plain Python floats (.tolist()): per-element
+    numpy scalar indexing boxes every operand, which dominated the
+    smoothing-spline bisection (the same 20× effect as the IIR biquad
+    fix). Python float arithmetic IS C double arithmetic — bit-identical
+    results, asserted by the kernel-contract tests."""
+    d0 = d0.tolist() if hasattr(d0, "tolist") else list(d0)
+    d1 = d1.tolist() if hasattr(d1, "tolist") else list(d1)
+    d2 = d2.tolist() if hasattr(d2, "tolist") else list(d2)
+    rhs = rhs.tolist() if hasattr(rhs, "tolist") else list(rhs)
     n = len(d0)
-    D = np.empty(n)
-    e1 = np.empty(max(n - 1, 0))
-    e2 = np.empty(max(n - 2, 0))
-    z = np.empty(n)
+    D = [0.0] * n
+    e1 = [0.0] * (n - 1 if n > 1 else 0)
+    e2 = [0.0] * (n - 2 if n > 2 else 0)
+    z = [0.0] * n
     for i in range(n):
         di = d0[i]
         zi = rhs[i]
@@ -118,7 +128,7 @@ def _solve_penta_spd(d0, d1, d2, rhs):
             e1[i] = t / di
         if i + 2 < n:
             e2[i] = d2[i] / di
-    x = np.empty(n)
+    x = [0.0] * n
     for i in range(n - 1, -1, -1):
         xi = z[i]
         if i + 1 < n:
@@ -126,17 +136,13 @@ def _solve_penta_spd(d0, d1, d2, rhs):
         if i + 2 < n:
             xi -= e2[i] * x[i + 2]
         x[i] = xi
-    return x
+    return np.asarray(x)
 
 
-def _smoothing_fit(xk: np.ndarray, yk: np.ndarray, lam: float):
-    """Natural cubic smoothing spline for a FIXED λ (Reinsch 1967 /
-    Green-Silverman 1994): minimize Σ(f(xᵢ)−yᵢ)² + λ∫f″². Interior second
-    derivatives γ solve (R + λQᵀQ)γ = Qᵀy (symmetric pentadiagonal,
-    banded LDLᵀ, O(n)); fitted knot values are u = y − λQγ.
-    → (u, M, rss) with M the full second-derivative vector (natural:
-    M₀ = M_{n-1} = 0) and rss = Σ(u−y)²."""
-    n = len(xk)
+def _smoothing_prep(xk: np.ndarray, yk: np.ndarray):
+    """λ-independent pieces of the Reinsch system — hoisted so the λ
+    bisection in ``smoothing_spline`` pays the band construction once,
+    not once per probe solve."""
     h = np.diff(xk).astype(float)
     inv = 1.0 / h
     # Qᵀy: second divided differences, length n-2
@@ -151,6 +157,18 @@ def _smoothing_fit(xk: np.ndarray, yk: np.ndarray, lam: float):
     q0 = a * a + b * b + c * c
     q1 = b[:-1] * a[1:] + c[:-1] * b[1:]
     q2 = c[:-2] * a[2:]
+    return (a, b, c, qty, r0, r1, q0, q1, q2)
+
+
+def _smoothing_fit_prepped(prep, yk: np.ndarray, lam: float):
+    """Natural cubic smoothing spline for a FIXED λ (Reinsch 1967 /
+    Green-Silverman 1994): minimize Σ(f(xᵢ)−yᵢ)² + λ∫f″². Interior second
+    derivatives γ solve (R + λQᵀQ)γ = Qᵀy (symmetric pentadiagonal,
+    banded LDLᵀ, O(n)); fitted knot values are u = y − λQγ.
+    → (u, M, rss) with M the full second-derivative vector (natural:
+    M₀ = M_{n-1} = 0) and rss = Σ(u−y)²."""
+    a, b, c, qty, r0, r1, q0, q1, q2 = prep
+    n = len(yk)
     gam = _solve_penta_spd(
         r0 + lam * q0,
         (r1 + lam * q1) if n > 3 else np.empty(0),
@@ -166,6 +184,11 @@ def _smoothing_fit(xk: np.ndarray, yk: np.ndarray, lam: float):
     M = np.zeros(n)
     M[1:-1] = gam
     return u, M, float(np.sum((lam * qg) ** 2))
+
+
+def _smoothing_fit(xk: np.ndarray, yk: np.ndarray, lam: float):
+    """Single-λ entry point (kept for the kernel-contract differential)."""
+    return _smoothing_fit_prepped(_smoothing_prep(xk, yk), yk, lam)
 
 
 def smoothing_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray, s: float) -> np.ndarray:
@@ -188,18 +211,27 @@ def smoothing_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray, s: float) ->
     if s >= line_rss or line_rss <= 1e-30:
         return coef[0] + coef[1] * np.asarray(x, dtype=float)
     # bracket λ: RSS(λ) monotone ↑, → 0 as λ→0, → line_rss as λ→∞
+    # (bands built once; each probe is one banded solve + early exit when
+    # the residual target is hit to double precision — the fixed 64-probe
+    # loop re-derived the bands every probe and over-resolved λ far past
+    # the contract's rel 1e-6)
+    prep = _smoothing_prep(xk, yk)
     lo_l, hi_l = 1e-12, 1.0
-    while _smoothing_fit(xk, yk, hi_l)[2] < s and hi_l < 1e18:
+    while _smoothing_fit_prepped(prep, yk, hi_l)[2] < s and hi_l < 1e18:
         hi_l *= 64.0
-    while _smoothing_fit(xk, yk, lo_l)[2] > s and lo_l > 1e-30:
+    while _smoothing_fit_prepped(prep, yk, lo_l)[2] > s and lo_l > 1e-30:
         lo_l /= 64.0
     for _ in range(64):
         mid = np.sqrt(lo_l * hi_l)
-        if _smoothing_fit(xk, yk, mid)[2] < s:
+        rss = _smoothing_fit_prepped(prep, yk, mid)[2]
+        if abs(rss - s) <= 1e-12 * s:
+            lo_l = hi_l = mid
+            break
+        if rss < s:
             lo_l = mid
         else:
             hi_l = mid
-    u, M, _ = _smoothing_fit(xk, yk, np.sqrt(lo_l * hi_l))
+    u, M, _ = _smoothing_fit_prepped(prep, yk, np.sqrt(lo_l * hi_l))
     return _eval_cubic(xk, u, M, x)
 
 
