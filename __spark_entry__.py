@@ -1792,13 +1792,23 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("o_year"),
         )
         .agg(
+            # sum in DECIMAL: a double sum of ~1e7-magnitude profits carries
+            # enough order-dependent round-off to flip round(·, 2) at a
+            # half-cent boundary between engines (fuzz seed 7 found one row
+            # off by exactly 0.01). The per-row double expression is
+            # IEEE-identical on both engines; cast to decimal(38,6) and the
+            # sum is exact and order-independent, so the rounding agrees.
             F.round(
                 F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - F.col("ps_supplycost") * F.col("l_quantity")
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - F.col("ps_supplycost") * F.col("l_quantity")
+                    ).cast("decimal(38,6)")
                 ),
                 2,
-            ).alias("sum_profit")
+            )
+            .cast("double")
+            .alias("sum_profit")
         )
     )
 
@@ -1811,8 +1821,9 @@ WITH supply AS (
 )
 SELECT n_name AS nation,
        CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - ps_supplycost * l_quantity), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - ps_supplycost * l_quantity AS DECIMAL(38,6))), 2)
+            AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN supply ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
