@@ -77,6 +77,18 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _money_sum(expr, nd: int = 2):
+    """Order-independent rounded money aggregate. A double sum over
+    many ~1e4-1e7-magnitude terms carries enough order-dependent
+    round-off to flip round(·, nd) at a half-ulp-of-a-cent boundary
+    between engines (fuzz seed 7 caught TPC-H Q9 one cent off). The
+    per-row double expression is IEEE-identical cross-engine, so summing
+    its DECIMAL(38,6) cast is exact and order-independent; the rounded
+    result is cast back to double. SQL twin:
+    CAST(round(sum(CAST(e AS DECIMAL(38,6))), nd) AS DOUBLE)."""
+    return F.round(F.sum(expr.cast("decimal(38,6)")), nd).cast("double")
+
+
 def _period_grid(spark: SparkSession) -> DataFrame:
     return spark.range(20).select((F.lit(0.5) + F.col("id") * F.lit(0.25)).alias("period"))
 
@@ -871,8 +883,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -883,8 +895,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_discount), 6) AS avg_disc,
        count(*) AS count_order
@@ -909,7 +921,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -918,7 +930,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -950,8 +962,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(oc, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -963,7 +975,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1009,15 +1021,15 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
 
 
 SQL_TPCH_Q5 = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1047,8 +1059,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev)
+                    .otherwise(0.0)
+                    .cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
                 4,
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_items"),
@@ -1057,10 +1073,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TPCH_Q14 = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+             4) AS promo_pct,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1098,8 +1115,8 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
     )
@@ -1118,7 +1135,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q15 = """
 WITH revenue AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1286,8 +1303,8 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -1296,7 +1313,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TPCH_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -1344,8 +1361,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_5", vol)
+                    .otherwise(0.0)
+                    .cast("decimal(38,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(38,6)")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -1354,9 +1375,11 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q8 = """
 SELECT year(o_orderdate) AS o_year,
-       round(sum(CASE WHEN n2.n_name = 'NATION_5'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       round(CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_5'
+                           THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                           AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS mkt_share
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN orders ON l_orderkey = o_orderkey
@@ -1392,8 +1415,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -1403,7 +1426,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q10 = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1437,12 +1460,18 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_thr"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
 SQL_TPCH_Q17 = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#1'
   AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
@@ -1481,15 +1510,15 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
 
 
 SQL_TPCH_Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -1525,14 +1554,14 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 
 
 SQL_TPCH_Q22 = """
 SELECT c_mktsegment AS segment, count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(38,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
@@ -1860,14 +1889,22 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
     per_part = sup.groupBy("ps_partkey").agg(
-        F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("_value")
+        F.sum(
+            (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("_value")
     )
     # TPC-H scales the 0.0001 fraction by 1/SF so the predicate keeps
     # selecting at any scale; a fixed fraction goes vacuous as the part
     # count grows, so the scale-invariant form is used: keep parts above
     # 2x the average per-part value
     total = per_part.agg(
-        (F.sum("_value") * 2.0 / F.count(F.lit(1))).alias("_thr")
+        (
+            F.sum(F.col("_value").cast("decimal(38,6)")).cast("double")
+            * 2.0
+            / F.count(F.lit(1))
+        ).alias("_thr")
     )
     return (
         per_part.join(F.broadcast(total))
@@ -1883,14 +1920,15 @@ WITH supply AS (
          sum(l_quantity) AS ps_availqty
   FROM lineitem GROUP BY 1, 2
 )
-SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 2) AS value
+SELECT ps_partkey,
+       round(CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE), 2) AS value
 FROM supply, supplier, nation
 WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
   AND n_name = 'NATION_7'
 GROUP BY ps_partkey
-HAVING sum(ps_supplycost * ps_availqty) > (
-  SELECT sum(value) * 2.0 / count(*) FROM (
-    SELECT sum(ps_supplycost * ps_availqty) AS value
+HAVING CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) > (
+  SELECT CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 2.0 / count(*) FROM (
+    SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) AS DOUBLE) AS value
     FROM supply, supplier, nation
     WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
       AND n_name = 'NATION_7'
@@ -2141,7 +2179,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            _money_sum(F.col("value"), 4).alias("sum_value"),
         )
     )
 
@@ -2150,7 +2188,7 @@ SQL_EVENTS_JSON = """
 SELECT (json_extract_string(props, '$.k')::INT) % 10 AS k_bucket,
        count(*) AS n,
        round(avg(value), 6) AS avg_value,
-       round(sum(value), 4) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1
 """
 
