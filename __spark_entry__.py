@@ -3296,6 +3296,18 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle volume. At r=24 a cos-0.6 pair matches a band with p≈2.3e-4
     # (P(≥2 of 10) ≈ 2e-6 — ~10⁵ fewer candidates), while a planted twin
     # (cos ≥ 0.9999, band p≈0.91) is missed with P ≈ 7e-9.
+    #
+    # DATA ASSUMPTION for the exact-equality gate: the corpus has no
+    # NON-twin pair with cosine in [0.99, ~0.995]. Right at threshold
+    # (cos=0.99, band p≈0.33) a pair is found with P(≥2 of 10)≈0.89 —
+    # ~10% per-pair miss, so a near-threshold organic pair would flake
+    # the oracle. The driver's generator clusters embeddings at
+    # intra-cluster cosines ≈0.6 (observed: at sf0.01, sf0.1 and the sf1
+    # soak the ≥0.99 pair set is exactly the planted twins — no organic
+    # pair crowds the threshold), and every planted twin sits ≥0.9999
+    # where the miss probability is ~7e-9. A future seed/scale whose
+    # organic vectors crowd the threshold would need min_bands=1 (cost:
+    # candidate flood) or the oracle restricted to planted-twin pairs.
     out = simsearch.cosine_near_duplicates_lsh(
         emb.unionByName(dq), threshold=0.99, n_planes=240, bands=10, dim=64,
         min_bands=2,
@@ -3646,16 +3658,42 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simsearch_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pipeline.simsearch.ann_mllib_lsh — the MLlib-integration ANN path:
-    BucketedRandomProjectionLSH over L2-normalized vectors (Euclidean LSH
-    is cosine LSH on the unit sphere, cos = 1 − d²/2), approxSimilarityJoin
-    candidates exactly re-ranked. Rows-only (approximate; recall@10 = 0.997
-    at the 8-table defaults, asserted in tests/test_pipeline.py)."""
+    """pipeline.simsearch.ann_mllib_lsh — EXPLICIT MLLIB-PARITY CHECK, not
+    a recommended scale path: BucketedRandomProjectionLSH over L2-
+    normalized vectors (Euclidean LSH is cosine LSH on the unit sphere,
+    cos = 1 − d²/2), approxSimilarityJoin candidates exactly re-ranked.
+    Geometry-bound ~13× slower than the primary sign-hash path at sf1
+    (282 s vs 21 s at 500k×64, equal recall — see ann_mllib_lsh's
+    docstring and its call-time warning; ann_topk_auto never routes
+    here). Registered to prove the MLlib integration stays correct.
+    Rows-only (approximate; recall@10 = 0.997 at the 8-table defaults,
+    asserted in tests/test_pipeline.py)."""
+    import warnings
+
     emb = _emb(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return simsearch.ann_mllib_lsh(emb, probes, k=5, dim=64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)  # deliberate parity run
+        return simsearch.ann_mllib_lsh(emb, probes, k=5, dim=64)
+
+
+def q_simsearch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.simsearch.ann_topk_auto — the ANN strategy pick (the
+    engine-level analog of gls_auto): corpus ≤ 100k rows → exact
+    brute-force (one scan, broadcast probes; exactness is free when the
+    scan is cheap), larger → sign-hash multi-table LSH, never the
+    geometry-bound MLlib path. At every driver SF the corpus is under the
+    crossover, so the route is the exact scan and the oracle is
+    simsearch_topk's SQL — the strategy function itself is what's under
+    test (the LSH branch's recall is pinned in tests/test_pipeline.py)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = simsearch.ann_topk_auto(emb, probes, k=5, dim=64)
+    return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
 
@@ -5239,6 +5277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_motion": q_frame_motion,
         "simsearch_lsh": q_simsearch_lsh,
         "simsearch_mllib": q_simsearch_mllib,
+        "simsearch_auto": q_simsearch_auto,
         "butterworth_band": q_butterworth_band,
         "acf_period_quality": q_acf_period_quality,
         "emd": q_emd,
@@ -5373,6 +5412,9 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": SQL_IMAGE_RESIZE,
         "frame_sample": SQL_FRAME_SAMPLE,
         "simsearch_topk": SQL_SIMSEARCH_TOPK,
+        # auto routes to the exact scan at driver SFs (corpus < 100k), so
+        # the exact SQL is its oracle; the strategy pick is what's gated
+        "simsearch_auto": SQL_SIMSEARCH_TOPK,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "roll3": SQL_ROLL3,

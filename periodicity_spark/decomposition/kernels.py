@@ -269,12 +269,28 @@ def quadratic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarra
     core.py:643 accepts 'quadratic'). Collocation is a banded (≤3
     nonzeros per row) totally-positive system solved without pivoting in
     O(n); evaluation is vectorized Cox-de Boor. Falls back to linear for
-    < 3 points."""
+    < 3 points.
+
+    Probes OUTSIDE [xk[0], xk[-1]] return NaN — matching the reference
+    path (xarray.interp → interp1d kind='quadratic' with NaN fill outside
+    the sample range) rather than this package's cubic_spline, which
+    extrapolates with the boundary cubic (that matches ITS reference,
+    scipy CubicSpline's default extrapolate=True)."""
     n = len(xk)
+    xq = np.asarray(x, dtype=float)
+    # NaN-mask probes outside the sample range (n >= 2; a 0/1-point series
+    # has no range and keeps the constant-fill degenerate behavior)
+    oob = (
+        (xq < xk[0]) | (xq > xk[-1])
+        if n >= 2
+        else np.zeros(len(xq), dtype=bool)
+    )
     if n < 3:
         if n < 2:
-            return np.full_like(x, yk[0] if n else np.nan, dtype=float)
-        return np.interp(x, xk, yk)
+            return np.full_like(xq, yk[0] if n else np.nan, dtype=float)
+        out = np.interp(xq, xk, yk)
+        out[oob] = np.nan
+        return out
     mids = (xk[1:] + xk[:-1]) / 2.0
     t = np.r_[[xk[0]] * 3, mids[1:-1], [xk[-1]] * 3]
     span, B = _bspline2_basis(t, xk)
@@ -314,11 +330,12 @@ def quadratic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarra
         if i + 2 < n:
             v -= u2[i] * c[i + 2]
         c[i] = v / d0[i]
-    xp = np.clip(np.asarray(x, dtype=float), xk[0], xk[-1])
+    xp = np.clip(xq, xk[0], xk[-1])
     span_p, Bp = _bspline2_basis(t, xp)
     out = (
         c[span_p - 2] * Bp[:, 0] + c[span_p - 1] * Bp[:, 1] + c[span_p] * Bp[:, 2]
     )
+    out[oob] = np.nan
     return out
 
 

@@ -26,6 +26,26 @@ def _md5(col: Column) -> Column:
     return F.md5(col.cast("binary"))
 
 
+def _spread_single_split(df: DataFrame) -> DataFrame:
+    """Small-input guard: a corpus read from FEWER FILES than the cluster
+    has cores would run the whole downstream scan-side transform (md5
+    shingling, signature matmuls) on a handful of cores — measured 8.6 s
+    single-threaded at sf0.1. At real scale the source has many splits and
+    this is a no-op. The probe is ``inputFiles()`` — plan metadata, no job
+    and no RDD plan conversion (``df.rdd.getNumPartitions()`` forces one on
+    every call, a fixed cost on wide plans). Non-file inputs (in-memory
+    test frames, derived locals) return no files and are left alone: Spark
+    already spreads local relations over defaultParallelism."""
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if 0 < n_files < par:
+        return df.repartition(par)
+    return df
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (text_hash, n_docs, first_doc): groups with >1 identical text."""
     return (
@@ -195,6 +215,41 @@ def minhash_signatures_per_row(
     return _band_stack(wide, n_hashes // r, r)
 
 
+def lsh_cap_audit(signatures: DataFrame, max_bucket: int = 1000) -> DataFrame:
+    """Over-cap drop tally for a banded-LSH signature frame (band, sig, …):
+    → ONE row (capped_buckets, capped_sig_rows, max_bucket_seen).
+
+    The ``max_bucket`` guard in every banded-LSH candidate path is
+    otherwise SILENT — a too-dense bucket regime can eat true duplicates
+    with no signal (measured, round-7 sf1 soak: at r=16 dense cluster-core
+    buckets exceeded the cap in every band and silently lost 33/500k
+    planted twins; only a planted-pair audit caught it — at 100 TB nobody
+    has one). Run this ONE aggregate over the same signature frame the
+    candidate join consumes (``minhash_signatures`` / ``simsearch.
+    hyperplane_band_signatures``) and alert on capped_sig_rows > 0: if
+    over-cap buckets may hold true pairs, raise r (narrower buckets, ~2×
+    per extra bit), NOT max_bucket (which re-admits the O(bucket²) pair
+    blowup the cap exists to stop).
+
+    Deliberately a separate tiny job rather than a ``DataFrame.observe``
+    metric on the main plan: AQE's empty-relation replan DROPS CollectMetrics
+    nodes from the final plan exactly in the worst case (every bucket
+    capped → empty candidate side → the whole observed subtree is
+    optimized away and the metrics are lost). One map-combined aggregate
+    over (band, sig) — cheap at any scale, and it cannot be pruned."""
+    mb = int(max_bucket)
+    sizes = signatures.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("_bn"))
+    return sizes.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > mb, F.lit(1))), F.lit(0)
+        ).alias("capped_buckets"),
+        F.coalesce(
+            F.sum(F.when(F.col("_bn") > mb, F.col("_bn"))), F.lit(0)
+        ).alias("capped_sig_rows"),
+        F.coalesce(F.max("_bn"), F.lit(0)).alias("max_bucket_seen"),
+    )
+
+
 def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFrame:
     """Docs agreeing on ≥1 band: → (d1, d2) with d1 < d2. Equi-join on
     (band, sig) — the shuffle key is the LSH bucket, so co-bucketed docs
@@ -202,7 +257,9 @@ def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFr
 
     Buckets larger than ``max_bucket`` are degenerate (boilerplate/stop
     patterns) and are dropped — the O(bucket²) pair blowup guard that keeps
-    the worst key bounded at corpus scale."""
+    the worst key bounded at corpus scale. The drop is silent HERE;
+    ``lsh_cap_audit`` over the same signature frame reports what the cap
+    discarded (see its docstring for how to re-parameterize when it fires)."""
     w = Window.partitionBy("band", "sig")
     capped = (
         signatures.withColumn("_bn", F.count(F.lit(1)).over(w))
@@ -322,23 +379,41 @@ def minhash_near_duplicates(
     threshold: float = 0.4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
-    → (d1, d2, jaccard ≥ threshold)."""
-    # small-input guard: a corpus read from one parquet split would run the
-    # whole md5-shingling scan on one core (measured 8.6 s single-threaded at
-    # sf0.1); at real scale the source has many splits and this is a no-op
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    → (d1, d2, jaccard ≥ threshold).
+
+    Over-cap bucket drops are silent in the pair output; audit them with
+    ``minhash_cap_audit`` at the same (k, n_hashes, r, max_bucket)."""
+    docs = _spread_single_split(docs)
     # the shingle set feeds signatures AND both sides of the verify join —
     # localCheckpoint (eager) materializes it once and truncates lineage, so
     # the documents scan + shingling transform run exactly once instead of
     # re-running lazily under every consumer before the cache warms
     sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
-    cand = lsh_candidate_pairs(sig)
+    cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
     return jaccard_verify(cand, sh, threshold=threshold)
+
+
+def minhash_cap_audit(
+    docs: DataFrame,
+    k: int = 5,
+    n_hashes: int = 16,
+    r: int = 4,
+    max_bucket: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``lsh_cap_audit`` at ``minhash_near_duplicates``'s parameters — one
+    row (capped_buckets, capped_sig_rows, max_bucket_seen) telling you what
+    that pipeline's bucket cap silently discarded. Same signature plan as
+    the main run (shingle → sign → one aggregate); run it as a pipeline
+    qualification step or whenever the pair output looks thin."""
+    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
+    return lsh_cap_audit(sig, max_bucket=max_bucket)
 
 
 def connected_components(

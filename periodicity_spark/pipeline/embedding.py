@@ -102,9 +102,11 @@ def pca_fit(
     if not rows:
         raise ValueError("PCA needs at least 2 vectors, got 0")
     # majority dimension wins: ragged (corrupt) vectors contributed their
-    # own d-keyed partials, which are simply ignored here
+    # own d-keyed partials, which are simply ignored here; count ties break
+    # to the larger dimension so a 50/50-ragged corpus fits deterministically
+    # regardless of collect() row order
     counts = {r["d"]: r["val"] for r in rows if r["idx"] == 0}
-    d = int(max(counts, key=counts.get))
+    d = int(max(counts, key=lambda dd: (counts[dd], dd)))
     flat = np.zeros(1 + d + d * d)
     for r in rows:
         if r["d"] == d:

@@ -17,6 +17,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from periodicity_spark.pipeline.dedup import _spread_single_split
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -537,10 +539,7 @@ def cosine_near_duplicates(
     # the left side sets the cartesian's task count — a single-split source
     # would serialize the whole n² scan into one task (measured 14 s for 4M
     # pairs at sf0.1); at real scale the source has many splits already
-    par = vecs.sparkSession.sparkContext.defaultParallelism
-    left = vecs
-    if left.rdd.getNumPartitions() < par:
-        left = left.repartition(par)
+    left = _spread_single_split(vecs)
     a = left.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("_v1"),
@@ -668,7 +667,15 @@ def cosine_near_duplicates_lsh(
     essentially never, while a threshold-0.99 true pair (p_band ≈ 0.48 at
     the boundary, 0.97 for near-identical) is missed with P ≤ C(10,2)·
     p²(1−p)⁸ — ~4e-11 for near-identical pairs. Raise it only when the
-    threshold is high enough that true pairs match most bands."""
+    threshold is high enough that true pairs match most bands.
+
+    Over-cap max_bucket drops are SILENT in the pair output (the round-7
+    sf1 soak proved the hazard: at r=16, dense cluster-core buckets
+    exceeded the cap in every band and silently lost 33/500k true twins —
+    only a planted-pair audit caught it). Audit them with
+    ``cosine_lsh_cap_audit`` at the same parameters: capped_sig_rows > 0
+    where over-cap buckets could hold true pairs means raise
+    r = n_planes/bands (shrinks buckets ~2× per extra bit), NOT max_bucket."""
     sig = hyperplane_band_signatures(vecs, n_planes, bands, seed, dim, id_col, vec_col)
     counted = sig.withColumn(
         "_n", F.count("*").over(Window.partitionBy("band", "sig"))
@@ -706,6 +713,75 @@ def cosine_near_duplicates_lsh(
             ),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_lsh_cap_audit(
+    vecs: DataFrame,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """``dedup.lsh_cap_audit`` at ``cosine_near_duplicates_lsh``'s
+    parameters — one row (capped_buckets, capped_sig_rows,
+    max_bucket_seen) telling you what that run's bucket cap silently
+    discarded. Same signature matmul as the main run plus one map-combined
+    aggregate; see lsh_cap_audit for why this is a separate tiny job
+    rather than an observe() metric (AQE prunes CollectMetrics exactly in
+    the all-capped worst case)."""
+    from periodicity_spark.pipeline.dedup import lsh_cap_audit
+
+    sig = hyperplane_band_signatures(vecs, n_planes, bands, seed, dim, id_col, vec_col)
+    return lsh_cap_audit(sig, max_bucket=max_bucket)
+
+
+def ann_topk_auto(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "qid",
+    probe_vec_col: str = "qvec",
+    dim: int = 64,
+    brute_force_threshold: int = 100_000,
+) -> DataFrame:
+    """Strategy pick for cosine top-k (the ANN analog of ``gls_auto``,
+    spectral/fast.py): small corpus → exact brute-force; large corpus →
+    the sign-hash multi-table LSH. → (qid, vec_id, cosine, rank), the
+    shared contract of every path here.
+
+    Routing (measured, round-7 sf1 soak at 500k vectors): brute-force is
+    one corpus scan with the probe set broadcast — exact, and under ~10⁵
+    corpus rows the scan is cheaper than LSH's signature + bucket-join
+    overhead (49 s brute vs 21 s LSH at 500k×128 brackets the crossover;
+    below ~100k the exact scan wins outright and exactness is free).
+    Above the threshold, ``cosine_topk_lsh`` is the measured primary.
+
+    This NEVER routes to ``ann_mllib_lsh``: for the cosine contract the
+    corpus is L2-normalized (explicitly there, implicitly by the metric),
+    and on the unit sphere BucketedRandomProjectionLSH's Euclidean
+    bucketing is geometry-bound — ~13× slower than the sign-hash path at
+    equal (1.000) recall, 282 s vs 21 s at 500k×64. That path stays
+    available as an explicit MLlib-parity integration only.
+
+    The corpus-size probe is one eager count (parquet answers it from
+    row-group metadata — no data scan); pass ``brute_force_threshold=0``
+    to force the LSH path with no probe job."""
+    if brute_force_threshold > 0:
+        n = corpus.count()
+        if n <= brute_force_threshold:
+            return cosine_topk_bruteforce(
+                corpus, probes, k=k, id_col=id_col, vec_col=vec_col,
+                probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+            )
+    return cosine_topk_lsh(
+        corpus, probes, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+        probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
     )
 
 
@@ -759,8 +835,22 @@ def ann_mllib_lsh(
     → (qid, vec_id, cosine, rank): the same contract as
     ``cosine_topk_bruteforce``, approximate recall.
     """
+    import warnings
+
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
     from pyspark.ml.functions import array_to_vector
+
+    # call-time regime note (round-7 verdict): this path is correct but
+    # geometry-bound — a user reaching for it on the cosine contract gets
+    # the measured comparison, not a silent 13× slowdown
+    warnings.warn(
+        "ann_mllib_lsh is the MLlib-parity path: on the L2-normalized "
+        "vectors it operates on, BucketedRandomProjectionLSH's Euclidean "
+        "bucketing discriminates weakly (~13x slower than cosine_topk_lsh "
+        "at 500k x 64, equal 1.000 recall). Prefer ann_topk_auto / "
+        "cosine_topk_lsh unless you specifically need the MLlib index.",
+        stacklevel=2,
+    )
 
     def _norm2(col):
         return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))

@@ -419,6 +419,7 @@ def stream_neardup(
     r: int = 4,
     max_bucket: int = 1000,
     n_state_buckets: int = 256,
+    cap_accumulator=None,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate CANDIDATE detection — the
     ingestion-time twin of ``pipeline.dedup.lsh_candidate_pairs``: each
@@ -446,6 +447,22 @@ def stream_neardup(
     dict of its keys' id-lists, serialized as parallel arrays. The md5-
     derived sig hashes uniformly, so slots stay balanced; per-key pair
     semantics are byte-identical to the per-key grouping.
+
+    cap_accumulator: optional ``sc.accumulator(0)``. Over-cap suppression
+    is otherwise SILENT (the batch twin's round-7 incident: a too-dense
+    bucket regime ate 33/500k true pairs with no signal). Each arrival
+    suppressed by the cap adds 1; read ``acc.value`` on the driver after
+    (or during) the stream — nonzero means raise r (narrower buckets), not
+    max_bucket. Accumulator semantics are at-least-once under task retries,
+    which is fine for a fired/not-fired observability tally.
+
+    CHECKPOINT COMPATIBILITY: round 7 changed both the state grouping key
+    (raw (band, sig) → hashed ``_slot``) and the state schema (one id array
+    → ``ks``/``idls`` parallel arrays). A stream restarted from a
+    checkpoint written by the pre-round-7 operator will fail state-schema
+    validation (or worse, mis-read recovered state) — restart those streams
+    with a FRESH checkpointLocation. Checkpoints written by this version
+    restart cleanly (covered by tests/test_streaming.py restart suite).
 
     → (d1, d2) in update mode, d1 < d2, possibly duplicated across bands
     and batches — apply DISTINCT downstream.
@@ -502,6 +519,9 @@ def stream_neardup(
                         lo, hi = (o, nd) if o < nd else (nd, o)
                         d1s.append(lo)
                         d2s.append(hi)
+            elif cap_accumulator is not None:
+                # every arrival in an over-cap key is suppressed — tally it
+                cap_accumulator.add(len(new))
             # once over the cap a key never emits again — truncate to
             # cap+1 as the over-cap sentinel, keeping state bounded even
             # for a degenerate boilerplate key fed by an unbounded stream

@@ -372,6 +372,11 @@ def test_quadratic_spline_kernel_contract(spark):
     v = 2 * t**2 - 3 * t + 1
     x = np.linspace(0, 5, 301)
     np.testing.assert_allclose(quadratic_spline(t, v, x), 2 * x**2 - 3 * x + 1, atol=1e-8)
+    # probes outside the sample range are NaN (reference: xarray/interp1d
+    # kind='quadratic' NaN-fills outside), not boundary-clamped
+    oob = quadratic_spline(t, v, np.array([-1.0, 0.0, 5.0, 6.0]))
+    assert np.isnan(oob[0]) and np.isnan(oob[3])
+    np.testing.assert_allclose(oob[1:3], [1.0, 2 * 25 - 15 + 1], atol=1e-8)
 
 
 def test_interp_smoothing_and_quadratic_distributed(spark):

@@ -829,3 +829,91 @@ def test_ann_mllib_lsh_explicit_dim_no_eager_job(emb, spark):
         a.sort_values(["qid", "rank"], ignore_index=True),
         b.sort_values(["qid", "rank"], ignore_index=True),
     )
+
+
+def test_minhash_cap_drop_is_auditable(spark):
+    """A planted degenerate bucket (identical docs over max_bucket) must be
+    REPORTABLE, not only silently eaten: the cap audit tally is nonzero
+    while the pair output is empty, and a clean corpus audits to 0
+    (round-7 incident: r=16 cap drops ate 33/500k true twins silently).
+    This is deliberately the WORST case — every bucket capped, output
+    fully empty — which a plan-attached observe() metric cannot survive
+    (AQE prunes the metrics node with the empty subtree)."""
+    texts = ["identical boilerplate body repeated verbatim everywhere"] * 8
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8), "text": texts})
+    )
+    out = dedup.minhash_near_duplicates(docs, k=5, threshold=0.0, max_bucket=5)
+    assert out.count() == 0  # the only bucket is over-cap -> dropped whole
+    m = dedup.minhash_cap_audit(docs, k=5, max_bucket=5).collect()[0]
+    assert m["capped_buckets"] == 4  # one bucket per band, all over cap
+    assert m["capped_sig_rows"] == 8 * 4
+    assert m["max_bucket_seen"] == 8
+
+    # clean corpus: tally is exactly 0
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    clean = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(10),
+                "text": [" ".join(rng.choice(vocab, 30)) for _ in range(10)],
+            }
+        )
+    )
+    m2 = dedup.minhash_cap_audit(clean, k=5, max_bucket=1000).collect()[0]
+    assert m2["capped_sig_rows"] == 0 and m2["capped_buckets"] == 0
+
+
+def test_cosine_lsh_cap_drop_is_auditable(spark):
+    """Same contract for the embedding path: identical vectors land in one
+    bucket per band; over the cap the pairs vanish from the output and the
+    audit must report the drop."""
+    v = np.random.default_rng(5).standard_normal(64)
+    vecs = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(12), "embedding": [v.tolist()] * 12})
+    )
+    out = simsearch.cosine_near_duplicates_lsh(vecs, threshold=0.99, max_bucket=5)
+    assert out.count() == 0
+    m = simsearch.cosine_lsh_cap_audit(vecs, max_bucket=5).collect()[0]
+    assert m["capped_buckets"] == 8  # 8 bands, one over-cap bucket each
+    assert m["capped_sig_rows"] == 12 * 8
+    assert m["max_bucket_seen"] == 12
+    # under a roomy cap the same corpus audits clean
+    m2 = simsearch.cosine_lsh_cap_audit(vecs, max_bucket=1000).collect()[0]
+    assert m2["capped_sig_rows"] == 0
+
+
+def test_ann_topk_auto_routes_small_to_exact_and_large_to_lsh(emb, spark):
+    """The strategy pick: under the corpus-size threshold the result IS the
+    exact brute-force top-k; with the probe disabled (threshold=0) it runs
+    the sign-hash LSH path (approximate — same contract, recall pinned in
+    test_lsh_recall_vs_bruteforce); and it must never emit the MLlib
+    regime warning."""
+    import warnings
+
+    p = _probes(emb)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        auto = simsearch.ann_topk_auto(emb, p, k=5, dim=64).toPandas()
+        lsh = simsearch.ann_topk_auto(
+            emb, p, k=5, dim=64, brute_force_threshold=0
+        ).toPandas()
+    brute = simsearch.cosine_topk_bruteforce(emb, p, k=5).toPandas()
+    pd.testing.assert_frame_equal(
+        auto.sort_values(["qid", "rank"], ignore_index=True),
+        brute.sort_values(["qid", "rank"], ignore_index=True),
+    )
+    ref = simsearch.cosine_topk_lsh(emb, p, k=5, dim=64).toPandas()
+    pd.testing.assert_frame_equal(
+        lsh.sort_values(["qid", "rank"], ignore_index=True),
+        ref.sort_values(["qid", "rank"], ignore_index=True),
+    )
+
+
+def test_ann_mllib_lsh_warns_about_regime(emb, spark):
+    """The MLlib-parity path must tell the caller it is geometry-bound
+    (round-7 verdict: 'a user picking the MLlib-parity path gets no
+    warning')."""
+    with pytest.warns(UserWarning, match="MLlib-parity"):
+        simsearch.ann_mllib_lsh(emb, _probes(emb), k=5, dim=64)

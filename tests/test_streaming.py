@@ -524,7 +524,8 @@ def test_stream_neardup_pairs_across_microbatches(spark, tmp_path):
 def test_stream_neardup_bucket_cap_bounds_state_and_stops_emission(spark, tmp_path):
     """An over-cap (degenerate) bucket must stop emitting AND keep its
     state truncated — unbounded boilerplate buckets cannot grow state on
-    an unbounded stream."""
+    an unbounded stream. The suppression must also be OBSERVABLE: the
+    cap_accumulator tally is nonzero when (and only when) the cap fired."""
     import pandas as pd
 
     from periodicity_spark.streaming.ops import stream_neardup
@@ -552,8 +553,9 @@ def test_stream_neardup_bucket_cap_bounds_state_and_stops_emission(spark, tmp_pa
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    acc = spark.sparkContext.accumulator(0)
     q = (
-        stream_neardup(stream, max_bucket=5)
+        stream_neardup(stream, max_bucket=5, cap_accumulator=acc)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName("sndcap")
@@ -569,6 +571,9 @@ def test_stream_neardup_bucket_cap_bounds_state_and_stops_emission(spark, tmp_pa
     n_raw = tbl.count()
     assert n_distinct == 6, f"expected 6 distinct pairs, got {n_distinct}"
     assert n_raw == 6 * 4, f"expected 24 raw emissions (4 bands), got {n_raw}"
+    # suppression is reported: batches 2 and 3 each suppress 4 arrivals in
+    # each of the 4 band buckets (at-least-once under retries, so >=)
+    assert acc.value >= 32, f"cap suppression tally not reported: {acc.value}"
 
 
 def test_stream_topk_supports_nondefault_key_types(spark, tmp_path):
