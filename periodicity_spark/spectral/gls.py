@@ -175,6 +175,24 @@ def gls_periodogram(
     if int_keys:
         pre = _recode_tiny(pre, "series_id", "_code")
         key = "_code"
+        # The one-row-per-series stats table feeds TWO broadcast subtrees
+        # (the sample join and the consts power-finish join). Without
+        # sharing, each broadcast re-runs the full stats aggregate from
+        # its own fact-table scan — 3 fact scans / 11 exchanges in
+        # gls_power's AQE-final executed plan at sf0.01, and at 100 TB a
+        # redundant fact scan is the whole bill (2 scans / ~7 exchanges
+        # with the cache). A NON-eager persist (not localCheckpoint) is
+        # the right sharing primitive here: the two broadcast jobs race,
+        # the BlockManager's per-block lock makes one compute while the
+        # other reads the cached rows, and no serial up-front job is
+        # added (an eager checkpoint measured +1.2 s at sf0.1; carrying
+        # the constants through the hot N×F aggregate as first()s
+        # measured +4.7 s — per-row aggregate-buffer updates scale with
+        # N×F, a redundant broadcast subtree only with N). Rides the same
+        # tiny-side contract as the broadcast hint; the cache is KB-sized
+        # (one short row per series) and LRU-evicted, so the lazily-built
+        # plan carries no unpersist obligation.
+        pre = pre.persist()
     else:
         key = "series_id"
     consts_cols = [key, "wsum", "YY"] + (["series_id"] if int_keys else [])

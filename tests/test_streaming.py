@@ -868,3 +868,333 @@ def test_restart_topk_state_recovered(spark, tmp_path):
     # 50 (pre-kill, from state) stays #1; 45 (post-restart) displaces 40
     assert list(last["event_id"]) == [1, 3], out.to_string()
     assert list(last["value"]) == [50.0, 45.0]
+
+
+def test_restart_ffill_carries_last_value_across_restart(spark, tmp_path):
+    """stream_ffill through kill → restart: the carried last-non-null value
+    lives in group state; a NULL arriving after the restart must be filled
+    with the value seen BEFORE the kill."""
+    from periodicity_spark.streaming import stream_ffill
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_ffill(_events_reader(spark, src))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_events(spark, src, [
+        ("s", "2024-01-01 00:00:00", 5.0),
+        ("s", "2024-01-01 01:00:00", float("nan")),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, [("s", "2024-01-01 02:00:00", float("nan"))])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas().sort_values("ts")
+    assert len(out) == 3
+    # the post-restart NULL is filled with the PRE-kill 5.0 — state recovered
+    assert list(out["filled"]) == [5.0, 5.0, 5.0], out.to_string()
+
+
+def test_restart_zscore_running_stats_recovered(spark, tmp_path):
+    """stream_zscore through restart: the Welford (n, mean, m2) state must
+    survive — the post-restart event is scored against statistics built
+    entirely before the kill."""
+    import numpy as np
+
+    from periodicity_spark.streaming import stream_zscore
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_zscore(_events_reader(spark, src), z_threshold=3.0, min_n=10)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.4, 9.6, 10.0]
+    _write_events(spark, src, [
+        ("s", f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, [("s", "2024-01-01 01:00:00", 50.0)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas().sort_values("ts")
+    last = out.iloc[-1]
+    mu = np.mean(vals)
+    sd = np.std(vals, ddof=1)
+    assert last["value"] == 50.0 and bool(last["anomaly"])
+    assert abs(last["z"] - (50.0 - mu) / sd) < 1e-9, (last["z"], (50.0 - mu) / sd)
+
+
+def test_restart_slide_windows_exactly_once(spark, tmp_path):
+    """stream_slide through restart: overlapping-window aggregates recover
+    open windows from state; a post-restart event merges into them and no
+    finalized (series, window) appears twice."""
+    from periodicity_spark.streaming import stream_slide
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_slide(_events_reader(spark, src), window="2 days", slide="1 day")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_events(spark, src, [("s", "2024-01-03 06:00:00", 2.0)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    # while down: a second day-3 event (merges into BOTH recovered open
+    # windows) and a far-future event that finalizes them
+    _write_events(spark, src, [
+        ("s", "2024-01-03 18:00:00", 6.0),
+        ("s", "2024-01-20 12:00:00", 1.0),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    assert not out.duplicated(subset=["series_id", "t_start"]).any(), out.to_string()
+    day3 = out[out["t_start"].astype(str).str.startswith(("2024-01-02", "2024-01-03"))]
+    # the day-3 events belong to sliding windows [01-02,01-04) and [01-03,01-05)
+    assert len(day3) == 2, out.to_string()
+    assert set(day3["n"]) == {2} and set(day3["value"]) == {4.0}, out.to_string()
+
+
+def test_restart_sessionize_open_session_merges(spark, tmp_path):
+    """stream_sessionize through restart: an OPEN session in state must
+    absorb a post-restart event inside the gap — one session row, counted
+    exactly once, spanning the kill."""
+    from periodicity_spark.streaming import stream_sessionize
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+
+    def _start():
+        return (
+            stream_sessionize(_events_reader(spark, src), gap="6 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_events(spark, src, [
+        ("s", "2024-01-01 00:00:00", 1.0),
+        ("s", "2024-01-01 01:00:00", 2.0),
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, [
+        ("s", "2024-01-01 03:00:00", 3.0),      # inside the 6h gap: merges
+        ("s", "2024-01-10 00:00:00", 9.0),      # closes it via watermark
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    assert not out.duplicated(subset=["series_id", "t_start"]).any()
+    ses = out[out["t_start"].astype(str).str.startswith("2024-01-01")]
+    assert len(ses) == 1, out.to_string()
+    assert ses.iloc[0]["n"] == 3 and ses.iloc[0]["mean_value"] == 2.0
+
+
+def test_restart_funnel_buffered_click_matches_after_restart(spark, tmp_path):
+    """stream_funnel (stream-stream interval join) through restart: a click
+    buffered in join state before the kill must match a purchase that
+    arrives only after recovery — and emit exactly once."""
+    import pandas as pd
+
+    from periodicity_spark.streaming import stream_funnel
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def _write(rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def _start():
+        ev = spark.readStream.schema(schema).parquet(src)
+        return (
+            stream_funnel(ev, within="6 hours")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write([(1, 7, "click", "2024-01-01 00:00:00")])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write([
+        (2, 7, "purchase", "2024-01-01 02:00:00"),   # matches recovered click
+        (3, 7, "purchase", "2024-01-01 08:00:00"),   # outside 6h: no match
+    ])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    assert len(out) == 1, out.to_string()
+    assert out.iloc[0]["first_id"] == 1 and out.iloc[0]["then_id"] == 2
+
+
+def test_restart_gls_trig_sums_accumulate_across_restart(spark, tmp_path):
+    """stream_gls (complete-mode trig-sum aggregate) through restart: sums
+    recovered from state must keep accumulating — the drained result after
+    a kill + more data equals the batch aggregate over ALL rows."""
+    import numpy as np
+    import pandas as pd
+
+    from periodicity_spark.streaming.gls import stream_gls_sums
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+    grid = spark.createDataFrame(pd.DataFrame({"frequency": [0.1, 0.25]}))
+
+    def _start():
+        return (
+            stream_gls_sums(_events_reader(spark, src), grid)
+            .writeStream.outputMode("complete")
+            .foreachBatch(lambda bdf, _b: bdf.write.mode("overwrite").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    rows1 = [("s", f"2024-01-0{d} 00:00:00", float(v)) for d, v in
+             [(1, 3.0), (2, 5.0), (3, 4.0)]]
+    rows2 = [("s", f"2024-01-0{d} 12:00:00", float(v)) for d, v in
+             [(4, 6.0), (5, 2.0)]]
+    _write_events(spark, src, rows1)
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write_events(spark, src, rows2)
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(sink)
+        .toPandas()
+        .sort_values("frequency")
+        .reset_index(drop=True)
+    )
+    assert (got["n"] == 5).all(), "post-restart sums lost pre-kill rows"
+    # batch recomputation over ALL rows (same column math, one pass)
+    from periodicity_spark.streaming.gls import stream_gls_sums as _unused  # noqa: F401
+    all_rows = spark.read.parquet(src)
+    want = (
+        stream_gls_sums(
+            spark.readStream.schema("series_id string, ts timestamp, value double")
+            .parquet(src),
+            grid,
+        )
+    )
+    # drain a fresh single-run stream over the full source as the reference
+    ref_sink, ref_ckpt = str(tmp_path / "rsink"), str(tmp_path / "rckpt")
+    rq = (
+        want.writeStream.outputMode("complete")
+        .foreachBatch(lambda bdf, _b: bdf.write.mode("overwrite").parquet(ref_sink))
+        .option("checkpointLocation", ref_ckpt)
+        .start()
+    )
+    rq.processAllAvailable()
+    rq.stop()
+    ref = (
+        spark.read.parquet(ref_sink)
+        .toPandas()
+        .sort_values("frequency")
+        .reset_index(drop=True)
+    )
+    for col in ["n", "sy", "syy", "s1", "c1", "s2", "c2", "sh", "ch"]:
+        np.testing.assert_allclose(got[col], ref[col], rtol=1e-12, err_msg=col)
+
+
+def test_restart_neardup_bucket_state_recovered(spark, tmp_path):
+    """stream_neardup through restart: bucket membership lives in the
+    256-slot dict state; a near-duplicate arriving only after the kill
+    must pair with the document ingested before it."""
+    import pandas as pd
+
+    from periodicity_spark.streaming.ops import stream_neardup
+
+    src, sink, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+    )
+    schema = "doc_id long, text string"
+    text = "a long enough shared body of text for shingling to bucket on"
+
+    def _write(rows):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]), schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def _start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            stream_neardup(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, _b: bdf.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write([(1, text)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    _write([(2, text)])
+    q = _start()
+    q.processAllAvailable()
+    q.stop()
+
+    out = spark.read.parquet(sink).toPandas()
+    pairs = set(map(tuple, out[["d1", "d2"]].drop_duplicates().to_numpy()))
+    assert pairs == {(1, 2)}, f"pre-kill doc not recovered from state: {pairs}"
