@@ -121,6 +121,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # scale-soak knob (unset = full headline, the driver's per-round mode):
+    # at sf5 a few shuffle-bound queries exceed the BOX'S DISK (dedup_minhash
+    # shuffles ~300 GB of shingle arrays there) — the skip list lets the
+    # sf1/sf5 scaling runs cover everything that physically fits, loudly
+    headline = list(HEADLINE)
+    skip = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s
+    }
+    if skip:
+        print(f"# skipping (SPARK_GRAFT_BENCH_SKIP): {sorted(skip)}", file=sys.stderr)
+        headline = [n for n in headline if n not in skip]
     spark = get_spark("bench")
     qs = entrymod.queries()
 
@@ -131,10 +142,10 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     load_start = os.getloadavg()[0]
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in headline}
     for rep in range(reps):
         _clear_memo()
-        for name in HEADLINE:
+        for name in headline:
             fn = qs[name]
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

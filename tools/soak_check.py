@@ -104,9 +104,13 @@ def _connect(sf_dir: str):
     if os.path.exists(db):
         os.remove(db)
     con = duckdb.connect(db)
-    mem = os.environ.get("DUCKDB_MEMORY_LIMIT")
-    if mem:
-        con.sql(f"SET memory_limit='{mem}'")
+    # measured at sf1 (107M-shingle minhash derivation): 100GB limit +
+    # 16 threads keeps every stage in RAM (sh 63s, mh 4s, zero .tmp);
+    # an 80GB limit with default 32 threads ground the same aggregate
+    # into a 74GB .tmp spill that exhausted the disk
+    mem = os.environ.get("DUCKDB_MEMORY_LIMIT", "100GB")
+    con.sql(f"SET memory_limit='{mem}'")
+    con.sql(f"SET threads TO {os.environ.get('DUCKDB_THREADS', '16')}")
     for t in TABLES:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
