@@ -269,7 +269,16 @@ def run_oracle(sf_dir: str, only: set[str]) -> int:
 
     con = _connect(sf_dir)
     oracles = entrymod.oracle_sql()
-    names = [n for n in entrymod.queries() if not only or n in only]
+    # only compare queries whose phase-spark result was actually saved —
+    # otherwise an unfiltered oracle run would (re)build expensive oracle
+    # pipelines (the minhash derivation is 536M shingle rows at sf5) for
+    # queries that were never run at this scale
+    names = [
+        n
+        for n in entrymod.queries()
+        if (not only or n in only)
+        and os.path.exists(os.path.join(soak_dir(sf_dir), f"{n}.meta.json"))
+    ]
     failures = 0
     results = {}
     family = [n for n in names if n in MINHASH_FAMILY]
