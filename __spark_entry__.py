@@ -3696,6 +3696,117 @@ def q_simsearch_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_simsearch_auto_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_topk_auto with ``brute_force_threshold=0`` — forces the
+    router's LSH branch (the >100k-corpus scale path) so it is exercised
+    by the DRIVER contract, not only by tests/test_pipeline.py (at every
+    driver SF the corpus is under the crossover, so plain simsearch_auto
+    always takes the exact scan). The LSH result is approximate, so the
+    registered result is a RECALL GATE rather than the top-k rows: one
+    row (n_exact, recall_ok) where recall_ok asserts the LSH branch
+    recovered ≥95% of the exact brute-force top-5 pairs. The oracle
+    computes n_exact from the same SQL top-k and pins recall_ok = true —
+    a parameter drift that degrades the LSH branch flips the boolean and
+    the driver row goes red.
+
+    n_tables=48 (vs the 24 default): the driver embeddings' generic
+    top-k neighbors sit at cosine ≈0.3 (θ≈73°), the hardest LSH regime —
+    measured recall@5 at the seeded planes is 24→0.94, 48→0.98 on the
+    500-vector sf0.001 corpus and 1.0 at both from sf0.01 up.
+    Deterministic (fixed seed, fixed data), so the gate does not flake."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    lsh = simsearch.ann_topk_auto(
+        emb, probes, k=5, dim=64, brute_force_threshold=0, n_tables=48
+    )
+    exact = simsearch.cosine_topk_bruteforce(emb, probes, k=5)
+    marked = exact.select("qid", "vec_id").join(
+        lsh.select("qid", "vec_id").distinct().withColumn("_h", F.lit(1)),
+        ["qid", "vec_id"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        (
+            F.sum(F.coalesce(F.col("_h"), F.lit(0)))
+            >= F.count(F.lit(1)) * F.lit(0.95)
+        ).alias("recall_ok"),
+    )
+
+
+SQL_SIMSEARCH_AUTO_LSH = f"""
+SELECT count(*)::BIGINT AS n_exact, true AS recall_ok
+FROM ({SQL_SIMSEARCH_TOPK})
+"""
+
+
+def q_minhash_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.dedup.minhash_cap_audit at the registered dedup_minhash
+    pipeline's exact parameters (k=5, n_hashes=16, r=4, max_bucket=1000):
+    one row (capped_buckets, capped_sig_rows, max_bucket_seen). Registered
+    so the cap OBSERVABILITY itself is drift-gated — if a data or
+    parameter change starts silently capping real buckets, this row's
+    hash diverges from the SQL twin (which mirrors the full shingle→
+    minhash→band derivation, so it is exact at ANY cap state, not just
+    the all-zero one)."""
+    out = dedup.minhash_cap_audit(
+        _docs(spark, sf_dir), k=5, n_hashes=16, r=4, max_bucket=1000
+    )
+    return out.select(
+        F.col("capped_buckets").cast("long").alias("capped_buckets"),
+        F.col("capped_sig_rows").cast("long").alias("capped_sig_rows"),
+        F.col("max_bucket_seen").cast("long").alias("max_bucket_seen"),
+    )
+
+
+SQL_MINHASH_CAP_AUDIT = f"""
+WITH {_SQL_MINHASH_PAIRS_CTES},
+bn AS (SELECT band, sig, count(*) AS _bn FROM bands GROUP BY 1, 2)
+SELECT coalesce(sum(CASE WHEN _bn > 1000 THEN 1 END), 0)::BIGINT AS capped_buckets,
+       coalesce(sum(CASE WHEN _bn > 1000 THEN _bn END), 0)::BIGINT AS capped_sig_rows,
+       coalesce(max(_bn), 0)::BIGINT AS max_bucket_seen
+FROM bn
+"""
+
+
+def q_cosine_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline.simsearch.cosine_lsh_cap_audit at the registered
+    cosine_neardup pipeline's exact corpus and parameters (emb ∪ its
+    int8-quantized twin, n_planes=240, bands=10, max_bucket=1000): the
+    invariant row (capped_buckets=0, capped_sig_rows=0) asserting that
+    NOTHING is silently capped at driver SFs — the regime the round-7
+    soak incident (r=16 dense buckets eating 33/500k planted twins)
+    would have flipped red. max_bucket_seen is deliberately NOT
+    projected here: the sign-hash signatures come from a seeded NumPy
+    hyperplane draw with no SQL twin, so only the zero-cap invariant is
+    oracle-expressible; the full three-column audit stays available as
+    the library function."""
+    from periodicity_spark.pipeline import embedding as emb_ops
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb_ops.quantize_int8(emb).filter(F.col("scale").isNotNull())
+    dq = q.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
+        ).alias("embedding"),
+    )
+    out = simsearch.cosine_lsh_cap_audit(
+        emb.unionByName(dq), n_planes=240, bands=10, dim=64, max_bucket=1000
+    )
+    return out.select(
+        F.col("capped_buckets").cast("long").alias("capped_buckets"),
+        F.col("capped_sig_rows").cast("long").alias("capped_sig_rows"),
+    )
+
+
+SQL_COSINE_CAP_AUDIT = """
+SELECT 0::BIGINT AS capped_buckets, 0::BIGINT AS capped_sig_rows
+"""
 
 
 def q_roll3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5278,6 +5389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_lsh": q_simsearch_lsh,
         "simsearch_mllib": q_simsearch_mllib,
         "simsearch_auto": q_simsearch_auto,
+        # round 9 — cap-drop observability + the router's LSH branch
+        "simsearch_auto_lsh": q_simsearch_auto_lsh,
+        "minhash_cap_audit": q_minhash_cap_audit,
+        "cosine_cap_audit": q_cosine_cap_audit,
         "butterworth_band": q_butterworth_band,
         "acf_period_quality": q_acf_period_quality,
         "emd": q_emd,
@@ -5415,6 +5530,9 @@ def oracle_sql() -> dict[str, str]:
         # auto routes to the exact scan at driver SFs (corpus < 100k), so
         # the exact SQL is its oracle; the strategy pick is what's gated
         "simsearch_auto": SQL_SIMSEARCH_TOPK,
+        "simsearch_auto_lsh": SQL_SIMSEARCH_AUTO_LSH,
+        "minhash_cap_audit": SQL_MINHASH_CAP_AUDIT,
+        "cosine_cap_audit": SQL_COSINE_CAP_AUDIT,
         "simhash": SQL_SIMHASH,
         "simhash_neardup": SQL_SIMHASH_NEARDUP,
         "roll3": SQL_ROLL3,

@@ -18,6 +18,8 @@ the per-band min is a lexicographic string min.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -35,15 +37,44 @@ def _spread_single_split(df: DataFrame) -> DataFrame:
     and no RDD plan conversion (``df.rdd.getNumPartitions()`` forces one on
     every call, a fixed cost on wide plans). Non-file inputs (in-memory
     test frames, derived locals) return no files and are left alone: Spark
-    already spreads local relations over defaultParallelism."""
+    already spreads local relations over defaultParallelism.
+
+    Few-but-LARGE splittable files are also left alone: Spark splits a
+    parquet scan at ``spark.sql.files.maxPartitionBytes`` (128 MB default),
+    so one 10 GB file already yields ~80 scan partitions and a
+    ``repartition(defaultParallelism)`` here would REDUCE parallelism and
+    add a full-corpus shuffle. The size gate stats local ``file:`` URIs
+    directly; on a non-local filesystem (no cheap stat) the estimate falls
+    back to "small" — matching the historical behavior, and at real scale
+    non-local sources arrive in many splits so the n_files gate already
+    passes them through."""
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if 0 < n_files < par:
-        return df.repartition(par)
-    return df
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if not (0 < len(files) < par):
+        return df
+    try:
+        max_part = int(spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+                       or 128 * 1024 * 1024)
+    except Exception:
+        max_part = 128 * 1024 * 1024
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+            try:
+                total += os.path.getsize(path)
+            except OSError:
+                pass
+    # the scan itself would already produce >= par splits: leave it alone
+    if total >= par * max_part:
+        return df
+    return df.repartition(par)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

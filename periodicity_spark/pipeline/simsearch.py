@@ -749,6 +749,7 @@ def ann_topk_auto(
     probe_vec_col: str = "qvec",
     dim: int = 64,
     brute_force_threshold: int = 100_000,
+    **lsh_kwargs,
 ) -> DataFrame:
     """Strategy pick for cosine top-k (the ANN analog of ``gls_auto``,
     spectral/fast.py): small corpus → exact brute-force; large corpus →
@@ -779,9 +780,14 @@ def ann_topk_auto(
                 corpus, probes, k=k, id_col=id_col, vec_col=vec_col,
                 probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
             )
+    # lsh_kwargs forwards the LSH branch's tuning surface (n_tables,
+    # n_planes, seed) — recall is a property of the data's neighbor
+    # angles (see cosine_topk_lsh), so callers on low-cosine corpora
+    # need to raise n_tables without giving up the router
     return cosine_topk_lsh(
         corpus, probes, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
         probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+        **lsh_kwargs,
     )
 
 

@@ -190,9 +190,14 @@ def gls_periodogram(
         # measured +4.7 s — per-row aggregate-buffer updates scale with
         # N×F, a redundant broadcast subtree only with N). Rides the same
         # tiny-side contract as the broadcast hint; the cache is KB-sized
-        # (one short row per series) and LRU-evicted, so the lazily-built
-        # plan carries no unpersist obligation.
-        pre = pre.persist()
+        # (one short row per series) and LRU-evicted. MEMORY_ONLY keeps the
+        # residue RAM-only (no disk blocks accumulate across many distinct
+        # GLS plans in a long-lived session); callers that overwrite the
+        # SOURCE FILES between identical-plan calls must clearCache() —
+        # Spark's CacheManager matches on the logical plan, not file mtime.
+        from pyspark import StorageLevel
+
+        pre = pre.persist(StorageLevel.MEMORY_ONLY)
     else:
         key = "series_id"
     consts_cols = [key, "wsum", "YY"] + (["series_id"] if int_keys else [])

@@ -450,8 +450,11 @@ def stream_neardup(
 
     cap_accumulator: optional ``sc.accumulator(0)``. Over-cap suppression
     is otherwise SILENT (the batch twin's round-7 incident: a too-dense
-    bucket regime ate 33/500k true pairs with no signal). Each arrival
-    suppressed by the cap adds 1; read ``acc.value`` on the driver after
+    bucket regime ate 33/500k true pairs with no signal). Each DISTINCT
+    previously-unseen doc_id suppressed by the cap adds 1 (duplicate
+    re-arrivals of an already-bucketed id are suppressed without a tally —
+    they never could have emitted new pairs, so they carry no signal);
+    read ``acc.value`` on the driver after
     (or during) the stream — nonzero means raise r (narrower buckets), not
     max_bucket. Accumulator semantics are at-least-once under task retries,
     which is fine for a fired/not-fired observability tally.

@@ -75,6 +75,16 @@ def run_spark(sf_dir: str, only: set[str]) -> int:
         if only and name not in only:
             continue
         dest = os.path.join(out, f"{name}.parquet")
+        # drop any previous run's artifacts FIRST: a failure (or a write
+        # that dies mid-overwrite) must not leave a stale meta+parquet for
+        # the oracle phase to compare as if it were current
+        meta_path = os.path.join(out, f"{name}.meta.json")
+        if os.path.exists(meta_path):
+            os.remove(meta_path)
+        if os.path.exists(dest):
+            import shutil
+
+            shutil.rmtree(dest, ignore_errors=True)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -85,7 +95,7 @@ def run_spark(sf_dir: str, only: set[str]) -> int:
             failures += 1
             continue
         wall = time.time() - t0
-        with open(os.path.join(out, f"{name}.meta.json"), "w") as fh:
+        with open(meta_path, "w") as fh:
             json.dump({"rows": n, "wall_sec": round(wall, 2)}, fh)
         print(f"[spark] {name}: {n} rows in {wall:.1f}s")
     return failures
@@ -219,6 +229,7 @@ def _build_components(con) -> None:
         SELECT d2 AS a, d1 AS b FROM pairs"""
     )
     con.sql("CREATE TEMP TABLE lab AS SELECT DISTINCT a AS v, a AS comp FROM edges")
+    changed = -1
     for rnd in range(1, 64):
         con.sql(
             """CREATE TEMP TABLE lab2 AS
@@ -238,6 +249,14 @@ def _build_components(con) -> None:
         if changed == 0:
             print(f"  [oracle] components converged in {rnd} rounds")
             break
+    if changed != 0:
+        # a silent fall-through here would compare a WRONG oracle (and
+        # report a spurious FAIL — or worse, a false OK on a wrong engine)
+        raise RuntimeError(
+            "components oracle did not converge in 63 rounds "
+            f"(last round changed {changed} labels); pair graph diameter "
+            "exceeds the bound — raise the round cap"
+        )
     con.sql("CREATE TEMP TABLE comp AS SELECT v AS doc_id, comp AS component_id FROM lab")
     con.sql("DROP TABLE lab")
     con.sql("DROP TABLE edges")
