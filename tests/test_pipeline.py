@@ -917,3 +917,54 @@ def test_ann_mllib_lsh_warns_about_regime(emb, spark):
     warning')."""
     with pytest.warns(UserWarning, match="MLlib-parity"):
         simsearch.ann_mllib_lsh(emb, _probes(emb), k=5, dim=64)
+
+
+def test_spread_single_split_size_gate(spark, tmp_path):
+    """_spread_single_split must repartition a SMALL single-file input (the
+    measured 8.6 s single-core shingle regression) but leave a single file
+    alone when the scan would already split it into >= defaultParallelism
+    partitions — few-but-LARGE splittable files had their parallelism
+    REDUCED by the round-8 files-count-only probe (ADVICE r8)."""
+    from periodicity_spark.pipeline.dedup import _spread_single_split
+
+    p = str(tmp_path / "one_file")
+    spark.range(2000).coalesce(1).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    assert len(df.inputFiles()) == 1
+    par = spark.sparkContext.defaultParallelism
+
+    # small single file: spread to full parallelism
+    spread = _spread_single_split(df)
+    assert spread is not df
+    assert spread.rdd.getNumPartitions() == par
+
+    # same file under a tiny maxPartitionBytes: the scan itself already
+    # yields >= par splits, so the gate must be an identity (no shuffle)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16")
+    try:
+        df2 = spark.read.parquet(p)
+        assert _spread_single_split(df2) is df2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    # non-file input (local relation): identity
+    local = spark.range(10).toDF("doc_id")
+    assert _spread_single_split(local) is local
+
+
+def test_ann_topk_auto_forwards_lsh_kwargs(emb, spark):
+    """The router's LSH branch accepts the cosine_topk_lsh tuning surface
+    (n_tables etc.) — recall is a property of the data's neighbor angles,
+    so callers must be able to raise n_tables without leaving the router.
+    With ONE table at 8 planes (the round-2 shape, measured recall 0.016)
+    the candidate set collapses, so forwarding is observable as a strictly
+    smaller result than the 24-table default."""
+    p = _probes(emb)
+    few = simsearch.ann_topk_auto(
+        emb, p, k=5, dim=64, brute_force_threshold=0, n_tables=1, n_planes=8
+    ).count()
+    dflt = simsearch.ann_topk_auto(
+        emb, p, k=5, dim=64, brute_force_threshold=0
+    ).count()
+    assert few < dflt
