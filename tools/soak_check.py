@@ -132,7 +132,14 @@ def _compare(con, name: str, oracle_rel: str, sf_dir: str) -> list[str]:
     """COUNT + EXCEPT ALL multiset compare of {name}.parquet vs an oracle
     relation (a SQL string or a temp-table name). Column order normalized;
     both sides read inside the same DuckDB session, so value formatting and
-    hash semantics are engine-consistent by construction."""
+    hash semantics are engine-consistent by construction.
+
+    The oracle relation is MATERIALIZED into a temp table first: the
+    compare needs it three times (count + both EXCEPT ALL directions), and
+    re-executing a heavy oracle (the sf5 GLS trig-sum aggregate runs ~360 s
+    and peaks tens of GB) three times is what OOM-killed the first sf5
+    oracle run — the materialized result itself is small (output rows, not
+    the aggregate's intermediate state) and pages to the file-backed DB."""
     src = os.path.join(soak_dir(sf_dir), f"{name}.parquet")
     if not os.path.isdir(src) and not os.path.exists(src):
         return [f"no spark result saved — run phase spark first ({src})"]
@@ -140,18 +147,22 @@ def _compare(con, name: str, oracle_rel: str, sf_dir: str) -> list[str]:
     cols = [r[0] for r in con.sql(f"DESCRIBE {spark_rel}").fetchall()]
     collist = ", ".join(f'"{c}"' for c in sorted(cols))
     a = f"SELECT {collist} FROM ({spark_rel})"
-    b = f"SELECT {collist} FROM ({oracle_rel})"
     problems = []
-    na = con.sql(f"SELECT count(*) FROM ({a})").fetchone()[0]
-    nb = con.sql(f"SELECT count(*) FROM ({b})").fetchone()[0]
-    if na != nb:
-        problems.append(f"row count differs: spark={na} oracle={nb}")
-    extra = con.sql(f"({a}) EXCEPT ALL ({b}) LIMIT 3").fetchall()
-    missing = con.sql(f"({b}) EXCEPT ALL ({a}) LIMIT 3").fetchall()
-    if extra:
-        problems.append(f"spark-only rows (≤3 shown): {extra}")
-    if missing:
-        problems.append(f"oracle-only rows (≤3 shown): {missing}")
+    try:
+        con.sql(f"CREATE OR REPLACE TEMP TABLE _ocmp AS SELECT {collist} FROM ({oracle_rel})")
+        b = f"SELECT {collist} FROM _ocmp"
+        na = con.sql(f"SELECT count(*) FROM ({a})").fetchone()[0]
+        nb = con.sql(f"SELECT count(*) FROM ({b})").fetchone()[0]
+        if na != nb:
+            problems.append(f"row count differs: spark={na} oracle={nb}")
+        extra = con.sql(f"({a}) EXCEPT ALL ({b}) LIMIT 3").fetchall()
+        missing = con.sql(f"({b}) EXCEPT ALL ({a}) LIMIT 3").fetchall()
+        if extra:
+            problems.append(f"spark-only rows (≤3 shown): {extra}")
+        if missing:
+            problems.append(f"oracle-only rows (≤3 shown): {missing}")
+    finally:
+        con.sql("DROP TABLE IF EXISTS _ocmp")
     return problems
 
 
@@ -283,6 +294,29 @@ FROM keyed
 """
 
 
+def _done_queries(sf_dir: str) -> set[str]:
+    """Queries already verified (ok / rows-only) in oracle_results.json —
+    both the per-run blob format (pre-r9) and the per-query line format."""
+    path = os.path.join(soak_dir(sf_dir), "oracle_results.json")
+    done: set[str] = set()
+    if not os.path.exists(path):
+        return done
+    with open(path) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if "query" in rec:
+                if rec.get("status") in ("ok", "rows-only"):
+                    done.add(rec["query"])
+            else:
+                for n, r in rec.get("results", {}).items():
+                    if r.get("status") in ("ok", "rows-only"):
+                        done.add(n)
+    return done
+
+
 def run_oracle(sf_dir: str, only: set[str]) -> int:
     import __spark_entry__ as entrymod
 
@@ -292,12 +326,26 @@ def run_oracle(sf_dir: str, only: set[str]) -> int:
     # otherwise an unfiltered oracle run would (re)build expensive oracle
     # pipelines (the minhash derivation is 536M shingle rows at sf5) for
     # queries that were never run at this scale
+    skip_done = bool(os.environ.get("SOAK_SKIP_DONE"))
+    done = _done_queries(sf_dir) if skip_done else set()
+    if done:
+        print(f"[skip-done] {len(done)} queries already verified")
     names = [
         n
         for n in entrymod.queries()
         if (not only or n in only)
+        and n not in done
         and os.path.exists(os.path.join(soak_dir(sf_dir), f"{n}.meta.json"))
     ]
+    results_path = os.path.join(soak_dir(sf_dir), "oracle_results.json")
+
+    def _flush(name: str, rec: dict) -> None:
+        # one line per query, appended as soon as the verdict exists — the
+        # first sf5 run was OOM-killed 20 queries in and lost every verdict
+        # because the old code wrote a single blob at the end
+        with open(results_path, "a") as fh:
+            fh.write(json.dumps({"ts": time.strftime("%F %T"), "query": name, **rec}) + "\n")
+
     failures = 0
     results = {}
     family = [n for n in names if n in MINHASH_FAMILY]
@@ -323,6 +371,7 @@ def run_oracle(sf_dir: str, only: set[str]) -> int:
                 rows = json.load(open(meta))["rows"]
                 print(f"[rows-only] {name}: {rows} rows")
                 results[name] = {"status": "rows-only", "rows": rows}
+                _flush(name, results[name])
             else:
                 print(f"[rows-only] {name}: no spark result saved")
             continue
@@ -341,9 +390,10 @@ def run_oracle(sf_dir: str, only: set[str]) -> int:
             meta = json.load(open(os.path.join(soak_dir(sf_dir), f"{name}.meta.json")))
             print(f"[OK]   {name}: {meta['rows']} rows multiset-exact "
                   f"(spark {meta['wall_sec']}s, oracle {wall:.1f}s)")
-            results[name] = {"status": "ok", "rows": meta["rows"]}
-    with open(os.path.join(soak_dir(sf_dir), "oracle_results.json"), "a") as fh:
-        fh.write(json.dumps({"ts": time.strftime("%F %T"), "results": results}) + "\n")
+            results[name] = {"status": "ok", "rows": meta["rows"],
+                             "oracle_sec": round(wall, 1)}
+        _flush(name, results[name])
+        sys.stdout.flush()
     print(f"\n{failures} failures")
     return failures
 
