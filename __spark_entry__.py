@@ -4141,16 +4141,23 @@ g AS (
 sol AS (
   SELECT series_id, ymean,
     (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13) + a13 * (a12 * a23 - a22 * a13)) AS det,
+    abs(a11 * a22 * a33) AS scale3,
     (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3) + a13 * (b2 * a23 - a22 * b3)) AS t1,
     (a11 * (b2 * a33 - b3 * a23) - b1 * (a12 * a33 - a23 * a13) + a13 * (a12 * b3 - b2 * a13)) AS t2,
     (a11 * (a22 * b3 - a23 * b2) - a12 * (a12 * b3 - b2 * a13) + b1 * (a12 * a23 - a22 * a13)) AS t3
   FROM g
 ),
 grid AS (SELECT 0.25 * unnest(range(121)) AS "time")
+-- near-singular guard mirrors spectral/bootstrap.gls_model: below
+-- rtol=1e-6 of the diagonal-product scale the Cramer solution is
+-- cancellation noise (underdetermined n<3 / phase-aliased series) and
+-- BOTH engines emit NULL instead of summation-order-dependent garbage
 SELECT s.series_id AS series_id, g."time" AS "time",
-       round(s.ymean + s.t1 / s.det
-             + (s.t2 / s.det) * sin(2 * pi() * 1.0 * g."time")
-             + (s.t3 / s.det) * cos(2 * pi() * 1.0 * g."time"), 6) AS value
+       CASE WHEN abs(s.det) > 1e-6 * s.scale3 THEN
+         round(s.ymean + s.t1 / s.det
+               + (s.t2 / s.det) * sin(2 * pi() * 1.0 * g."time")
+               + (s.t3 / s.det) * cos(2 * pi() * 1.0 * g."time"), 6)
+       END AS value
 FROM sol s CROSS JOIN grid g
 """
 

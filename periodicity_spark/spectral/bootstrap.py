@@ -136,15 +136,23 @@ def gls_model(ts: DataFrame, f0: float, new_times: DataFrame, err_col: str | Non
         - F.col("a12") * (F.col("a12") * F.col("b3") - F.col("b2") * F.col("a13"))
         + F.col("b1") * (F.col("a12") * F.col("a23") - F.col("a22") * F.col("a13"))
     )
-    # try_divide: a degenerate series (constant, single-point, duplicate
-    # times) has singular normal equations (det = 0) — the model is
-    # undefined there (NULL coefficients → NULL predictions), not an ANSI
-    # stage abort
+    # Singular AND near-singular systems yield NULL predictions, not noise:
+    # a degenerate series (constant, single-point, duplicate times) has
+    # det = 0 exactly, but an UNDERDETERMINED one (n < 3 samples, or all
+    # times phase-aliased so the sin column ~vanishes) leaves det as pure
+    # floating-point cancellation noise — at sf5 three such series (n=2-4,
+    # |det|/|a11·a22·a33| of 1e-16..1e-7) amplified engine-vs-oracle
+    # summation-order differences into 6th-decimal output disagreements.
+    # The guard is RELATIVE (Hadamard-style scale |a11·a22·a33|): below
+    # rtol=1e-6 the solution is numerically meaningless in ANY engine —
+    # a well-conditioned trig system sits at 1e-2..1, three decades away.
+    scale3 = F.abs(F.col("a11") * F.col("a22") * F.col("a33"))
+    det_ok = F.when(F.abs(det) > F.lit(1e-6) * scale3, det)
     theta = g.select(
         "series_id",
-        F.try_divide(t1, det).alias("_th0"),
-        F.try_divide(t2, det).alias("_th1"),
-        F.try_divide(t3, det).alias("_th2"),
+        F.try_divide(t1, det_ok).alias("_th0"),
+        F.try_divide(t2, det_ok).alias("_th1"),
+        F.try_divide(t3, det_ok).alias("_th2"),
         "_ymean",
     )
     if "series_id" not in new_times.columns:
