@@ -691,6 +691,23 @@ SQL_GLS_POWER = _gls_sql(
     "SELECT series_id, frequency, round(power, 6) AS power FROM pw"
 )
 
+# the UNROUNDED periodogram — the shared base every pw-derived oracle
+# (peak sort, FWHM, grid stats) consumes. tools/soak_check.py stages it
+# into a temp table ONCE at soak scales: the monolithic CTE re-derives
+# the 640M-row trig intermediate per reference to `pw`, whose repeated
+# sort/agg spill exceeded the box's disk at sf5 (ENOSPC ×3, round 9).
+SQL_GLS_PW = _gls_sql("SELECT series_id, frequency, power FROM pw")
+
+# select-clauses that extend the WITH chain after `pw` — kept alongside
+# the monolithic oracle strings so soak_check can re-attach them to the
+# staged table as  WITH pw AS (SELECT * FROM pw_t) {clause}
+GLS_DERIVED_CLAUSES: dict[str, str] = {}
+
+
+def _gls_sql_derived(name: str, select_clause: str) -> str:
+    GLS_DERIVED_CLAUSES[name] = select_clause
+    return _gls_sql(select_clause)
+
 
 def q_gls_best_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     pg = _gls_pg(spark, sf_dir)
@@ -4321,7 +4338,8 @@ def q_psort_by_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PSORT_BY_PROMINENCE = _gls_sql(
+SQL_PSORT_BY_PROMINENCE = _gls_sql_derived(
+    "psort_by_prominence",
     """
 , pos AS (
   SELECT series_id, row_number() OVER w - 1 AS pos, frequency, power
@@ -4369,7 +4387,8 @@ def q_pg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PG_STATS = _gls_sql(
+SQL_PG_STATS = _gls_sql_derived(
+    "pg_stats",
     """
 , d AS (
   SELECT series_id, frequency, power,
@@ -4409,7 +4428,8 @@ def q_periods_at_half_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_PERIODS_AT_HALF_MAX = _gls_sql(
+SQL_PERIODS_AT_HALF_MAX = _gls_sql_derived(
+    "periods_at_half_max",
     """
 , pk AS (
   SELECT series_id, frequency, power,

@@ -353,9 +353,23 @@ def run_oracle(sf_dir: str, only: set[str]) -> int:
         _build_minhash_pairs(con)
         if set(family) - {"dedup_minhash"}:
             _build_components(con)
+    # GLS-derived oracles (peak sort / FWHM / grid stats) all window over
+    # the same 45.8M-row periodogram; the monolithic CTE re-derives the
+    # 640M-row trig intermediate per `pw` reference and its repeated spill
+    # ENOSPC'd the box at sf5. Stage pw ONCE, re-attach the stored clauses.
+    gls_derived = getattr(entrymod, "GLS_DERIVED_CLAUSES", {})
+    staged = [n for n in names if n in gls_derived]
+    if staged:
+        t0 = time.time()
+        con.sql("CREATE TEMP TABLE pw_t AS " + entrymod.SQL_GLS_PW)
+        n_pw = con.sql("SELECT count(*) FROM pw_t").fetchone()[0]
+        print(f"  [oracle] staged pw: {n_pw} rows ({time.time()-t0:.0f}s) "
+              f"for {staged}")
     for name in names:
         t0 = time.time()
-        if name == "dedup_minhash":
+        if name in gls_derived:
+            rel = "WITH pw AS (SELECT * FROM pw_t)" + gls_derived[name]
+        elif name == "dedup_minhash":
             rel = "SELECT d1, d2, jaccard FROM pairs"
         elif name == "dedup_components":
             rel = "SELECT doc_id, component_id FROM comp"
