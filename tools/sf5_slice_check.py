@@ -5,8 +5,12 @@
 The full sf5 runs cannot fit this box: the minhash shingle shuffle alone is
 ~50-70 GB at sf1 and ~5× that at sf5 (the box has 252 GB total). What CAN
 be verified is the same pipelines over a DETERMINISTIC SLICE of the sf5
-corpus — ``doc_id % 5 == 0``, i.e. 500k of the 2.5M sf5 documents, the
+corpus — ``doc_id < 500000``, i.e. 500k of the 2.5M sf5 documents, the
 largest slice whose shuffle footprint is proven to fit (it is sf1-sized).
+CONTIGUOUS range, not modulo: the generator plants near-dup twins within
+±7 doc_ids of each other (measured on the verified sf1 pair set, p90 = 7),
+so a modulo slice separates every twin pair (2 surviving pairs) while a
+range slice keeps the full planted-pair structure inside the slice.
 This checks the sf5 DATA (longer docs, different cluster mix) through the
 exact same code path with the exact same staged DuckDB oracle, at the
 scale decade the hardware physically holds; the full-sf5 plans differ only
@@ -56,10 +60,10 @@ def build() -> None:
     con = duckdb.connect()
     con.sql(
         f"COPY (SELECT * FROM read_parquet('{SF5}/documents.parquet')"
-        f" WHERE doc_id % 5 = 0) TO '{dest}' (FORMAT PARQUET)"
+        f" WHERE doc_id < 500000) TO '{dest}' (FORMAT PARQUET)"
     )
     n = con.sql(f"SELECT count(*) FROM read_parquet('{dest}')").fetchone()[0]
-    print(f"built {dest}: {n} docs (sf5 slice doc_id % 5 == 0)")
+    print(f"built {dest}: {n} docs (sf5 slice doc_id < 500000)")
 
 
 def main() -> int:
@@ -68,9 +72,15 @@ def main() -> int:
         build()
     rc = 0
     if mode in ("spark", "all"):
+        # the documented minhash-family scale knobs (PROGRESS r8): the 8g
+        # default execution pool cannot hold 32 concurrent verify-join
+        # tasks' array buffers at 500k docs
+        env = dict(os.environ,
+                   SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "48g"),
+                   SPARK_SHUFFLE_PARTITIONS=os.environ.get("SPARK_SHUFFLE_PARTITIONS", "96"))
         rc |= subprocess.call(
             [sys.executable, "tools/soak_check.py", SLICE, "spark", *FAMILY],
-            cwd="/root/repo",
+            cwd="/root/repo", env=env,
         )
     if mode in ("oracle", "all"):
         rc |= subprocess.call(
