@@ -453,7 +453,18 @@ def semantic_dedup(
     work then scales as n·target_cluster_size, linear in the corpus.
     The derivation runs one count() job; the function is already eager
     (Lloyd iterations inside ivf_centroids), so this adds no surprise.
-    Centroid metadata is k rows, collected + broadcast."""
+    Centroid metadata is k rows, collected + broadcast.
+
+    The OTHER superlinear term is centroid ASSIGNMENT, n·k·d: while k
+    grows with n (the 500k→2.5M window grows k 488→2441), assignment
+    scales ~n²d/target — measured 7.45× isolated for 5× data, sf1→sf5.
+    Past the 4096 clamp assignment is linear again but cluster sizes
+    (and pairwise work) grow as n/4096. At true corpus scale pass an
+    explicit ``n_centroids`` sized to the fleet and expect the 100 TB
+    fix to be a two-level coarse→fine assignment (n·√k·d — SemDeDup's
+    published config is ~100k clusters over 5B embeddings); the exact
+    single-level assignment here is the correctness baseline that a
+    two-level variant must be recall-checked against."""
     corpus = _finite_rows(corpus, vec_col)
     if n_centroids is None:
         n_centroids = int(min(4096, max(16, corpus.count() // target_cluster_size)))
