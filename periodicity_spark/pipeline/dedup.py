@@ -545,34 +545,46 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """64-bit SimHash over word tokens: per bit, sign of Σ over tokens of
     (±1 by that bit of the token hash). → (doc_id, simhash).
 
-    Native formulation: explode tokens, token hash = xxhash64, per (doc, bit)
-    majority via SUM(sign), reassemble bits with bit_or of shifted flags.
+    Native formulation: explode tokens, token hash = xxhash64, then ONE
+    64-column aggregate per doc — sum_b = count of tokens with bit b set.
+    The ±1 majority vote for bit b is then just 2·sum_b > n_tok (ones
+    outnumber zeros; a tie votes 0, same as the old SUM(sign) > 0).
+
+    The previous formulation exploded every token a second time over the
+    64 bit positions — 64× the token rows (6.4B at sf1) through the
+    partial aggregate's hash probes, and n_docs×64 partially-aggregated
+    rows (32M at sf1, ~800MB) through the shuffle into a two-level
+    aggregate. Here each doc collapses map-side to ONE 65-column row
+    (explode never repartitions, so a doc's tokens are co-located): the
+    shuffle carries 500k rows (~260MB) at sf1 — 64× fewer rows, ~3×
+    fewer bytes, one aggregate instead of two. Wall-neutral on local[32]
+    (~35 s isolated either way — tokenize+xxhash64 of the ~100M tokens
+    dominates, and that is linear scan work); the win is shuffle volume,
+    which is what binds on a real cluster.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    h = toks.withColumn("_h", F.xxhash64("tok"))
-    bits = h.select(
-        "doc_id",
-        "_h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("shiftright(_h, cast(bit as int)) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
-    )
-    maj = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("_s"))
-    return maj.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("_s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    h = toks.select("doc_id", F.xxhash64("tok").alias("_h"))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.expr(f"shiftright(_h, {b}) & 1")).alias(f"_b{b}") for b in range(64)
+    ]
+    per = h.groupBy("doc_id").agg(*aggs)
+    # bit 63's shiftleft is the sign bit (-2^63); summing it with the
+    # positive lower-bit contributions reproduces the exact two's-complement
+    # long the old formulation built, with no intermediate overflow
+    bit_terms = [
+        F.when(
+            F.lit(2) * F.col(f"_b{b}") > F.col("_n"),
+            F.expr(f"shiftleft(cast(1 as bigint), {b})"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return per.select("doc_id", total.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -595,10 +607,31 @@ def simhash_near_duplicates(
     max_hamming < n_bands the banding loses no recall; beyond that it is the
     standard approximate blocking. Buckets larger than ``max_bucket`` are
     dropped (degenerate boilerplate guard, same rationale as LSH).
+
+    A pair agreeing on several bands would surface once per band; instead
+    of a DISTINCT over every candidate (166.6M rows shuffled at sf1 for
+    the 53.0M survivors), each pair is emitted ONLY from its first
+    agreeing band whose bucket survived the cap: both fingerprints ride
+    the joined row, so "agrees on band b'" is a row-local xor test, and
+    "band b' survived" is membership of the row's band-b' value in the
+    collected capped-bucket set — tiny by construction (≤ n_bands ·
+    n_docs / max_bucket buckets can exceed the cap; 317 at sf1). That
+    makes everything downstream of the bucket equi-join a streamed
+    filter — zero post-join shuffles. Degenerate fallback: if the capped
+    set is somehow huge (> 20k entries would bloat the plan's IN-sets),
+    use the DISTINCT plan, with the Hamming filter still applied first.
+
+    The fingerprint relation is localCheckpointed eagerly (minhash's
+    shingle pattern): it feeds both join sides and the cap census, and is
+    typically an expensive subtree (simhash64 re-tokenizes the corpus) —
+    without the checkpoint the self-join alone computes it twice.
     """
     band_bits = bits // n_bands
     mask = (1 << band_bits) - 1
-    fp = fingerprints.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
+    fp = (
+        fingerprints.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
+        .localCheckpoint(eager=True)
+    )
     banded = fp.select(
         "doc_id",
         "_fp",
@@ -619,12 +652,40 @@ def simhash_near_duplicates(
         F.col("doc_id").alias("d2"),
         F.col("_fp").alias("_f2"),
     )
-    return (
+    joined = (
         a.join(b, (a["band"] == b["_band"]) & (a["val"] == b["_val"]) & (a["d1"] < b["d2"]))
-        .select("d1", "d2", F.expr("cast(bit_count(_f1 ^ _f2) as int)").alias("hamming"))
-        .distinct()
+        .select(
+            "band",
+            "d1",
+            "d2",
+            "_f1",
+            "_f2",
+            F.expr("cast(bit_count(_f1 ^ _f2) as int)").alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
+    capped_rows = (
+        banded.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select("band", "val")
+        .collect()
+    )
+    if len(capped_rows) > 20_000:
+        return joined.select("d1", "d2", "hamming").distinct()
+    capped_vals: list[list[int]] = [[] for _ in range(n_bands)]
+    for r in capped_rows:
+        capped_vals[r["band"]].append(int(r["val"]))
+    # first agreeing surviving band: a joined row's own band always
+    # qualifies (its bucket exists in `capped`), so `first` is never NULL
+    first = None
+    for bp in range(n_bands):
+        agree = F.expr(f"(shiftright(_f1 ^ _f2, {bp * band_bits}) & {mask}) = 0")
+        if capped_vals[bp]:
+            vb = F.expr(f"shiftright(_f1, {bp * band_bits}) & {mask}")
+            agree = agree & ~vb.isin(capped_vals[bp])
+        first = F.when(agree, bp) if first is None else first.when(agree, bp)
+    return joined.filter(F.col("band") == first).select("d1", "d2", "hamming")
 
 
 def word_ngrams(

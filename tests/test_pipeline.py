@@ -968,3 +968,71 @@ def test_ann_topk_auto_forwards_lsh_kwargs(emb, spark):
         emb, p, k=5, dim=64, brute_force_threshold=0
     ).count()
     assert few < dflt
+
+
+def test_simhash_neardup_first_band_emit_equals_distinct_plan(spark):
+    """The single-emission rule (pair surfaces only from its first agreeing
+    NON-CAPPED band) must produce the exact multiset the old
+    candidates→DISTINCT plan produced — including when bucket caps fire,
+    where 'first agreeing band' and 'first agreeing SURVIVING band'
+    diverge: a pair whose earliest agreeing band was capped must still be
+    emitted via a later surviving band."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    # 40 docs across 3 boilerplate clusters (degenerate buckets under a
+    # tiny cap) + random text, plus planted near-identical pairs
+    for i in range(40):
+        base = ["alpha beta gamma delta", "lorem ipsum dolor sit amet", ""][i % 3]
+        extra = " ".join(rng.choice("abcdefgh") * rng.randint(1, 3) for _ in range(6))
+        rows.append((i, f"{base} {extra}"))
+        rows.append((100 + i, f"{base} {extra} zz"))  # near-dup twin
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = dedup.simhash64(docs).localCheckpoint(eager=True)
+
+    for max_bucket in (2, 5, 1000):
+        got = (
+            dedup.simhash_near_duplicates(
+                fp, max_hamming=12, n_bands=4, bits=64, max_bucket=max_bucket
+            )
+            .toPandas()
+            .sort_values(["d1", "d2"])
+            .reset_index(drop=True)
+        )
+        # reference: the old formulation — all surviving candidates, DISTINCT,
+        # then the Hamming filter (built inline so the library path can change)
+        from pyspark.sql import Window
+
+        band_bits, mask = 16, (1 << 16) - 1
+        banded = fp.select(
+            "doc_id",
+            F.col("simhash").alias("_fp"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        ).withColumn(
+            "val", F.expr(f"shiftright(_fp, cast(band * {band_bits} as int)) & {mask}")
+        )
+        w = Window.partitionBy("band", "val")
+        capped = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        a = capped.select("band", "val", F.col("doc_id").alias("d1"), F.col("_fp").alias("_f1"))
+        b = capped.select(
+            F.col("band").alias("_band"),
+            F.col("val").alias("_val"),
+            F.col("doc_id").alias("d2"),
+            F.col("_fp").alias("_f2"),
+        )
+        ref = (
+            a.join(b, (a["band"] == b["_band"]) & (a["val"] == b["_val"]) & (a["d1"] < b["d2"]))
+            .select("d1", "d2", F.expr("cast(bit_count(_f1 ^ _f2) as int)").alias("hamming"))
+            .distinct()
+            .filter(F.col("hamming") <= 12)
+            .toPandas()
+            .sort_values(["d1", "d2"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(ref), (max_bucket, len(got), len(ref))
+        pd.testing.assert_frame_equal(got, ref[got.columns])
