@@ -4691,6 +4691,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "centroid", "keep")
 
 
+def q_semantic_auto_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup's two-level (coarse→fine) assignment, gated against
+    the exact-assignment baseline — the SemDeDup scale path (see
+    ``assign_to_centroids``; measured 31.3 s vs 63.2 s at sf5 isolated)
+    exercised by the DRIVER contract, not only by tests. n_centroids=256
+    forces k past the two-level threshold at every driver SF (derived k
+    would stay below it). One row (n_vecs, n_keep_disagree, agree_ok):
+    keep decisions must agree with exact assignment on ≥98% of vectors
+    (measured: 100% agreement at every driver SF — routing perturbations
+    move vectors between clusters but near-identical pairs co-route).
+    Rows-only: the k-means quantizer is not SQL-expressible."""
+    emb = _emb(spark, sf_dir)
+    ex = simsearch.semantic_dedup(emb, threshold=0.95, n_centroids=256)
+    au = simsearch.semantic_dedup(
+        emb, threshold=0.95, n_centroids=256, assignment="auto"
+    )
+    both = ex.select("vec_id", F.col("keep").alias("_ke")).join(
+        au.select("vec_id", F.col("keep").alias("_ka")), "vec_id"
+    )
+    return both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum((F.col("_ke") != F.col("_ka")).cast("long")).alias("n_keep_disagree"),
+        (
+            F.sum((F.col("_ke") != F.col("_ka")).cast("long"))
+            <= F.count(F.lit(1)) * F.lit(0.02)
+        ).alias("agree_ok"),
+    )
+
+
 # --- round-3 contract coverage: previously query-less operators --------------
 
 
@@ -5418,6 +5447,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simsearch_auto": q_simsearch_auto,
         # round 9 — cap-drop observability + the router's LSH branch
         "simsearch_auto_lsh": q_simsearch_auto_lsh,
+        # round 9 continuation — two-level assignment agreement gate
+        "semantic_auto_gate": q_semantic_auto_gate,
         "minhash_cap_audit": q_minhash_cap_audit,
         "cosine_cap_audit": q_cosine_cap_audit,
         "butterworth_band": q_butterworth_band,

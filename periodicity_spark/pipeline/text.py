@@ -206,7 +206,10 @@ def winnow_fingerprints(
                 n = len(s)
                 if n < kk:
                     continue
-                codes = np.fromiter((ord(c) for c in s), dtype=np.int64, count=n)
+                # one uint32 code point per char, vectorized — equals ord()
+                # per char (Python str has no surrogate pairs); fromiter's
+                # per-char Python loop was the kernel's hottest line at sf1
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
                 h = np.zeros(n - kk + 1, dtype=np.int64)
                 for j, p in enumerate(powers):
                     h += codes[j : j + len(h)] * p

@@ -66,6 +66,12 @@ def test_contract_query(name, spark, sf_dir, duck, ingest_ok):
         # rows-only contract: the driver only asserts the query runs and
         # returns a stable shape; deeper checks live in the operator tests
         assert sdf.shape[1] > 0
+        # gate convention: a rows-only query may publish boolean *_ok
+        # columns (recall_ok, agree_ok, …) — those are its whole point,
+        # so machine-assert them here rather than trusting eyeballs
+        for col in sdf.columns:
+            if col.endswith("_ok"):
+                assert sdf[col].all(), f"{name}: gate column {col} is False"
         return
     ddf = duck.sql(ORACLES[name]).df()
     problems = compare(name, sdf, ddf)

@@ -1036,3 +1036,88 @@ def test_simhash_neardup_first_band_emit_equals_distinct_plan(spark):
         )
         assert len(got) == len(ref), (max_bucket, len(got), len(ref))
         pd.testing.assert_frame_equal(got, ref[got.columns])
+
+
+def test_twolevel_assignment_full_probe_equals_exact(spark, emb):
+    """coarse_probe ≥ n_groups makes two-level routing exhaustive — labels
+    must equal the exact single-level argmax bit-for-bit (same dots, same
+    lowest-id tie-break)."""
+    cents = simsearch.ivf_centroids(emb, 64, seed=42)
+    ex = (
+        simsearch.assign_to_centroids(emb, cents)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    tl = (
+        simsearch.assign_to_centroids(emb, cents, mode="twolevel", coarse_probe=10**9)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ex, tl)
+
+
+def test_twolevel_assignment_agreement_and_auto_routing(spark, emb):
+    """At the default probe the approximate route must agree with exact on
+    nearly every vector, and mode='auto' must route exact below
+    min_twolevel_k (identical labels) while switching above it."""
+    cents = simsearch.ivf_centroids(emb, 64, seed=42)
+    ex = simsearch.assign_to_centroids(emb, cents).toPandas().set_index("vec_id")["centroid"]
+    tl = (
+        simsearch.assign_to_centroids(emb, cents, mode="twolevel")
+        .toPandas().set_index("vec_id")["centroid"]
+    )
+    assert (ex.sort_index() == tl.sort_index()).mean() >= 0.95
+    # auto below the k threshold = the exact path
+    auto_small = (
+        simsearch.assign_to_centroids(emb, cents, mode="auto", min_twolevel_k=256)
+        .toPandas().set_index("vec_id")["centroid"]
+    )
+    assert (ex.sort_index() == auto_small.sort_index()).all()
+
+
+def test_semantic_dedup_auto_assignment_drops_planted_twins(spark, emb):
+    """assignment='auto' above the two-level threshold must still co-route
+    near-identical pairs: every quantized twin (cosine ≈ 0.99998) must be
+    dropped, exactly as the exact-assignment baseline drops them — the
+    over-clustered regime (k=256 over 1k vectors) is the worst case for
+    routing perturbation."""
+    base = emb.select("vec_id", "embedding")
+    twins = base.select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(200)).cast("int").cast("float") / 200
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    for assignment in ("exact", "auto"):
+        res = simsearch.semantic_dedup(
+            corpus, threshold=0.99, n_centroids=256, assignment=assignment
+        ).toPandas()
+        dropped_twins = res[(res["vec_id"] >= 10_000_000) & (~res["keep"])]
+        n_base = (res["vec_id"] < 10_000_000).sum()
+        assert len(dropped_twins) == n_base, (assignment, len(dropped_twins), n_base)
+        # no base vector lost: keeps are exactly the base side
+        assert res[res["keep"]]["vec_id"].max() < 10_000_000
+
+
+def test_semantic_dedup_block_pair_path_equals_single_task_path(spark, emb):
+    """Forcing tiny pairwise blocks (32 rows over ~125-row clusters) must
+    reproduce the one-task-per-cluster drop set exactly — the block-pair
+    decomposition regroups the same dot products, it does not change them.
+    Run with planted twins so the drop set is non-trivial."""
+    base = emb.select("vec_id", "embedding")
+    twins = base.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(200)).cast("int").cast("float") / 200
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    one = (
+        simsearch.semantic_dedup(corpus, threshold=0.9, n_centroids=4)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    blocked = (
+        simsearch.semantic_dedup(corpus, threshold=0.9, n_centroids=4, pairwise_block=32)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (one["keep"] == False).sum() > 0  # noqa: E712 — non-trivial drop set
+    pd.testing.assert_frame_equal(one, blocked)
