@@ -3325,8 +3325,14 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where the miss probability is ~7e-9. A future seed/scale whose
     # organic vectors crowd the threshold would need min_bands=1 (cost:
     # candidate flood) or the oracle restricted to planted-twin pairs.
+    # materialize the quantize+union subtree ONCE: the LSH pipeline
+    # consumes the corpus several times (signatures, both verify sides,
+    # the broadcast census), and re-deriving the quantized twins per
+    # consumer dominated the sf1 wall (measured 636 s raw vs 72 s
+    # checkpointed, same result)
+    corpus = emb.unionByName(dq).localCheckpoint(eager=True)
     out = simsearch.cosine_near_duplicates_lsh(
-        emb.unionByName(dq), threshold=0.99, n_planes=240, bands=10, dim=64,
+        corpus, threshold=0.99, n_planes=240, bands=10, dim=64,
         min_bands=2,
     )
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))

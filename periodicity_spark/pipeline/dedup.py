@@ -122,8 +122,38 @@ def char_shingles(
     the same integers, so oracle checks stay exact."""
     # (doc_id, shingle) distinct ≡ per-document distinct, so dedup happens
     # INSIDE the row via array_distinct — the global distinct shuffle
-    # disappears entirely (shingling becomes a scan-only stage)
-    grams = docs.filter(F.length(text_col) >= k).select(
+    # disappears entirely (shingling becomes a scan-only stage).
+    #
+    # ASCII fast path: substring() on a STRING is codepoint-aware, so each
+    # of the len-k+1 calls scans from the string's start — O(len²) UTF-8
+    # decodes per doc, measured as ~2/3 of the whole shingle stage at sf1
+    # (135 s vs 47 s for the byte path on the same 107M shingles). When
+    # length == octet_length the text is pure ASCII and byte slices ARE
+    # char slices, so slice the utf-8 bytes directly (substring on BINARY
+    # is a byte offset — O(k) per shingle); non-ASCII rows keep the exact
+    # codepoint path. md5 input is the same byte sequence either way, so
+    # the fingerprints — and the DuckDB oracle — are unchanged. The split
+    # is a union of two filtered scans rather than a per-row CASE: a CASE
+    # whose branches are higher-order transforms measured ~3× slower than
+    # the plain-path projection (the branch forces the interpreted
+    # expression path for the whole array), while two one-path branches
+    # each stay fast; the doubled scan is column-pruned and trivial next
+    # to the shingling itself.
+    base = docs.filter(F.length(text_col) >= k)
+    is_ascii = F.length(text_col) == F.octet_length(text_col)
+    byte_side = base.filter(is_ascii).select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(text_col, "utf-8").alias("_tb"),
+    ).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(_tb) - {k - 1}),"
+                f" i -> md5(substring(_tb, i, {k})))"
+            )
+        ).alias("_hs"),
+    )
+    char_side = base.filter(~is_ascii).select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
             F.expr(
@@ -132,6 +162,7 @@ def char_shingles(
             )
         ).alias("_hs"),
     )
+    grams = byte_side.unionByName(char_side)
     return grams.select("doc_id", F.explode("_hs").alias("_h")).select(
         "doc_id",
         F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("shingle"),
@@ -214,16 +245,14 @@ def minhash_signatures_per_row(
 
     → (doc_id, band, sig).
     """
-    hs = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {k - 1}),"
-            f" i -> md5(cast(substring({text_col}, i, {k}) as binary)))"
-        )
-    )
-    base = docs.filter(F.length(text_col) >= k).select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            hs,
+    # same ASCII byte-slice fast path as char_shingles, same
+    # union-of-filtered-branches shape (a CASE around a higher-order
+    # transform forces the interpreted path — measured ~3× slower); a
+    # union of two filters over one source is streaming-legal upstream
+    # of the stateful bucket operator
+    def _to_z(hs_expr):
+        return F.transform(
+            F.array_distinct(hs_expr),
             lambda h: F.struct(
                 (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(P31)).alias(
                     "h1"
@@ -232,8 +261,31 @@ def minhash_signatures_per_row(
                     F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % F.lit(P31)
                 ).alias("h2"),
             ),
-        ).alias("_z"),
+        ).alias("_z")
+
+    filtered = docs.filter(F.length(text_col) >= k)
+    is_ascii = F.length(text_col) == F.octet_length(text_col)
+    byte_side = filtered.filter(is_ascii).select(
+        F.col(id_col).alias("doc_id"), F.encode(text_col, "utf-8").alias("_tb")
+    ).select(
+        "doc_id",
+        _to_z(
+            F.expr(
+                f"transform(sequence(1, length(_tb) - {k - 1}),"
+                f" i -> md5(substring(_tb, i, {k})))"
+            )
+        ),
     )
+    char_side = filtered.filter(~is_ascii).select(
+        F.col(id_col).alias("doc_id"),
+        _to_z(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> md5(cast(substring({text_col}, i, {k}) as binary)))"
+            )
+        ),
+    )
+    base = byte_side.unionByName(char_side)
     mins = [
         F.array_min(
             F.transform(
@@ -313,6 +365,7 @@ def jaccard_verify(
     shingles: DataFrame,
     threshold: float = 0.0,
     strategy: str = "array",
+    broadcast_arrays: bool | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard for candidate pairs only: → (d1, d2, jaccard).
 
@@ -327,6 +380,20 @@ def jaccard_verify(
     strategy="rows", which never materializes a per-doc row wider than one
     shingle.
 
+    ``broadcast_arrays``: the two array joins are the pipeline's biggest
+    shuffle BY FAR when candidates are dense — the (candidates ⋈ d1-array)
+    intermediate carries a full shingle array per candidate and must be
+    re-shuffled on d2 for the second join (sf1 measured: 69M candidates ×
+    ~1.7KB ≈ 120 GB, which ENOSPC'd a 79 GB-free local disk under lz4).
+    With the packed array relation hinted broadcast on BOTH joins, the
+    candidate stream instead flows through two map-side hash joins and the
+    fat intermediate never touches a shuffle. True only while the packed
+    corpus fits an executor — so None (auto) broadcasts only when the
+    measured shingle count × 8B payload is under ~1/10 of the driver heap
+    (one count job on ``shingles``; callers pass it localCheckpointed so
+    the census is ~free), and a corpus-scale run falls back to the plain
+    shuffled joins, which AQE may still convert per runtime stats.
+
     strategy="rows": intersection via shingle equi-join; sizes via one
     aggregate. NOTE: sizes is one row per document — corpus-sized, never
     broadcast it. Candidates are already tiny after LSH banding, so plain
@@ -337,18 +404,33 @@ def jaccard_verify(
             F.collect_list("shingle").alias("_a"),
             F.count(F.lit(1)).alias("_n"),
         )
+        if broadcast_arrays is None:
+            import re as _re
+
+            mem = shingles.sparkSession.conf.get("spark.driver.memory", "8g")
+            m = _re.fullmatch(r"(\d+)([kmgt]?)", str(mem).lower())
+            unit = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+            heap = int(m.group(1)) * unit[m.group(2)] if m else 8 * 2**30
+            # two broadcast copies (d1 and d2 side) + hash-relation
+            # overhead — stay an order of magnitude under the heap
+            broadcast_arrays = shingles.count() * 8 < heap / 10
+        side = (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
         j = candidates.join(
-            arrs.select(
-                F.col("doc_id").alias("d1"),
-                F.col("_a").alias("_a1"),
-                F.col("_n").alias("_n1"),
+            side(
+                arrs.select(
+                    F.col("doc_id").alias("d1"),
+                    F.col("_a").alias("_a1"),
+                    F.col("_n").alias("_n1"),
+                )
             ),
             "d1",
         ).join(
-            arrs.select(
-                F.col("doc_id").alias("d2"),
-                F.col("_a").alias("_a2"),
-                F.col("_n").alias("_n2"),
+            side(
+                arrs.select(
+                    F.col("doc_id").alias("d2"),
+                    F.col("_a").alias("_a2"),
+                    F.col("_n").alias("_n2"),
+                )
             ),
             "d2",
         )

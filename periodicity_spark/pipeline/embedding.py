@@ -212,14 +212,21 @@ def quantize_int8(
         & ~F.isnan(raw_scale)
         & (raw_scale != F.lit(float("inf")))
     )
-    scale = F.when(clean, raw_scale)
+    # scale becomes a REAL column before q references it: inlined, the
+    # per-element lambda re-evaluated the array_max subtree for every
+    # component — O(d²) work per vector, measured as the dominant cost of
+    # every consumer of a quantized corpus at sf1. A multi-referenced
+    # non-cheap alias is not collapsed back by CollapseProject, so the
+    # max is computed once per row.
+    with_scale = emb.withColumn("scale", F.when(clean, raw_scale))
+    s = F.col("scale")
     q = F.when(
-        scale == 0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+        s == F.lit(0.0), F.transform(x, lambda v: F.lit(0).cast("tinyint"))
     ).when(
-        clean,
+        s.isNotNull(),
         F.transform(
             x,
-            lambda v: F.round(v.cast("double") / scale * 127).cast("tinyint"),
+            lambda v: F.round(v.cast("double") / s * 127).cast("tinyint"),
         ),
     )
-    return emb.withColumn("scale", scale).withColumn(out_col, q)
+    return with_scale.withColumn(out_col, q)

@@ -846,10 +846,21 @@ def cosine_near_duplicates_lsh(
     vec_col: str = "embedding",
     max_bucket: int = 1000,
     min_bands: int = 1,
+    broadcast_vectors: bool | None = None,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup join, the corpus-scale path:
     candidates = pairs sharing ≥ ``min_bands`` (band, sig) buckets, then
     exact cosine verification ≥ threshold → (d1, d2, cosine), d1 < d2.
+
+    ``broadcast_vectors``: the verify join ships two full vectors per
+    candidate, and the (cand ⋈ d1-vector) intermediate re-shuffles on d2 —
+    the pipeline's dominant shuffle when candidates are dense (the same
+    fat-intermediate shape as ``jaccard_verify``; see its docstring).
+    None (auto) hints both vector joins broadcast when count×dim says the
+    packed corpus plus hash overhead sits an order of magnitude under the
+    driver heap — then candidates stream through two map-side hash joins
+    and the fat intermediate never touches a shuffle. Corpus-scale runs
+    fall back to plain shuffled joins (AQE may still convert at runtime).
 
     Defaults (r=8, b=8) target HIGH thresholds: at cos 0.98 a band matches
     with 0.59 → recall ≈ 1 − 0.41⁸ ≈ 0.999; at cos 0.9 recall ≈ 0.94; by
@@ -894,6 +905,17 @@ def cosine_near_duplicates_lsh(
         .filter(F.col("_nb") >= int(min_bands))
         .select("d1", "d2")
     )
+    if broadcast_vectors is None:
+        import re as _re
+
+        mem = vecs.sparkSession.conf.get("spark.driver.memory", "8g")
+        m = _re.fullmatch(r"(\d+)([kmgt]?)", str(mem).lower())
+        unit = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+        heap = int(m.group(1)) * unit[m.group(2)] if m else 8 * 2**30
+        # 2× for the hash-relation overhead + 64B/row fixed cost
+        est = vecs.count() * (dim * 8 * 2 + 64)
+        broadcast_vectors = est < heap / 10
+    side = (lambda df: F.broadcast(df)) if broadcast_vectors else (lambda df: df)
     va = vecs.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("_v1"),
@@ -905,8 +927,8 @@ def cosine_near_duplicates_lsh(
         _norm(F.col(vec_col)).alias("_n2"),
     )
     return (
-        cand.join(va, "d1")
-        .join(vb, "d2")
+        cand.join(side(va), "d1")
+        .join(side(vb), "d2")
         .select(
             "d1",
             "d2",

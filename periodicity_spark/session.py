@@ -35,6 +35,13 @@ def get_spark(app_name: str = "periodicity_spark", shuffle_partitions: int | Non
         # reads it as a long when this legacy flag is on (DuckDB truncates the
         # same column to micros — see sources/ingest.py for the alignment)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # zstd shuffle/spill compression (default lz4): the LSH verify
+        # joins shuffle candidate×shingle-array payloads that compress
+        # 2-3× better under zstd — at sf1 the dedup_minhash verify's fat
+        # intermediate ENOSPC'd a 79 GB-free disk under lz4 and fits
+        # comfortably under zstd; the CPU cost is paid only on
+        # shuffle-heavy stages, and scan-only stages are unaffected
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # scale-soak knob: selfcheck collects full results for the oracle
         # compare, and at sf1+ a wide query's result can exceed the 1g

@@ -1121,3 +1121,39 @@ def test_semantic_dedup_block_pair_path_equals_single_task_path(spark, emb):
     )
     assert (one["keep"] == False).sum() > 0  # noqa: E712 — non-trivial drop set
     pd.testing.assert_frame_equal(one, blocked)
+
+
+def test_char_shingles_ascii_fast_path_equals_codepoint_path(spark):
+    """The ASCII byte-slice branch must produce exactly the fingerprints the
+    codepoint path produces — for ASCII docs (same bytes) AND for
+    non-ASCII docs (which must route to the codepoint branch, where k
+    counts CHARS, not bytes)."""
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld ünïcode çhars"), (2, "plain ascii text block"),
+         (3, "日本語のテキストです、短い"), (4, "mixed ascii and ünïcode"),
+         (5, "ab"), (6, None), (7, "aaaaaa")],
+        "doc_id long, text string",
+    )
+    new = (
+        dedup.char_shingles(docs, k=5)
+        .toPandas().sort_values(["doc_id", "shingle"]).reset_index(drop=True)
+    )
+    # reference: the always-codepoint formulation
+    ref = (
+        docs.filter(F.length("text") >= 5)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(
+                "transform(sequence(1, length(text) - 4),"
+                " i -> md5(cast(substring(text, i, 5) as binary)))"
+            ))).alias("_h"),
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("shingle"),
+            F.conv(F.substring("_h", 16, 15), 16, 10).cast("long").alias("shingle2"),
+        )
+        .toPandas().sort_values(["doc_id", "shingle"]).reset_index(drop=True)
+    )
+    assert len(new) > 0
+    pd.testing.assert_frame_equal(new, ref)
