@@ -601,9 +601,11 @@ def semantic_dedup(
     )
     lists = assign_to_centroids(corpus, cents, id_col, vec_col, mode=mode)
     # sided feeds BOTH pairwise sides and the final keep-join; materialize
-    # it once (eager localCheckpoint, same pattern as minhash shingles) so
-    # the centroid-assignment subtree — a corpus shuffle + row_number
-    # window — executes once, not once per consumer
+    # it once (columnar persist + eager count, same pattern as minhash
+    # shingles — measured cheaper than a localCheckpoint row copy) so the
+    # centroid-assignment subtree executes once, not once per consumer
+    from pyspark import StorageLevel
+
     sided = (
         corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -611,8 +613,9 @@ def semantic_dedup(
             _norm(F.col(vec_col)).alias("_nv"),
         )
         .join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sided.count()
     # within-cluster pairwise cosine as ONE BLAS gram matrix per cluster
     # (Arrow kernel) instead of a self-join: the join's shuffle was already
     # cluster-bounded, but its n²/k cosine evaluations ran one aggregate-HOF

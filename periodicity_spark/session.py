@@ -35,13 +35,17 @@ def get_spark(app_name: str = "periodicity_spark", shuffle_partitions: int | Non
         # reads it as a long when this legacy flag is on (DuckDB truncates the
         # same column to micros — see sources/ingest.py for the alignment)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # zstd shuffle/spill compression (default lz4): the LSH verify
-        # joins shuffle candidate×shingle-array payloads that compress
-        # 2-3× better under zstd — at sf1 the dedup_minhash verify's fat
-        # intermediate ENOSPC'd a 79 GB-free disk under lz4 and fits
-        # comfortably under zstd; the CPU cost is paid only on
-        # shuffle-heavy stages, and scan-only stages are unaffected
-        .config("spark.io.compression.codec", "zstd")
+        # compression codec stays the lz4 default: a global zstd switch
+        # (tried for the LSH verify's fat shuffle) regressed every
+        # Arrow-kernel query 2-2.6× at sf0.1 (interp_smooth 4.9→11.4 s,
+        # gls_fast 3.5→8.6 s — zstd pays CPU on each small per-series
+        # shuffle block), and the broadcast verify removed the fat
+        # shuffle that motivated it. Override per-run with
+        # SPARK_IO_CODEC for disk-tight non-broadcast scale runs.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_IO_CODEC", "lz4"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # scale-soak knob: selfcheck collects full results for the oracle
         # compare, and at sf1+ a wide query's result can exceed the 1g
