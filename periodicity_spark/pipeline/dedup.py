@@ -516,7 +516,17 @@ def minhash_near_duplicates(
     sh.count()
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
-    return jaccard_verify(cand, sh, threshold=threshold)
+    # materialize the (by-construction small: verified near-dup pairs)
+    # result eagerly and RELEASE the corpus-sized shingle cache before
+    # returning — a lazy return would pin ~10 GB of cached shingles (sf1)
+    # for the session's lifetime, squeezing every later query's memory
+    # (measured in-bench: the two queries following this one ran 2.4×
+    # their isolated walls before the release). The function is therefore
+    # eager; callers composing further transforms do so on the
+    # checkpointed pair set, which is the cheap side by design.
+    out = jaccard_verify(cand, sh, threshold=threshold).localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def minhash_cap_audit(

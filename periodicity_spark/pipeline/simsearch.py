@@ -717,13 +717,21 @@ def semantic_dedup(
             .applyInPandas(_pair_drops, f"vec_id {id_dt}")
             .distinct()  # a row may be hit via several block pairs
         )
-    return (
+    # materialize the skinny (vec_id, centroid, keep) result and release
+    # the vector-carrying `sided` cache — returning lazily would pin the
+    # whole embedded corpus in storage memory for the session's lifetime
+    # (same leak-shape as the minhash shingle cache; see
+    # minhash_near_duplicates)
+    out = (
         sided.select("vec_id", "centroid")
         .join(drops.withColumn("_drop", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id", "centroid", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
         )
+        .localCheckpoint(eager=True)
     )
+    sided.unpersist()
+    return out
 
 
 def cosine_near_duplicates(
