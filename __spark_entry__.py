@@ -4709,7 +4709,9 @@ def q_semantic_auto_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     move vectors between clusters but near-identical pairs co-route).
     Rows-only: the k-means quantizer is not SQL-expressible."""
     emb = _emb(spark, sf_dir)
-    ex = simsearch.semantic_dedup(emb, threshold=0.95, n_centroids=256)
+    ex = simsearch.semantic_dedup(
+        emb, threshold=0.95, n_centroids=256, assignment="exact"
+    )
     au = simsearch.semantic_dedup(
         emb, threshold=0.95, n_centroids=256, assignment="auto"
     )

@@ -1,0 +1,91 @@
+"""Broadcast-budget estimation shared by the LSH verify joins.
+
+A broadcast hash relation is built in EVERY EXECUTOR'S heap (the driver
+only hosts the serialized torrent blocks), so the budget must key on the
+SMALLER of driver and executor memory: on a real cluster the executors
+are usually the smaller side, and sizing against the driver alone can
+pass a check that then OOMs each executor as it inflates the relation.
+Local mode is the exception — executors live inside the driver JVM, so
+``spark.executor.memory`` is ignored by Spark itself and the driver heap
+is the only heap there is.
+
+An unparseable (or absent) memory setting means the budget is UNKNOWN,
+and unknown → do not auto-broadcast: the shuffled fallback plan is
+always correct, just slower, while a wrong broadcast decision is an OOM.
+(The previous per-callsite heuristics assumed 8 GiB on a parse failure,
+which silently green-lit broadcasts on clusters configured with strings
+like ``2048mb`` that the old regex did not accept.)
+
+The payload estimate callers pass is the RAW column bytes; the broadcast
+relation costs several times that once UnsafeRow headers, the
+LongToUnsafeRowMap page array, and the in-flight serialized copy are
+counted — ``HASH_RELATION_OVERHEAD`` carries that multiplier so call
+sites state only what they know (rows × payload width).
+"""
+
+from __future__ import annotations
+
+import re
+
+# raw column bytes → resident hash-relation bytes: UnsafeRow per-field
+# headers and alignment (~2×) + the map's key/page arrays + one transient
+# serialized block while the torrent pieces are fetched
+HASH_RELATION_OVERHEAD = 3.0
+
+# stay an order of magnitude under the heap: the relation shares the heap
+# with shuffle buffers, the columnar cache, and every other operator
+SAFETY_FRACTION = 0.1
+
+_UNITS = {
+    "": 1,
+    "b": 1,
+    "k": 2**10,
+    "kb": 2**10,
+    "m": 2**20,
+    "mb": 2**20,
+    "g": 2**30,
+    "gb": 2**30,
+    "t": 2**40,
+    "tb": 2**40,
+}
+
+
+def parse_mem(s: object) -> int | None:
+    """JVM-style memory string ('8g', '2048mb', '512m', '1073741824') →
+    bytes, or None when it does not parse (callers treat None as "unknown
+    budget", never as a default size)."""
+    if s is None:
+        return None
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgt]?b?)\s*", str(s).lower())
+    if not m:
+        return None
+    return int(m.group(1)) * _UNITS[m.group(2)]
+
+
+def broadcast_budget(spark) -> int:
+    """Heap bytes available to host a broadcast relation: the driver heap
+    in local mode (executors share the driver JVM), else
+    min(driver, executor). 0 when any relevant setting is unparseable —
+    auto modes then never broadcast."""
+    drv = parse_mem(spark.conf.get("spark.driver.memory", "1g"))
+    if drv is None:
+        return 0
+    master = ""
+    try:
+        master = spark.conf.get("spark.master", "") or ""
+    except Exception:
+        pass
+    if master.startswith("local"):
+        return drv
+    exe = parse_mem(spark.conf.get("spark.executor.memory", "1g"))
+    if exe is None:
+        return 0
+    return min(drv, exe)
+
+
+def fits_broadcast(spark, payload_bytes: float, copies: int = 1) -> bool:
+    """True when ``copies`` broadcast relations of ``payload_bytes`` raw
+    column bytes each fit comfortably (overhead multiplier + safety
+    fraction) in the binding heap. False on an unknown budget."""
+    budget = broadcast_budget(spark)
+    return payload_bytes * copies * HASH_RELATION_OVERHEAD < budget * SAFETY_FRACTION

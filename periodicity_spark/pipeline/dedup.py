@@ -366,6 +366,7 @@ def jaccard_verify(
     threshold: float = 0.0,
     strategy: str = "array",
     broadcast_arrays: bool | None = None,
+    shingle_count: int | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard for candidate pairs only: → (d1, d2, jaccard).
 
@@ -388,11 +389,20 @@ def jaccard_verify(
     With the packed array relation hinted broadcast on BOTH joins, the
     candidate stream instead flows through two map-side hash joins and the
     fat intermediate never touches a shuffle. True only while the packed
-    corpus fits an executor — so None (auto) broadcasts only when the
-    measured shingle count × 8B payload is under ~1/10 of the driver heap
-    (one count job on ``shingles``; callers pass it localCheckpointed so
-    the census is ~free), and a corpus-scale run falls back to the plain
-    shuffled joins, which AQE may still convert per runtime stats.
+    corpus fits EVERY executor heap — auto (None) sizes the measured
+    shingle count × 8B payload (× both join sides × hash-relation
+    overhead) against min(driver, executor) memory via
+    ``_heap.fits_broadcast`` and broadcasts only with an order-of-
+    magnitude margin; an unparseable memory setting disables the
+    broadcast rather than assuming a size. A corpus-scale run therefore
+    takes the plain shuffled joins (the scale-safe plan, which AQE may
+    still convert per runtime stats).
+
+    NOTE auto mode is EAGER: deciding the strategy runs one count() job
+    on ``shingles``. ``minhash_near_duplicates`` passes the frame
+    persisted so the census is ~free, but a direct caller with an
+    unpersisted shingle frame pays a full scan+shingle pass — pass
+    ``shingle_count`` (or an explicit ``broadcast_arrays``) to skip it.
 
     strategy="rows": intersection via shingle equi-join; sizes via one
     aggregate. NOTE: sizes is one row per document — corpus-sized, never
@@ -405,15 +415,14 @@ def jaccard_verify(
             F.count(F.lit(1)).alias("_n"),
         )
         if broadcast_arrays is None:
-            import re as _re
+            from periodicity_spark.pipeline._heap import fits_broadcast
 
-            mem = shingles.sparkSession.conf.get("spark.driver.memory", "8g")
-            m = _re.fullmatch(r"(\d+)([kmgt]?)", str(mem).lower())
-            unit = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
-            heap = int(m.group(1)) * unit[m.group(2)] if m else 8 * 2**30
-            # two broadcast copies (d1 and d2 side) + hash-relation
-            # overhead — stay an order of magnitude under the heap
-            broadcast_arrays = shingles.count() * 8 < heap / 10
+            n_sh = shingle_count if shingle_count is not None else shingles.count()
+            # payload: one 8B hash per shingle inside its doc's packed
+            # array; two relation copies (d1 and d2 join sides)
+            broadcast_arrays = fits_broadcast(
+                shingles.sparkSession, n_sh * 8, copies=2
+            )
         side = (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
         j = candidates.join(
             side(
@@ -513,7 +522,7 @@ def minhash_near_duplicates(
     sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh.count()
+    n_sh = sh.count()
     sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
     # materialize the (by-construction small: verified near-dup pairs)
@@ -524,7 +533,9 @@ def minhash_near_duplicates(
     # their isolated walls before the release). The function is therefore
     # eager; callers composing further transforms do so on the
     # checkpointed pair set, which is the cheap side by design.
-    out = jaccard_verify(cand, sh, threshold=threshold).localCheckpoint(eager=True)
+    out = jaccard_verify(
+        cand, sh, threshold=threshold, shingle_count=n_sh
+    ).localCheckpoint(eager=True)
     sh.unpersist()
     return out
 
@@ -765,11 +776,18 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    # probe with a LIMIT one past the fallback threshold instead of
+    # collecting the full over-cap set: at corpus scale the set is
+    # O(n_bands·n_docs/max_bucket) rows (millions at 1B docs), and an
+    # unbounded collect could strain the driver before the degenerate-
+    # fallback guard it feeds ever triggers. ≤20k rows back means the
+    # probe IS the complete set; 20,001 means punt to distinct().
     capped_rows = (
         banded.groupBy("band", "val")
         .agg(F.count(F.lit(1)).alias("_bn"))
         .filter(F.col("_bn") > max_bucket)
         .select("band", "val")
+        .limit(20_001)
         .collect()
     )
     if len(capped_rows) > 20_000:

@@ -387,6 +387,12 @@ def assign_to_centroids(
     break to the lowest fine centroid id, matching exact."""
     import numpy as np
 
+    if mode not in ("exact", "twolevel", "auto"):
+        # a typo ('two-level', 'Auto') must not silently select the
+        # exact path — that defeats the scale fix with zero signal
+        raise ValueError(
+            f"assign_to_centroids mode must be 'exact', 'twolevel' or 'auto', got {mode!r}"
+        )
     C = np.asarray(cents, dtype=float)
     id_type = corpus.schema[id_col].dataType.simpleString()
     if C.size == 0:
@@ -539,7 +545,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_cluster_size: int = 1024,
-    assignment: str = "exact",
+    assignment: str = "auto",
     pairwise_block: int = 8192,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
@@ -590,11 +596,19 @@ def semantic_dedup(
       cluster); near-dup PAIRS survive routing perturbations because
       near-identical vectors route near-identically, and the
       planted-twin gate plus an exact-vs-auto agreement test pin that.
-      "exact" stays the default and the correctness baseline."""
+      "auto" is the DEFAULT so the path a corpus-scale run takes is the
+      path every registered query and soak exercises (below k=256 auto
+      IS exact, so small-corpus results are bit-identical either way);
+      pass assignment="exact" for the always-exact correctness
+      baseline."""
+    if assignment not in ("exact", "twolevel", "auto"):
+        raise ValueError(
+            f"semantic_dedup assignment must be 'exact', 'twolevel' or 'auto', got {assignment!r}"
+        )
     corpus = _finite_rows(corpus, vec_col)
     if n_centroids is None:
         n_centroids = int(min(4096, max(16, corpus.count() // target_cluster_size)))
-    mode = "auto" if assignment == "auto" else assignment
+    mode = assignment
     cents = ivf_centroids(
         corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col,
         assign_mode=mode,
@@ -858,6 +872,7 @@ def cosine_near_duplicates_lsh(
     max_bucket: int = 1000,
     min_bands: int = 1,
     broadcast_vectors: bool | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate embedding-cosine near-dup join, the corpus-scale path:
     candidates = pairs sharing ≥ ``min_bands`` (band, sig) buckets, then
@@ -867,11 +882,16 @@ def cosine_near_duplicates_lsh(
     candidate, and the (cand ⋈ d1-vector) intermediate re-shuffles on d2 —
     the pipeline's dominant shuffle when candidates are dense (the same
     fat-intermediate shape as ``jaccard_verify``; see its docstring).
-    None (auto) hints both vector joins broadcast when count×dim says the
-    packed corpus plus hash overhead sits an order of magnitude under the
-    driver heap — then candidates stream through two map-side hash joins
-    and the fat intermediate never touches a shuffle. Corpus-scale runs
-    fall back to plain shuffled joins (AQE may still convert at runtime).
+    None (auto) hints both vector joins broadcast when count×dim (× both
+    sides × hash-relation overhead, via ``_heap.fits_broadcast``) sits an
+    order of magnitude under min(driver, executor) memory — then
+    candidates stream through two map-side hash joins and the fat
+    intermediate never touches a shuffle. Corpus-scale runs fall back to
+    plain shuffled joins (AQE may still convert at runtime); an
+    unparseable memory setting means fall back, never assume a size.
+    NOTE auto runs one count() job on ``vecs`` — a direct caller with an
+    unmaterialized input pays its subtree twice; pass ``n_vectors`` (or
+    an explicit ``broadcast_vectors``) to skip the census.
 
     Defaults (r=8, b=8) target HIGH thresholds: at cos 0.98 a band matches
     with 0.59 → recall ≈ 1 − 0.41⁸ ≈ 0.999; at cos 0.9 recall ≈ 0.94; by
@@ -917,15 +937,14 @@ def cosine_near_duplicates_lsh(
         .select("d1", "d2")
     )
     if broadcast_vectors is None:
-        import re as _re
+        from periodicity_spark.pipeline._heap import fits_broadcast
 
-        mem = vecs.sparkSession.conf.get("spark.driver.memory", "8g")
-        m = _re.fullmatch(r"(\d+)([kmgt]?)", str(mem).lower())
-        unit = {"": 1, "k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
-        heap = int(m.group(1)) * unit[m.group(2)] if m else 8 * 2**30
-        # 2× for the hash-relation overhead + 64B/row fixed cost
-        est = vecs.count() * (dim * 8 * 2 + 64)
-        broadcast_vectors = est < heap / 10
+        n_v = n_vectors if n_vectors is not None else vecs.count()
+        # payload: the vector doubles + norm + id per row; two relation
+        # copies (d1 and d2 join sides)
+        broadcast_vectors = fits_broadcast(
+            vecs.sparkSession, n_v * (dim * 8 + 64), copies=2
+        )
     side = (lambda df: F.broadcast(df)) if broadcast_vectors else (lambda df: df)
     va = vecs.select(
         F.col(id_col).alias("d1"),
