@@ -17,10 +17,21 @@ which silently green-lit broadcasts on clusters configured with strings
 like ``2048mb`` that the old regex did not accept.)
 
 The payload estimate callers pass is the RAW column bytes; the broadcast
-relation costs several times that once UnsafeRow headers, the
+relation costs more than that once UnsafeRow headers, the
 LongToUnsafeRowMap page array, and the in-flight serialized copy are
 counted — ``HASH_RELATION_OVERHEAD`` carries that multiplier so call
 sites state only what they know (rows × payload width).
+
+Constants are CALIBRATED against a measured working point, not guessed:
+the sf5 minhash verify broadcast (2×4.28 GB raw packed-array payload)
+ran clean in a 48 GiB heap with ~11 GB resident, i.e. a true per-copy
+overhead of ~1.3× and ~23% of heap used at peak. OVERHEAD=2.0 and
+FRACTION=0.25 keep ≈3× headroom from that observed point (approve only
+what would project to ≤ an eighth of the heap at the measured 1.3×),
+while not refusing configurations the box demonstrably executes —
+over-strict constants silently push scale runs onto the shuffled
+fallback, whose disk footprint is the thing that actually kills
+single-box soaks.
 """
 
 from __future__ import annotations
@@ -28,13 +39,15 @@ from __future__ import annotations
 import re
 
 # raw column bytes → resident hash-relation bytes: UnsafeRow per-field
-# headers and alignment (~2×) + the map's key/page arrays + one transient
-# serialized block while the torrent pieces are fetched
-HASH_RELATION_OVERHEAD = 3.0
+# headers and alignment + the map's key/page arrays + one transient
+# serialized block while the torrent pieces are fetched (measured ~1.3×
+# on the packed-array relation; 2.0 covers narrower rows, whose fixed
+# per-row cost weighs more)
+HASH_RELATION_OVERHEAD = 2.0
 
-# stay an order of magnitude under the heap: the relation shares the heap
-# with shuffle buffers, the columnar cache, and every other operator
-SAFETY_FRACTION = 0.1
+# the relation shares the heap with shuffle buffers, the columnar cache,
+# and every other operator — cap all broadcast copies at a quarter of it
+SAFETY_FRACTION = 0.25
 
 _UNITS = {
     "": 1,
