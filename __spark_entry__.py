@@ -2245,6 +2245,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", "jaccard")
 
 
+def q_dedup_minhash_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME minhash pipeline forced onto the verify join's shuffled
+    fallback plan (broadcast_arrays=False) — the physical strategy a
+    multi-executor cluster takes when the packed shingle corpus exceeds
+    executor heaps (pipeline/dedup.py jaccard_verify). Shares the oracle
+    with dedup_minhash, so the driver proves broadcast-on ≡ shuffled
+    every round at every SF it runs, not just in a one-off differential."""
+    return dedup.minhash_near_duplicates(
+        _docs(spark, sf_dir), k=5, n_hashes=16, r=4, threshold=0.4,
+        broadcast_arrays=False,
+    ).select("d1", "d2", "jaccard")
+
+
 # minhash oracle mirrors the engine exactly: two 60-bit md5-half ints per
 # shingle, 16 2D-affine permutations mod 2^31−1 from the shared constants
 _MH_CONSTS = dedup.minhash_perm_consts(16)
@@ -3334,6 +3347,32 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = simsearch.cosine_near_duplicates_lsh(
         corpus, threshold=0.99, n_planes=240, bands=10, dim=64,
         min_bands=2,
+    )
+    return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+
+
+def q_cosine_neardup_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cosine_neardup's quantized-twin corpus through the verify join's
+    shuffled fallback plan (broadcast_vectors=False) — the strategy a
+    cluster takes when the vector relation exceeds executor heaps. Same
+    oracle as cosine_neardup: the driver proves the two physical plans
+    agree at every SF it runs."""
+    from periodicity_spark.pipeline import embedding as emb_ops
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = emb_ops.quantize_int8(emb).filter(F.col("scale").isNotNull())
+    dq = q.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.transform(
+            "qvec", lambda v: v.cast("double") / F.lit(127.0) * F.col("scale")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(dq).localCheckpoint(eager=True)
+    out = simsearch.cosine_near_duplicates_lsh(
+        corpus, threshold=0.99, n_planes=240, bands=10, dim=64,
+        min_bands=2, broadcast_vectors=False,
     )
     return out.select("d1", "d2", F.round("cosine", 6).alias("cosine"))
 
@@ -5402,6 +5441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_fallback": q_dedup_minhash_fallback,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,
         "cross_dup": q_cross_dup,
@@ -5482,6 +5522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_embed": q_pca_embed,
         "semantic_dedup": q_semantic_dedup,
         "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_fallback": q_cosine_neardup_fallback,
         "ngram_jaccard": q_ngram_jaccard,
         "psort_by_prominence": q_psort_by_prominence,
         "pg_stats": q_pg_stats,
@@ -5564,6 +5605,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json": SQL_EVENTS_JSON,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_minhash": SQL_DEDUP_MINHASH,
+        "dedup_minhash_fallback": SQL_DEDUP_MINHASH,
         "dedup_components": SQL_DEDUP_COMPONENTS,
         "dedup_keep": SQL_DEDUP_KEEP,
         "cross_dup": SQL_CROSS_DUP,
@@ -5618,6 +5660,7 @@ def oracle_sql() -> dict[str, str]:
         "tf_downsample": SQL_TF_DOWNSAMPLE,
         "interp_nearest": SQL_INTERP_NEAREST,
         "cosine_neardup": SQL_COSINE_NEARDUP,
+        "cosine_neardup_fallback": SQL_COSINE_NEARDUP,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "acf_fft": SQL_ACF_FFT,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,

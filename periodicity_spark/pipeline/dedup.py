@@ -502,12 +502,17 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1000,
+    broadcast_arrays: bool | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
     → (d1, d2, jaccard ≥ threshold).
 
     Over-cap bucket drops are silent in the pair output; audit them with
-    ``minhash_cap_audit`` at the same (k, n_hashes, r, max_bucket)."""
+    ``minhash_cap_audit`` at the same (k, n_hashes, r, max_bucket).
+    ``broadcast_arrays`` forwards to ``jaccard_verify`` — None (default)
+    auto-sizes the verify join; False forces the shuffled fallback plan
+    (the branch a multi-executor cluster takes when the packed corpus
+    exceeds executor heaps)."""
     docs = _spread_single_split(docs)
     # the shingle set feeds signatures AND both sides of the verify join —
     # persist + an eager count materializes it once, in the COLUMNAR
@@ -534,7 +539,11 @@ def minhash_near_duplicates(
     # eager; callers composing further transforms do so on the
     # checkpointed pair set, which is the cheap side by design.
     out = jaccard_verify(
-        cand, sh, threshold=threshold, shingle_count=n_sh
+        cand,
+        sh,
+        threshold=threshold,
+        broadcast_arrays=broadcast_arrays,
+        shingle_count=n_sh,
     ).localCheckpoint(eager=True)
     sh.unpersist()
     return out
