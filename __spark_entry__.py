@@ -3387,7 +3387,7 @@ quant AS (
          list_max(list_transform(v, x -> abs(x))) AS scale
   FROM base
 ),
-corpus AS (
+corpus0 AS (
   SELECT vec_id, v FROM base
   UNION ALL
   SELECT vec_id + 10000000 AS vec_id,
@@ -3396,11 +3396,15 @@ corpus AS (
          END AS v
   FROM quant WHERE isfinite(scale)
 ),
+-- hoist the norm OUT of the O(n^2) join: computing sqrt(v.v) for both
+-- sides per PAIR tripled the all-pairs work (3 dot products/pair); at
+-- sf1 that is the difference between ~30 and ~90+ minutes of oracle
+corpus AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus0
+),
 p AS (
   SELECT a.vec_id AS d1, b.vec_id AS d2,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-           AS cosine
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
   FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 )
 SELECT d1, d2, round(cosine, 6) AS cosine
