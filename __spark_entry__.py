@@ -3841,14 +3841,20 @@ def q_cosine_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pipeline.simsearch.cosine_lsh_cap_audit at the registered
     cosine_neardup pipeline's exact corpus and parameters (emb ∪ its
     int8-quantized twin, n_planes=240, bands=10, max_bucket=1000): the
-    invariant row (capped_buckets=0, capped_sig_rows=0) asserting that
-    NOTHING is silently capped at driver SFs — the regime the round-7
-    soak incident (r=16 dense buckets eating 33/500k planted twins)
-    would have flipped red. max_bucket_seen is deliberately NOT
-    projected here: the sign-hash signatures come from a seeded NumPy
-    hyperplane draw with no SQL twin, so only the zero-cap invariant is
-    oracle-expressible; the full three-column audit stays available as
-    the library function."""
+    over-cap tally (capped_buckets, capped_sig_rows). The oracle is a
+    FULL SQL TWIN at any cap state (not the r9 zero-capped invariant,
+    which the sf1 soak proved data-dependent — the regenerated sf1
+    corpus has 13 over-cap cluster-core buckets): the seeded hyperplane
+    matrix is a deterministic numpy draw, so the oracle embeds it as a
+    240×64 VALUES literal and recomputes sig = Σ 2^bit·[v·plane > 0] per
+    band in SQL. The only cross-engine hazard is a dot product landing
+    within float rounding of 0 (BLAS vs sequential summation order);
+    with |dot| ~ O(1) over 2.4e8 dots at sf1 the flip probability is
+    ~1e-7 per corpus — and the compare is exact integers, so a flake
+    would be loud, not silent. max_bucket_seen is still not projected
+    (one changed bucket count would flip it; the tally is the stable
+    contract). The full three-column audit stays available as the
+    library function."""
     from periodicity_spark.pipeline import embedding as emb_ops
 
     emb = _emb(spark, sf_dir).select(
@@ -3870,8 +3876,57 @@ def q_cosine_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_COSINE_CAP_AUDIT = """
-SELECT 0::BIGINT AS capped_buckets, 0::BIGINT AS capped_sig_rows
+def _cosine_plane_values(n_planes: int = 240, bands: int = 10, dim: int = 64, seed: int = 42) -> str:
+    """The registered cosine pipeline's hyperplane matrix as a DuckDB
+    VALUES literal (band, weight, plane) — the SAME deterministic draw as
+    simsearch.hyperplane_band_signatures (numpy default_rng(seed)
+    .standard_normal, stream-stable across numpy versions), so the audit
+    oracle recomputes the engine's signatures rather than asserting an
+    invariant about them. repr() round-trips doubles exactly."""
+    import numpy as _np
+
+    planes = _np.random.default_rng(seed).standard_normal((n_planes, dim))
+    r = n_planes // bands
+    rows = []
+    for i in range(n_planes):
+        vec = "[" + ",".join(repr(float(x)) for x in planes[i]) + "]"
+        rows.append(f"({i // r}, {1 << (i % r)}::BIGINT, {vec}::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+SQL_COSINE_CAP_AUDIT = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS scale
+  FROM base
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0::DOUBLE)
+              ELSE list_transform(v, x -> round(x / scale * 127) / 127.0 * scale)
+         END AS v
+  FROM quant WHERE isfinite(scale)
+),
+planes(band, w, p) AS (VALUES {_cosine_plane_values()}),
+sig AS (
+  SELECT c.vec_id, pl.band,
+         sum(CASE WHEN list_dot_product(c.v, pl.p) > 0 THEN pl.w ELSE 0 END) AS sig
+  FROM corpus c CROSS JOIN planes pl
+  WHERE c.v IS NOT NULL AND len(c.v) = 64
+  GROUP BY c.vec_id, pl.band
+),
+buckets AS (
+  SELECT band, sig, count(*) AS n FROM sig GROUP BY band, sig
+)
+SELECT coalesce(sum(CASE WHEN n > 1000 THEN 1 END), 0)::BIGINT AS capped_buckets,
+       coalesce(sum(CASE WHEN n > 1000 THEN n END), 0)::BIGINT AS capped_sig_rows
+FROM buckets
 """
 
 

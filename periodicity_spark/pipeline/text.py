@@ -184,8 +184,19 @@ def winnow_fingerprints(
     zero shuffles, no per-row Python, and bit-identical integer math to
     the DuckDB oracle (modular congruence makes the vectorized polynomial
     equal to the per-step-mod recurrence). Scales as a map over document
-    batches — the 100 TB cost profile of a scan."""
+    batches — the 100 TB cost profile of a scan.
+
+    Small-split guard: a corpus that arrives in fewer parquet splits than
+    the cluster has cores (one 60 MB file at soak scale) would run the
+    whole kernel on a handful of tasks — the same hazard
+    ``minhash_near_duplicates`` guards, so the same
+    ``_spread_single_split`` is applied (no-op whenever the scan already
+    fans out)."""
     import re
+
+    from periodicity_spark.pipeline.dedup import _spread_single_split
+
+    docs = _spread_single_split(docs)
 
     B, M, kk, ww = WINNOW_BASE, WINNOW_MOD, k, window
     idc, txc = id_col, text_col

@@ -46,7 +46,20 @@ def main() -> int:
         if not os.path.exists(res_path):
             print(f"missing {res_path}", file=sys.stderr)
             return 1
-        results = json.load(open(res_path))
+        # the soak flushes one JSON LINE per verdict (append-only, survives
+        # kills); a rerun appends a newer line — keep the LATEST per query
+        results: dict = {}
+        with open(res_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if "query" in rec:
+                    q = rec.pop("query")
+                    results[q] = rec
+                else:  # pre-r9 blob format
+                    results.update(rec.get("results", {}))
         counts = {"ok": 0, "rows-only": 0, "fail": 0}
         for rec in results.values():
             counts[rec.get("status", "fail")] = counts.get(rec.get("status", "fail"), 0) + 1
