@@ -106,39 +106,32 @@ def minhash_perm_consts(n_hashes: int) -> list[tuple[int, int, int]]:
     ]
 
 
-def char_shingles(
-    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+def _shingle_hex_arrays(
+    docs: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Distinct character k-grams per doc, HASHED at the source: → (doc_id,
-    shingle BIGINT, shingle2 BIGINT) — two independent 60-bit integers from
-    the k-gram's md5 halves (hex chars 1-15 and 16-30). Docs shorter than k
-    are dropped (they have no k-shingle).
+    """Per-doc DISTINCT k-gram md5 hex arrays: → (doc_id, _hs array<string>).
+    Shared front of every shingle representation (exploded and packed) so
+    the fingerprints — and the DuckDB oracle — come from ONE spelling.
 
-    Hashing before the distinct keeps every downstream shuffle (distinct,
-    signature agg, verify joins) on 8-byte ints instead of text — at corpus
-    scale that is most of the dedup shuffle volume. ``shingle`` alone is the
-    join identity (collisions ~n²/2⁶⁰); ``shingle2`` exists so the minhash
-    permutations have a second independent coordinate. Both engines derive
-    the same integers, so oracle checks stay exact."""
-    # (doc_id, shingle) distinct ≡ per-document distinct, so dedup happens
-    # INSIDE the row via array_distinct — the global distinct shuffle
-    # disappears entirely (shingling becomes a scan-only stage).
-    #
-    # ASCII fast path: substring() on a STRING is codepoint-aware, so each
-    # of the len-k+1 calls scans from the string's start — O(len²) UTF-8
-    # decodes per doc, measured as ~2/3 of the whole shingle stage at sf1
-    # (135 s vs 47 s for the byte path on the same 107M shingles). When
-    # length == octet_length the text is pure ASCII and byte slices ARE
-    # char slices, so slice the utf-8 bytes directly (substring on BINARY
-    # is a byte offset — O(k) per shingle); non-ASCII rows keep the exact
-    # codepoint path. md5 input is the same byte sequence either way, so
-    # the fingerprints — and the DuckDB oracle — are unchanged. The split
-    # is a union of two filtered scans rather than a per-row CASE: a CASE
-    # whose branches are higher-order transforms measured ~3× slower than
-    # the plain-path projection (the branch forces the interpreted
-    # expression path for the whole array), while two one-path branches
-    # each stay fast; the doubled scan is column-pruned and trivial next
-    # to the shingling itself.
+    (doc_id, shingle) distinct ≡ per-document distinct, so dedup happens
+    INSIDE the row via array_distinct — no global distinct shuffle ever
+    exists (shingling is a scan-only stage). Docs shorter than k are
+    dropped (they have no k-shingle).
+
+    ASCII fast path: substring() on a STRING is codepoint-aware, so each
+    of the len-k+1 calls scans from the string's start — O(len²) UTF-8
+    decodes per doc, measured as ~2/3 of the whole shingle stage at sf1
+    (135 s vs 47 s for the byte path on the same 107M shingles). When
+    length == octet_length the text is pure ASCII and byte slices ARE
+    char slices, so slice the utf-8 bytes directly (substring on BINARY
+    is a byte offset — O(k) per shingle); non-ASCII rows keep the exact
+    codepoint path. md5 input is the same byte sequence either way, so
+    the fingerprints are unchanged. The split is a union of two filtered
+    scans rather than a per-row CASE: a CASE whose branches are
+    higher-order transforms measured ~3× slower than the plain-path
+    projection (the branch forces the interpreted expression path for
+    the whole array), while two one-path branches each stay fast; the
+    doubled scan is column-pruned and trivial next to the shingling."""
     base = docs.filter(F.length(text_col) >= k)
     is_ascii = F.length(text_col) == F.octet_length(text_col)
     byte_side = base.filter(is_ascii).select(
@@ -162,11 +155,61 @@ def char_shingles(
             )
         ).alias("_hs"),
     )
-    grams = byte_side.unionByName(char_side)
+    return byte_side.unionByName(char_side)
+
+
+def char_shingles(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct character k-grams per doc, HASHED at the source: → (doc_id,
+    shingle BIGINT, shingle2 BIGINT) — two independent 60-bit integers from
+    the k-gram's md5 halves (hex chars 1-15 and 16-30). Docs shorter than k
+    are dropped (they have no k-shingle).
+
+    Hashing before the distinct keeps every downstream shuffle (distinct,
+    signature agg, verify joins) on 8-byte ints instead of text — at corpus
+    scale that is most of the dedup shuffle volume. ``shingle`` alone is the
+    join identity (collisions ~n²/2⁶⁰); ``shingle2`` exists so the minhash
+    permutations have a second independent coordinate. Both engines derive
+    the same integers, so oracle checks stay exact.
+
+    This is the EXPLODED representation (one row per (doc, shingle)) —
+    what the ``strategy="rows"`` verify join and the per-shingle oracle
+    SQL consume. The LSH pipeline itself uses ``char_shingles_packed``,
+    which never explodes and therefore never re-groups."""
+    grams = _shingle_hex_arrays(docs, k, text_col, id_col)
     return grams.select("doc_id", F.explode("_hs").alias("_h")).select(
         "doc_id",
         F.conv(F.substring("_h", 1, 15), 16, 10).cast("long").alias("shingle"),
         F.conv(F.substring("_h", 16, 15), 16, 10).cast("long").alias("shingle2"),
+    )
+
+
+def char_shingles_packed(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The per-document shingle SET as one packed row: → (doc_id,
+    sh array<struct<s1 BIGINT, s2 BIGINT>>), same md5-half integers as
+    ``char_shingles`` (s1 = shingle, s2 = shingle2; asserted equal in
+    tests).
+
+    Zero shuffles — the distinct is in-row and nothing explodes. This
+    matters because the shingle set is BORN per-document: exploding it to
+    107M rows (sf1) only to re-group twice downstream (the signature
+    aggregate and the verify join's collect_list) paid two full corpus
+    shuffles plus a corpus-sized exploded persist for a grouping the data
+    already had. Signatures read this via in-row array mins
+    (``minhash_signatures_from_packed``) and the verify join projects
+    ``transform(sh, z -> z.s1)`` — the LSH bucket equi-join becomes the
+    pipeline's ONLY corpus shuffle."""
+    grams = _shingle_hex_arrays(docs, k, text_col, id_col)
+    return grams.select(
+        "doc_id",
+        F.expr(
+            "transform(_hs, h -> struct("
+            "cast(conv(substring(h, 1, 15), 16, 10) as bigint) as s1, "
+            "cast(conv(substring(h, 16, 15), 16, 10) as bigint) as s2))"
+        ).alias("sh"),
     )
 
 
@@ -222,6 +265,32 @@ def minhash_signatures(
     return _band_stack(wide, n_hashes // r, r)
 
 
+def minhash_signatures_from_packed(
+    packed: DataFrame, n_hashes: int = 16, r: int = 4
+) -> DataFrame:
+    """Banded MinHash signatures from a ``char_shingles_packed`` frame —
+    the n_hashes affine min-reductions and the band md5s all happen inside
+    array higher-order functions, so the stage is a pure stateless
+    projection over the packed rows (no shuffle at all; compare the
+    aggregate path's full corpus groupBy). Bit-identical to
+    ``minhash_signatures(char_shingles(...))`` (asserted in tests): same
+    md5-half base hashes, same permutation constants, same comma-joined
+    band encoding. → (doc_id, band, sig)."""
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda z: _affine_perm(
+                    z["s1"] % F.lit(P31), z["s2"] % F.lit(P31), a, b, c
+                ),
+            )
+        ).alias(f"_m{i}")
+        for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
+    ]
+    wide = packed.select("doc_id", *mins)
+    return _band_stack(wide, n_hashes // r, r)
+
+
 def minhash_signatures_per_row(
     docs: DataFrame,
     k: int = 5,
@@ -233,69 +302,25 @@ def minhash_signatures_per_row(
     """Banded MinHash signatures computed entirely IN-ROW — the shingle
     set, the n_hashes affine min-reductions, and the band md5s all happen
     inside array higher-order functions, so the stage is a pure stateless
-    projection. Bit-identical to ``minhash_signatures(char_shingles(...))``
-    (asserted in tests): same md5-half base hashes, same permutation
-    constants, same comma-joined band encoding.
+    projection (``char_shingles_packed`` ∘
+    ``minhash_signatures_from_packed``). Bit-identical to
+    ``minhash_signatures(char_shingles(...))`` (asserted in tests).
 
     This is the STREAMING-compatible signature path: a stream cannot chain
     the per-doc groupBy aggregate in front of a stateful bucket operator
-    (two stateful stages), but a projection can feed one. Batch callers
-    keep ``char_shingles`` + ``minhash_signatures`` because the exploded
-    shingle table is reused by the verify join.
+    (two stateful stages), but a projection can feed one — the packed
+    frame is a union of two filtered projections over one source, which
+    is streaming-legal upstream of the stateful bucket operator. It is
+    also the batch pipeline's path (``minhash_near_duplicates`` persists
+    the packed frame and derives signatures and verify arrays from it).
 
     → (doc_id, band, sig).
     """
-    # same ASCII byte-slice fast path as char_shingles, same
-    # union-of-filtered-branches shape (a CASE around a higher-order
-    # transform forces the interpreted path — measured ~3× slower); a
-    # union of two filters over one source is streaming-legal upstream
-    # of the stateful bucket operator
-    def _to_z(hs_expr):
-        return F.transform(
-            F.array_distinct(hs_expr),
-            lambda h: F.struct(
-                (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(P31)).alias(
-                    "h1"
-                ),
-                (
-                    F.conv(F.substring(h, 16, 15), 16, 10).cast("long") % F.lit(P31)
-                ).alias("h2"),
-            ),
-        ).alias("_z")
-
-    filtered = docs.filter(F.length(text_col) >= k)
-    is_ascii = F.length(text_col) == F.octet_length(text_col)
-    byte_side = filtered.filter(is_ascii).select(
-        F.col(id_col).alias("doc_id"), F.encode(text_col, "utf-8").alias("_tb")
-    ).select(
-        "doc_id",
-        _to_z(
-            F.expr(
-                f"transform(sequence(1, length(_tb) - {k - 1}),"
-                f" i -> md5(substring(_tb, i, {k})))"
-            )
-        ),
+    return minhash_signatures_from_packed(
+        char_shingles_packed(docs, k=k, text_col=text_col, id_col=id_col),
+        n_hashes=n_hashes,
+        r=r,
     )
-    char_side = filtered.filter(~is_ascii).select(
-        F.col(id_col).alias("doc_id"),
-        _to_z(
-            F.expr(
-                f"transform(sequence(1, length({text_col}) - {k - 1}),"
-                f" i -> md5(cast(substring({text_col}, i, {k}) as binary)))"
-            )
-        ),
-    )
-    base = byte_side.unionByName(char_side)
-    mins = [
-        F.array_min(
-            F.transform(
-                F.col("_z"), lambda z: _affine_perm(z["h1"], z["h2"], a, b, c)
-            )
-        ).alias(f"_m{i}")
-        for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
-    ]
-    wide = base.select("doc_id", *mins)
-    return _band_stack(wide, n_hashes // r, r)
 
 
 def lsh_cap_audit(signatures: DataFrame, max_bucket: int = 1000) -> DataFrame:
@@ -362,11 +387,12 @@ def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFr
 
 def jaccard_verify(
     candidates: DataFrame,
-    shingles: DataFrame,
+    shingles: DataFrame | None,
     threshold: float = 0.0,
     strategy: str = "array",
     broadcast_arrays: bool | None = None,
     shingle_count: int | None = None,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """True n-gram Jaccard for candidate pairs only: → (d1, d2, jaccard).
 
@@ -408,12 +434,27 @@ def jaccard_verify(
     aggregate. NOTE: sizes is one row per document — corpus-sized, never
     broadcast it. Candidates are already tiny after LSH banding, so plain
     shuffle joins (or AQE's own broadcast decision when a side proves
-    small) are the scale-safe plan."""
+    small) are the scale-safe plan.
+
+    ``arrays``: a pre-packed (doc_id, _a array<long>, _n int) relation —
+    e.g. projected from ``char_shingles_packed`` — used verbatim as the
+    array join side, skipping the collect_list groupBy entirely (the data
+    was never exploded, so there is nothing to re-group). ``shingle_count``
+    (or an explicit ``broadcast_arrays``) is then required for auto mode:
+    with no exploded frame there is nothing cheap to count."""
     if strategy == "array":
-        arrs = shingles.groupBy("doc_id").agg(
-            F.collect_list("shingle").alias("_a"),
-            F.count(F.lit(1)).alias("_n"),
-        )
+        if arrays is not None:
+            arrs = arrays
+            if broadcast_arrays is None and shingle_count is None:
+                raise ValueError(
+                    "jaccard_verify(arrays=...) auto mode needs shingle_count"
+                    " (or pass broadcast_arrays explicitly)"
+                )
+        else:
+            arrs = shingles.groupBy("doc_id").agg(
+                F.collect_list("shingle").alias("_a"),
+                F.count(F.lit(1)).alias("_n"),
+            )
         if broadcast_arrays is None:
             from periodicity_spark.pipeline._heap import fits_broadcast
 
@@ -421,7 +462,7 @@ def jaccard_verify(
             # payload: one 8B hash per shingle inside its doc's packed
             # array; two relation copies (d1 and d2 join sides)
             broadcast_arrays = fits_broadcast(
-                shingles.sparkSession, n_sh * 8, copies=2
+                arrs.sparkSession, n_sh * 8, copies=2
             )
         side = (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
         j = candidates.join(
@@ -515,37 +556,61 @@ def minhash_near_duplicates(
     exceeds executor heaps)."""
     docs = _spread_single_split(docs)
     # the shingle set feeds signatures AND both sides of the verify join —
-    # persist + an eager count materializes it once, in the COLUMNAR
-    # compressed cache (a localCheckpoint here wrote 107M rows as RDD row
-    # copies: 236 s vs 125 s for persist+warm at sf1, same re-read speed).
-    # Lineage is shallow (scan + shingle transform), so eviction under
-    # memory pressure recomputes instead of failing; the entry persists
-    # for the lifetime of the returned lazy plan, LRU-evicted like any
-    # cache entry.
+    # persist the PACKED per-doc representation (one array row per doc)
+    # and derive everything from it in-row: signatures via array mins,
+    # verify arrays via transform(sh, z -> z.s1). The former exploded
+    # pipeline persisted 107M (doc, shingle) rows at sf1 and then paid two
+    # full corpus groupBy shuffles to rebuild the per-doc grouping the
+    # data was born with (signature aggregate + verify collect_list);
+    # packed, the LSH bucket equi-join is the only corpus shuffle left.
+    # Lineage is shallow (scan + shingle transform), so cache eviction
+    # under memory pressure recomputes instead of failing.
     from pyspark import StorageLevel
 
-    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    packed = char_shingles_packed(
+        docs, k=k, text_col=text_col, id_col=id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one materializing pass also measures the shingle census the
+    # broadcast-sizing heuristic needs (no separate count job)
+    n_sh = (packed.agg(F.sum(F.size("sh"))).first()[0]) or 0
+    # signatures: explode FROM THE CACHE into the codegen aggregate rather
+    # than in-row array mins — higher-order lambdas are interpreted
+    # per-element and measured 10× slower on the same cache (34.2 s vs
+    # 3.5 s over 107M shingles at sf1); the explode is a zero-copy
+    # columnar read and map-side combine collapses the groupBy shuffle to
+    # one 16-int row per doc before it moves. The in-row path
+    # (``minhash_signatures_from_packed``) remains the STREAMING
+    # formulation, where a pre-bucket aggregate is illegal.
+    exploded = packed.select("doc_id", F.explode("sh").alias("_z")).select(
+        "doc_id",
+        F.col("_z.s1").alias("shingle"),
+        F.col("_z.s2").alias("shingle2"),
     )
-    n_sh = sh.count()
-    sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
+    sig = minhash_signatures(exploded, n_hashes=n_hashes, r=r)
     cand = lsh_candidate_pairs(sig, max_bucket=max_bucket)
+    # the verify's array side also comes from the exploded-from-cache
+    # frame: its collect_list groupBy is whole-stage codegen (1.6 s over
+    # 107M cached shingles at sf1), where projecting the packed arrays via
+    # transform(sh, z -> z.s1) — though shuffle-free — pays the
+    # interpreted lambda per element PER BROADCAST COPY (two join sides ≈
+    # 190 s at sf1, measured end-to-end 526 s vs 330 s).
+    #
     # materialize the (by-construction small: verified near-dup pairs)
-    # result eagerly and RELEASE the corpus-sized shingle cache before
-    # returning — a lazy return would pin ~10 GB of cached shingles (sf1)
-    # for the session's lifetime, squeezing every later query's memory
-    # (measured in-bench: the two queries following this one ran 2.4×
-    # their isolated walls before the release). The function is therefore
-    # eager; callers composing further transforms do so on the
+    # result eagerly and RELEASE the corpus-sized packed cache before
+    # returning — a lazy return would pin gigabytes of cached shingle
+    # arrays for the session's lifetime, squeezing every later query's
+    # memory (measured in-bench: the two queries following this one ran
+    # 2.4× their isolated walls before the release). The function is
+    # therefore eager; callers composing further transforms do so on the
     # checkpointed pair set, which is the cheap side by design.
     out = jaccard_verify(
         cand,
-        sh,
+        exploded,
         threshold=threshold,
         broadcast_arrays=broadcast_arrays,
         shingle_count=n_sh,
     ).localCheckpoint(eager=True)
-    sh.unpersist()
+    packed.unpersist()
     return out
 
 
@@ -560,11 +625,13 @@ def minhash_cap_audit(
 ) -> DataFrame:
     """``lsh_cap_audit`` at ``minhash_near_duplicates``'s parameters — one
     row (capped_buckets, capped_sig_rows, max_bucket_seen) telling you what
-    that pipeline's bucket cap silently discarded. Same signature plan as
-    the main run (shingle → sign → one aggregate); run it as a pipeline
-    qualification step or whenever the pair output looks thin."""
-    sh = char_shingles(docs, k=k, text_col=text_col, id_col=id_col)
-    sig = minhash_signatures(sh, n_hashes=n_hashes, r=r)
+    that pipeline's bucket cap silently discarded. Same signature values as
+    the main run (in-row packed path, bit-identical to the aggregate path
+    by test) feeding one aggregate; run it as a pipeline qualification
+    step or whenever the pair output looks thin."""
+    sig = minhash_signatures_per_row(
+        docs, k=k, n_hashes=n_hashes, r=r, text_col=text_col, id_col=id_col
+    )
     return lsh_cap_audit(sig, max_bucket=max_bucket)
 
 

@@ -568,6 +568,31 @@ def test_minhash_signatures_per_row_equals_aggregate_path(spark):
     assert sa == sb and len(sa) > 0
 
 
+def test_char_shingles_packed_equals_exploded(spark):
+    """The packed per-doc representation must hold exactly the exploded
+    path's (shingle, shingle2) multiset per doc — it feeds both the
+    signature mins and the verify arrays, so any divergence breaks the
+    oracle contract. Mixed-script docs exercise both ASCII branches."""
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld ünïcode çhars"), (2, "plain ascii text block"),
+         (3, "日本語のテキストです、短い"), (4, "the same the same the same"),
+         (5, "ab"), (6, None)],
+        "doc_id long, text string",
+    )
+    exploded = dedup.char_shingles(docs, k=5).toPandas()
+    packed = dedup.char_shingles_packed(docs, k=5).toPandas()
+    want = {}
+    for d, s1, s2 in exploded[["doc_id", "shingle", "shingle2"]].values.tolist():
+        want.setdefault(d, []).append((s1, s2))
+    got = {
+        row["doc_id"]: [(z["s1"], z["s2"]) for z in row["sh"]]
+        for _, row in packed.iterrows()
+    }
+    assert set(want) == set(got) and len(want) > 0
+    for d in want:
+        assert sorted(want[d]) == sorted(got[d]), d
+
+
 def test_mllib_lsh_ann_survives_zero_nan_and_null_vectors(spark, emb):
     """A zero vector, NaN-poisoned vector, or NULL vector in the corpus
     (or probes) must be excluded, never surface as a NaN-cosine rank-1
