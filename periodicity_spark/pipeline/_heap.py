@@ -49,6 +49,11 @@ HASH_RELATION_OVERHEAD = 2.0
 # and every other operator — cap all broadcast copies at a quarter of it
 SAFETY_FRACTION = 0.25
 
+# raw column bytes -> serialized task-result bytes during the broadcast
+# build's driver-side collect (compact UnsafeRow stream + framing; the
+# sf1 measurement bounds it: 858 MB raw under a 1024 MB cap)
+RESULT_SIZE_OVERHEAD = 1.1
+
 _UNITS = {
     "": 1,
     "b": 1,
@@ -99,6 +104,33 @@ def broadcast_budget(spark) -> int:
 def fits_broadcast(spark, payload_bytes: float, copies: int = 1) -> bool:
     """True when ``copies`` broadcast relations of ``payload_bytes`` raw
     column bytes each fit comfortably (overhead multiplier + safety
-    fraction) in the binding heap. False on an unknown budget."""
+    fraction) in the binding heap. False on an unknown budget.
+
+    Also gated on ``spark.driver.maxResultSize``: a broadcast relation is
+    BUILT by collecting the child's task results to the driver, and that
+    collect is capped by maxResultSize — a relation that clears the heap
+    budget but exceeds the collect cap fails the JOB, not gracefully
+    (observed: the sf5 packed-array relation, 4.3 GB raw, aborted under
+    the 1 GB default cap that the sf1 relation squeaked under at
+    858 MB). Each copy's raw payload must fit the cap with the same
+    SERIALIZED-row margin (``RESULT_SIZE_OVERHEAD`` — compact rows, not
+    the in-heap hash relation: the sf1 relation at 858 MB raw
+    demonstrably collects under the 1 GB default cap, and this gate must
+    not flip that working regime onto the fallback); 0/unset means
+    unlimited, an
+    unparseable value means unknown → do not broadcast. Raise
+    ``SPARK_MAX_RESULT_SIZE`` alongside driver memory for single-box
+    scale runs."""
     budget = broadcast_budget(spark)
-    return payload_bytes * copies * HASH_RELATION_OVERHEAD < budget * SAFETY_FRACTION
+    if not payload_bytes * copies * HASH_RELATION_OVERHEAD < budget * SAFETY_FRACTION:
+        return False
+    try:
+        mrs_setting = spark.conf.get("spark.driver.maxResultSize", "1g")
+    except Exception:
+        mrs_setting = "1g"
+    if str(mrs_setting).strip() in {"0", "0b"}:
+        return True
+    mrs = parse_mem(mrs_setting)
+    if mrs is None:
+        return False
+    return payload_bytes * RESULT_SIZE_OVERHEAD < mrs

@@ -100,7 +100,9 @@ def test_budget_unparseable_memory_disables_broadcast():
 
 
 def test_fits_broadcast_margins():
-    sp = _FakeSpark(**{"spark.master": "local[4]", "spark.driver.memory": "10g"})
+    # maxResultSize 0 = unlimited, isolating the heap-budget margins
+    sp = _FakeSpark(**{"spark.master": "local[4]", "spark.driver.memory": "10g",
+                       "spark.driver.maxResultSize": "0"})
     budget = 10 * 2**30
     limit = budget * SAFETY_FRACTION / HASH_RELATION_OVERHEAD
     assert fits_broadcast(sp, limit * 0.9)
@@ -108,6 +110,31 @@ def test_fits_broadcast_margins():
     # two relation copies halve the allowance
     assert fits_broadcast(sp, limit * 0.45, copies=2)
     assert not fits_broadcast(sp, limit * 0.55, copies=2)
+
+
+def test_fits_broadcast_gated_by_max_result_size():
+    # the broadcast BUILD collects each relation to the driver; a payload
+    # that clears the heap budget but exceeds spark.driver.maxResultSize
+    # aborts the job (observed: the sf5 packed-array relation, 4.3 GB raw,
+    # under the 1 GB default cap) — the heuristic must refuse it
+    base = {"spark.master": "local[32]", "spark.driver.memory": "80g"}
+    gb = 2**30
+    capped = _FakeSpark(**base, **{"spark.driver.maxResultSize": "1g"})
+    assert not fits_broadcast(capped, 4.3 * gb, copies=2)
+    raised = _FakeSpark(**base, **{"spark.driver.maxResultSize": "16g"})
+    assert fits_broadcast(raised, 4.3 * gb, copies=2)
+    unlimited = _FakeSpark(**base, **{"spark.driver.maxResultSize": "0"})
+    assert fits_broadcast(unlimited, 4.3 * gb, copies=2)
+    # unparseable cap = unknown -> refuse, same stance as the heap budget
+    weird = _FakeSpark(**base, **{"spark.driver.maxResultSize": "plenty"})
+    assert not fits_broadcast(weird, 4.3 * gb, copies=2)
+    # sf1-shaped payload (858 MB/copy raw) still clears the DEFAULT cap
+    # with the serialized-row margin — the regime that demonstrably
+    # worked under the 1 GB cap must keep broadcasting
+    dflt = _FakeSpark(**{"spark.master": "local[32]",
+                         "spark.driver.memory": "48g"})
+    assert fits_broadcast(dflt, 0.84 * gb, copies=2)
+    assert not fits_broadcast(dflt, 0.95 * gb, copies=2)
 
 
 def test_real_session_budget_positive(spark):
