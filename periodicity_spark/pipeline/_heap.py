@@ -54,6 +54,13 @@ SAFETY_FRACTION = 0.25
 # sf1 measurement bounds it: 858 MB raw under a 1024 MB cap)
 RESULT_SIZE_OVERHEAD = 1.1
 
+# Spark's HARD limit on one broadcast table (BroadcastExchangeExec's
+# MAX_BROADCAST_TABLE_BYTES) — not a config, a SparkException at build
+# time (observed: the sf5 packed-array relation built to exactly 8.0 GiB
+# in an 80 GiB heap and aborted). Gate with a margin so a relation that
+# would land near the edge is refused before the work is done.
+MAX_BROADCAST_TABLE_BYTES = 8 * 2**30
+
 _UNITS = {
     "": 1,
     "b": 1,
@@ -124,13 +131,29 @@ def fits_broadcast(spark, payload_bytes: float, copies: int = 1) -> bool:
     budget = broadcast_budget(spark)
     if not payload_bytes * copies * HASH_RELATION_OVERHEAD < budget * SAFETY_FRACTION:
         return False
+    return max_single_broadcast(spark) >= payload_bytes
+
+
+def max_single_broadcast(spark) -> float:
+    """Largest RAW payload (bytes) one broadcast relation may carry under
+    every binding limit: the heap budget for a single copy, Spark's hard
+    8 GiB table cap (with margin), and the driver collect cap. 0 when the
+    budget is unknown. This is the chunk-sizing primitive for the hybrid
+    verify plan (shuffled build side + hash-chunked broadcast side)."""
+    budget = broadcast_budget(spark)
+    if budget <= 0:
+        return 0.0
+    allow = min(
+        budget * SAFETY_FRACTION / HASH_RELATION_OVERHEAD,
+        MAX_BROADCAST_TABLE_BYTES * 0.9 / HASH_RELATION_OVERHEAD,
+    )
     try:
         mrs_setting = spark.conf.get("spark.driver.maxResultSize", "1g")
     except Exception:
         mrs_setting = "1g"
-    if str(mrs_setting).strip() in {"0", "0b"}:
-        return True
-    mrs = parse_mem(mrs_setting)
-    if mrs is None:
-        return False
-    return payload_bytes * RESULT_SIZE_OVERHEAD < mrs
+    if str(mrs_setting).strip() not in {"0", "0b"}:
+        mrs = parse_mem(mrs_setting)
+        if mrs is None:
+            return 0.0
+        allow = min(allow, mrs / RESULT_SIZE_OVERHEAD)
+    return allow

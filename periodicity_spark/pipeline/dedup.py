@@ -390,7 +390,7 @@ def jaccard_verify(
     shingles: DataFrame | None,
     threshold: float = 0.0,
     strategy: str = "array",
-    broadcast_arrays: bool | None = None,
+    broadcast_arrays: bool | int | None = None,
     shingle_count: int | None = None,
     arrays: DataFrame | None = None,
 ) -> DataFrame:
@@ -420,8 +420,14 @@ def jaccard_verify(
     overhead) against min(driver, executor) memory via
     ``_heap.fits_broadcast`` and broadcasts only with an order-of-
     magnitude margin; an unparseable memory setting disables the
-    broadcast rather than assuming a size. A corpus-scale run therefore
-    takes the plain shuffled joins (the scale-safe plan, which AQE may
+    broadcast rather than assuming a size. When a single copy cannot
+    broadcast (Spark's hard 8 GiB table limit, the driver collect cap,
+    or the heap budget) auto picks the HYBRID plan — an int value n ≥ 1,
+    also accepted directly: the d1 join runs shuffled and the d2 side is
+    broadcast in n hash-chunks, so the array-carrying intermediate never
+    re-shuffles (the plain fallback's ~590 GB disk footprint at sf5) and
+    no broadcast relation exceeds its caps. False forces the plain
+    shuffled joins (the contract-gated cluster-shape plan, which AQE may
     still convert per runtime stats).
 
     NOTE auto mode is EAGER: deciding the strategy runs one count() job
@@ -456,53 +462,102 @@ def jaccard_verify(
                 F.count(F.lit(1)).alias("_n"),
             )
         if broadcast_arrays is None:
-            from periodicity_spark.pipeline._heap import fits_broadcast
+            from periodicity_spark.pipeline._heap import (
+                fits_broadcast,
+                max_single_broadcast,
+            )
 
             n_sh = shingle_count if shingle_count is not None else shingles.count()
+            payload = n_sh * 8
             # payload: one 8B hash per shingle inside its doc's packed
             # array; two relation copies (d1 and d2 join sides)
-            broadcast_arrays = fits_broadcast(
-                arrs.sparkSession, n_sh * 8, copies=2
-            )
-        side = (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
-        j = candidates.join(
-            side(
-                arrs.select(
-                    F.col("doc_id").alias("d1"),
-                    F.col("_a").alias("_a1"),
-                    F.col("_n").alias("_n1"),
+            if fits_broadcast(arrs.sparkSession, payload, copies=2):
+                broadcast_arrays = True
+            else:
+                # middle tier: the HYBRID plan (see below) needs only ONE
+                # chunk of the relation resident at a time
+                allow = max_single_broadcast(arrs.sparkSession)
+                if allow > 0:
+                    chunks = max(1, -(-payload // int(allow)))
+                    broadcast_arrays = chunks if chunks <= 32 else False
+                else:
+                    broadcast_arrays = False
+
+        def _pair_jaccard(j: DataFrame) -> DataFrame:
+            n_both = F.size(F.array_intersect("_a1", "_a2"))
+            # drop zero-overlap candidates BEFORE the division: the rows
+            # strategy's inner equi-join on shingle can never emit such a
+            # pair, so keeping them here would make the two strategies
+            # diverge at threshold=0, breaking the bit-identical contract
+            out = (
+                j.withColumn("_nb", n_both)
+                .filter(F.col("_nb") > 0)
+                .select(
+                    "d1",
+                    "d2",
+                    (
+                        F.col("_nb")
+                        / (F.col("_n1") + F.col("_n2") - F.col("_nb")).cast("double")
+                    ).alias("jaccard"),
                 )
-            ),
-            "d1",
-        ).join(
-            side(
-                arrs.select(
-                    F.col("doc_id").alias("d2"),
-                    F.col("_a").alias("_a2"),
-                    F.col("_n").alias("_n2"),
-                )
-            ),
-            "d2",
-        )
-        n_both = F.size(F.array_intersect("_a1", "_a2"))
-        # drop zero-overlap candidates BEFORE the division: the rows
-        # strategy's inner equi-join on shingle can never emit such a
-        # pair, so keeping them here would make the two strategies
-        # diverge at threshold=0, breaking the bit-identical contract
-        out = (
-            j.withColumn("_nb", n_both)
-            .filter(F.col("_nb") > 0)
-            .select(
-                "d1",
-                "d2",
-                (
-                    F.col("_nb")
-                    / (F.col("_n1") + F.col("_n2") - F.col("_nb")).cast("double")
-                ).alias("jaccard"),
             )
+            if threshold > 0:
+                out = out.filter(F.col("jaccard") >= threshold)
+            return out
+
+        a1 = arrs.select(
+            F.col("doc_id").alias("d1"),
+            F.col("_a").alias("_a1"),
+            F.col("_n").alias("_n1"),
         )
-        if threshold > 0:
-            out = out.filter(F.col("jaccard") >= threshold)
+        a2 = arrs.select(
+            F.col("doc_id").alias("d2"),
+            F.col("_a").alias("_a2"),
+            F.col("_n").alias("_n2"),
+        )
+        if broadcast_arrays is True or broadcast_arrays is False:
+            side = (
+                (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
+            )
+            return _pair_jaccard(
+                candidates.join(side(a1), "d1").join(side(a2), "d2")
+            )
+        # HYBRID (broadcast_arrays = int n_chunks ≥ 1): the regime where
+        # the packed corpus cannot single-broadcast (Spark's hard 8 GiB
+        # table limit, or one copy over the heap budget) but the plain
+        # shuffled plan is disk-infeasible — its (candidates ⋈ d1-arrays)
+        # intermediate carries a full array per candidate and re-shuffles
+        # on d2 (~590 GB raw at sf5). Here the d1 join is a SHUFFLED join
+        # (the shuffle moves bare 16-byte candidate rows and the arrays
+        # relation itself — corpus-sized, not candidate-sized), and the
+        # d2 side is broadcast in hash-chunks small enough to fit every
+        # cap; the fat intermediate flows map-side through the chunk's
+        # broadcast join and is reduced to (d1, d2, jaccard) WITHOUT ever
+        # touching a shuffle. Each pair lands in exactly one chunk
+        # (pmod of d2's hash), so the union is the same pair multiset as
+        # the one-shot plans — asserted bit-identical in tests. Cost: the
+        # arrays relation shuffles once per chunk; chunks are O(corpus /
+        # chunk-allowance), the same arithmetic a 1000-executor cluster
+        # would run with its own executor-heap allowance.
+        n_chunks = int(broadcast_arrays)
+        parts = []
+        for c in range(n_chunks):
+            cand_c = candidates.filter(F.pmod(F.hash("d2"), F.lit(n_chunks)) == c)
+            a2_c = arrs.filter(
+                F.pmod(F.hash("doc_id"), F.lit(n_chunks)) == c
+            ).select(
+                F.col("doc_id").alias("d2"),
+                F.col("_a").alias("_a2"),
+                F.col("_n").alias("_n2"),
+            )
+            parts.append(
+                _pair_jaccard(
+                    cand_c.join(a1, "d1").join(F.broadcast(a2_c), "d2")
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
     if strategy != "rows":
         raise ValueError(f"unknown jaccard_verify strategy: {strategy!r}")
@@ -543,7 +598,7 @@ def minhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1000,
-    broadcast_arrays: bool | None = None,
+    broadcast_arrays: bool | int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH pipeline: shingle → sign → bucket-join → verify.
     → (d1, d2, jaccard ≥ threshold).
@@ -551,9 +606,12 @@ def minhash_near_duplicates(
     Over-cap bucket drops are silent in the pair output; audit them with
     ``minhash_cap_audit`` at the same (k, n_hashes, r, max_bucket).
     ``broadcast_arrays`` forwards to ``jaccard_verify`` — None (default)
-    auto-sizes the verify join; False forces the shuffled fallback plan
-    (the branch a multi-executor cluster takes when the packed corpus
-    exceeds executor heaps)."""
+    auto-sizes the verify join (both-sides broadcast when the packed
+    corpus fits every cap, else the hybrid shuffled-d1/chunk-broadcast-d2
+    plan, else plain shuffled); an int n forces the hybrid at n chunks;
+    False forces the plain shuffled fallback plan (the branch a
+    multi-executor cluster takes when even one chunk exceeds executor
+    heaps)."""
     docs = _spread_single_split(docs)
     # the shingle set feeds signatures AND both sides of the verify join —
     # persist the PACKED per-doc representation (one array row per doc)

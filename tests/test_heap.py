@@ -14,6 +14,7 @@ from periodicity_spark.pipeline._heap import (
     SAFETY_FRACTION,
     broadcast_budget,
     fits_broadcast,
+    max_single_broadcast,
     parse_mem,
 )
 
@@ -112,22 +113,24 @@ def test_fits_broadcast_margins():
     assert not fits_broadcast(sp, limit * 0.55, copies=2)
 
 
-def test_fits_broadcast_gated_by_max_result_size():
-    # the broadcast BUILD collects each relation to the driver; a payload
-    # that clears the heap budget but exceeds spark.driver.maxResultSize
-    # aborts the job (observed: the sf5 packed-array relation, 4.3 GB raw,
-    # under the 1 GB default cap) — the heuristic must refuse it
+def test_fits_broadcast_gated_by_collect_cap_and_hard_table_limit():
+    # the broadcast BUILD collects each relation to the driver (capped by
+    # spark.driver.maxResultSize) and the built table has Spark's HARD
+    # 8 GiB limit — the sf5 packed-array relation (4.3 GB raw) hit BOTH
+    # in sequence (1 GB default collect cap; then, raised, the 8.0 GiB
+    # table abort in an 80 GiB heap). The heuristic must refuse it under
+    # every setting: it can never single-broadcast.
     base = {"spark.master": "local[32]", "spark.driver.memory": "80g"}
     gb = 2**30
-    capped = _FakeSpark(**base, **{"spark.driver.maxResultSize": "1g"})
-    assert not fits_broadcast(capped, 4.3 * gb, copies=2)
-    raised = _FakeSpark(**base, **{"spark.driver.maxResultSize": "16g"})
-    assert fits_broadcast(raised, 4.3 * gb, copies=2)
-    unlimited = _FakeSpark(**base, **{"spark.driver.maxResultSize": "0"})
-    assert fits_broadcast(unlimited, 4.3 * gb, copies=2)
-    # unparseable cap = unknown -> refuse, same stance as the heap budget
-    weird = _FakeSpark(**base, **{"spark.driver.maxResultSize": "plenty"})
-    assert not fits_broadcast(weird, 4.3 * gb, copies=2)
+    for mrs in ("1g", "16g", "0", "plenty"):
+        sp = _FakeSpark(**base, **{"spark.driver.maxResultSize": mrs})
+        assert not fits_broadcast(sp, 4.3 * gb, copies=2), mrs
+        # ...but max_single_broadcast still reports a positive chunk
+        # allowance (except under the unparseable cap = unknown)
+        if mrs != "plenty":
+            assert max_single_broadcast(sp) > 0.9 * gb, mrs
+        else:
+            assert max_single_broadcast(sp) == 0.0
     # sf1-shaped payload (858 MB/copy raw) still clears the DEFAULT cap
     # with the serialized-row margin — the regime that demonstrably
     # worked under the 1 GB cap must keep broadcasting
@@ -135,6 +138,13 @@ def test_fits_broadcast_gated_by_max_result_size():
                          "spark.driver.memory": "48g"})
     assert fits_broadcast(dflt, 0.84 * gb, copies=2)
     assert not fits_broadcast(dflt, 0.95 * gb, copies=2)
+    # the hard table cap binds even a huge heap with an unlimited collect
+    big = _FakeSpark(**{"spark.master": "local[32]",
+                        "spark.driver.memory": "512g",
+                        "spark.driver.maxResultSize": "0"})
+    assert not fits_broadcast(big, 4.0 * gb)
+    assert fits_broadcast(big, 3.5 * gb)
+    assert max_single_broadcast(big) == pytest.approx(8 * 0.9 * gb / 2.0)
 
 
 def test_real_session_budget_positive(spark):

@@ -568,6 +568,28 @@ def test_minhash_signatures_per_row_equals_aggregate_path(spark):
     assert sa == sb and len(sa) > 0
 
 
+def test_minhash_verify_hybrid_equals_broadcast_and_shuffled(spark):
+    """The three physical verify plans — both-sides broadcast, hybrid
+    (shuffled d1 + hash-chunked broadcast d2), and plain shuffled — must
+    produce the identical pair multiset: each candidate pair lands in
+    exactly one d2-hash chunk, so the chunk union is the same set. This
+    is the gate for the sf5 regime, where the packed corpus exceeds
+    Spark's hard 8 GiB broadcast-table limit and the hybrid plan is the
+    only disk-feasible option."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    runs = {
+        mode: sorted(
+            (r.d1, r.d2, round(r.jaccard, 12))
+            for r in dedup.minhash_near_duplicates(
+                docs, threshold=0.4, broadcast_arrays=mode
+            ).collect()
+        )
+        for mode in (True, 3, 1, False)
+    }
+    assert runs[True] == runs[3] == runs[1] == runs[False]
+    assert len(runs[True]) > 0
+
+
 def test_char_shingles_packed_equals_exploded(spark):
     """The packed per-doc representation must hold exactly the exploded
     path's (shingle, shingle2) multiset per doc — it feeds both the
