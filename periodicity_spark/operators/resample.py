@@ -275,6 +275,12 @@ def downsample_tf(tf: DataFrame, dt: float, df_: float) -> DataFrame:
     """2-D rebinning of a TF spectrogram (reference TFSeries.downsample,
     core.py:1129-1163): groupBy on two bucket columns — one shuffle.
     Bucket semantics follow the 1-D downsample (equal-width, right-closed)."""
+    from periodicity_spark.session import scan_parallel
+
+    # both aggregation passes consume tf inside its scan tasks; floor the
+    # parallelism so a single-row-group source (or a narrow upstream
+    # expansion over one) does not serialize them onto one core
+    tf = scan_parallel(tf)
     stats = tf.groupBy("series_id").agg(
         F.min("time").alias("_t0"), F.max("time").alias("_t1"),
         F.min("frequency").alias("_f0"), F.max("frequency").alias("_f1"),

@@ -86,9 +86,15 @@ def find_peaks_prominence(ts: DataFrame, order_col: str = "time", value: str = "
     """Peaks with exact scipy-style prominences (reference attaches
     ``prominences`` attrs, core.py:283-317). The prominence scan (walk out to
     the nearest higher point on each side, take max of the min-valleys) is
-    sequential → Arrow-batched applyInPandas per series; output one row per
+    sequential → Arrow-batched kernel per series, grouped in coarse hash
+    buckets (session.grouped_apply) so the ~1 ms per-group Arrow transfer
+    cost is paid per bucket, not per series — with millions of small series
+    (the 100 TB shape, and 7k series already at sf0.1) the per-series
+    grouping overhead dominated the kernel itself. Output one row per
     peak: (series_id, <order_col>, <value>, prominence).
     """
+    from periodicity_spark.session import grouped_apply
+
     out_schema = f"series_id string, {order_col} double, {value} double, prominence double"
 
     # NOTE: the closure imports pandas/numpy inside and references no module
@@ -129,7 +135,7 @@ def find_peaks_prominence(ts: DataFrame, order_col: str = "time", value: str = "
             }
         )
 
-    return ts.groupBy("series_id").applyInPandas(_per_series, out_schema)
+    return grouped_apply(ts, _per_series, out_schema)
 
 
 def find_zero_crossings(ts: DataFrame) -> DataFrame:

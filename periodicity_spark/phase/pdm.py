@@ -33,7 +33,12 @@ def pdm_theta(ts: DataFrame, periods: DataFrame, nb: int = 5, nc: int = 2) -> Da
     aggregate. Θ values agree with the two-pass formulation to ~1e-13
     relative (raw-moment vs pairwise-merge variance)."""
     m0 = nb * nc
-    base = ts.filter(F.col("value").isNotNull())
+    from periodicity_spark.session import scan_parallel
+
+    # the N×P fold expansion + base-bin partial aggregate run inside the
+    # scan tasks; floor the parallelism so a single-row-group input does
+    # not serialize them onto one core (no-op on well-partitioned scans)
+    base = scan_parallel(ts.filter(F.col("value").isNotNull()))
     sig = base.groupBy("series_id").agg(F.var_samp("value").alias("_sigma"))
     if "series_id" in periods.columns:
         crossed = base.join(periods, "series_id")

@@ -41,7 +41,12 @@ def _scale(ts: DataFrame) -> DataFrame:
 
 def string_length(ts: DataFrame, periods: DataFrame) -> DataFrame:
     """→ (series_id, period, ell). periods: (period) or (series_id, period)."""
-    scaled = _scale(ts.filter(F.col("value").isNotNull()))
+    from periodicity_spark.session import scan_parallel
+
+    # the N×P fold expansion and its shuffle write run inside the scan
+    # tasks; floor the parallelism so a single-row-group input does not
+    # serialize them onto one core (no-op on well-partitioned scans)
+    scaled = _scale(scan_parallel(ts.filter(F.col("value").isNotNull())))
     if "series_id" in periods.columns:
         crossed = scaled.join(periods, "series_id")
     else:

@@ -127,6 +127,32 @@ def persisted_lazy(spark, key: str, builder):
     return _PERSIST_MEMO[full]
 
 
+def scan_parallel(df, key: str = "series_id"):
+    """Floor the parallelism of an input that feeds a big PRE-SHUFFLE
+    expansion (grid crossJoin, lag explode): when the source scan yields
+    fewer partitions than the cluster's defaultParallelism — e.g. a small
+    parquet file with one row group, whose single-task scan serializes the
+    whole expansion+partial-aggregate segment onto one core — hash-
+    repartition by ``key`` up to defaultParallelism first.
+
+    Scale-adaptive, not tuned to local[32]: on a real cluster a 100 TB scan
+    already has thousands of partitions and this is a no-op (the partition
+    count is read from plan metadata; no job runs). Hash-by-key (not round
+    robin) so downstream per-key aggregations/windows can reuse the
+    partitioning, and the mapping is deterministic under task retry
+    (guide §2.5: rand-derived keys can duplicate rows on fetch failure).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target, key)
+
+
 def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     """applyInPandas over per-series kernels with COARSE grouping: rows are
     bucketed by a hash of series_id (~4 buckets per core by default) and the

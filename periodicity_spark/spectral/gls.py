@@ -143,7 +143,14 @@ def gls_periodogram(
         if err_col is None
         else F.pow(F.col(err_col), F.lit(-2.0))
     )
-    base = ts.withColumn("werr", werr)
+    # The N×F grid expansion, 2·N·F transcendentals and the partial
+    # aggregation all run INSIDE the scan tasks (everything below the first
+    # Exchange) — a small single-row-group file would serialize the whole
+    # periodogram onto one core (guide §2.5 input skew). Floor the
+    # parallelism first; no-op when the scan already has enough partitions.
+    from periodicity_spark.session import scan_parallel
+
+    base = scan_parallel(ts.withColumn("werr", werr))
 
     # Pass 1 — reference spectral.py:99-107,120 in one aggregation.
     stats = base.groupBy("series_id").agg(
