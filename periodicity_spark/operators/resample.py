@@ -200,8 +200,58 @@ def _interp_kernel(
     from periodicity_spark.session import grouped_apply
 
     if "series_id" not in grid.columns:
-        sids = ts.select("series_id").distinct()
-        grid = sids.crossJoin(grid)
+        # GLOBAL grid: ship the probe times inside the kernel closure (like
+        # gls_arrow ships its frequency grid) instead of materializing a
+        # |series|×|grid| probe table through distinct + crossJoin + union —
+        # that probe side was ~4× the sample volume through the bucket
+        # exchange and the Arrow boundary. Every series in ``ts`` still
+        # yields |grid| output rows (all-NULL series emit NaN→NULL values),
+        # because the group set is taken from the UNFILTERED rows and NULL
+        # samples are dropped inside the kernel — ingestion normalizes
+        # NaN→NULL (sources/ingest.py), so pandas notna() is equivalent to
+        # the JVM isNotNull filter of the union path.
+        import numpy as np
+
+        probe_x = np.asarray(
+            [
+                r["time"]
+                for r in grid.select(
+                    F.col("time").cast("double").alias("time")
+                ).collect()
+            ],
+            dtype=float,
+        )
+
+        def _per_series_global(pdf):
+            import numpy as np
+            import pandas as pd
+            from periodicity_spark.decomposition.kernels import (
+                cubic_spline,
+                quadratic_spline,
+                smoothing_spline,
+            )
+
+            sample = pdf[pdf["value"].notna()].sort_values("time")
+            if len(sample) == 0:
+                v = np.full(len(probe_x), np.nan)
+            else:
+                xk = sample["time"].to_numpy(float)
+                yk = sample["value"].to_numpy(float)
+                if kind == "quadratic":
+                    v = quadratic_spline(xk, yk, probe_x)
+                elif s > 0:
+                    v = smoothing_spline(xk, yk, probe_x, s)
+                else:
+                    v = cubic_spline(xk, yk, probe_x)
+            return pd.DataFrame(
+                {"series_id": pdf["series_id"].iloc[0], "time": probe_x, "value": v}
+            )
+
+        return grouped_apply(
+            ts.select("series_id", "time", "value"),
+            _per_series_global,
+            "series_id string, time double, value double",
+        )
     samples = (
         ts.filter(F.col("value").isNotNull())
         .select("series_id", "time", "value")

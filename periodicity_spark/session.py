@@ -189,10 +189,21 @@ def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
             return pd.DataFrame(columns=out_cols)
         return pd.concat(outs, ignore_index=True)
 
+    # Explicit repartition by _bucket with a pinned partition count: the
+    # per-bucket kernel stage is PYTHON-COMPUTE dense, not byte dense, and
+    # AQE's byte-based partition coalescing would otherwise merge its tiny
+    # input shuffle (a few MB at sf0.1) down to 1-2 tasks, serializing all
+    # kernel work onto one or two cores (measured: interp/gls_arrow pandas
+    # stages ran as 2-5 AQE-coalesced tasks). A user-specified repartition
+    # count is exempt from AQE coalescing, and HashPartitioning(_bucket, n)
+    # satisfies the groupBy's ClusteredDistribution, so no second exchange
+    # is added. Partition count scales with the session's parallelism.
+    n_parts = max(spark.sparkContext.defaultParallelism, min(n_buckets, 2048))
     return (
         ts.withColumn(
             "_bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)).cast("int")
         )
+        .repartition(n_parts, "_bucket")
         .groupBy("_bucket")
         .applyInPandas(_per_bucket, schema)
     )
