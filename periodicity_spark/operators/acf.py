@@ -2,10 +2,12 @@
 
 Two paths, like the reference's own algorithmic choice:
 
-- ``acf_lag_grid`` — native lag-join over a uniform positional grid: for a
-  uniformly-sampled series, ACF(k·dt) = Σᵢ yᵢ·yᵢ₊ₖ normalized by lag 0. One
-  self-join on (series_id, position+k) against a broadcast lag grid, fully
-  distributed (the right formulation when max_lag ≪ N).
+- ``acf_lag_grid`` — native windowed-lead formulation over a uniform
+  positional grid: for a uniformly-sampled series, ACF(k·dt) = Σᵢ yᵢ·yᵢ₊ₖ
+  normalized by lag 0. One window sort shared by all max_lag lead columns,
+  per-series sums reusing the window's partitioning — a single shuffle of
+  the input rows (the right formulation when max_lag ≪ N; the former
+  (rows × lags) self-join shuffled the expanded pairs).
 - ``acf_fft`` — per-series Arrow UDF: IFFT of the 2×-zero-padded PSD,
   exactly the reference algorithm (core.py:603-607), parallel across series.
 """
@@ -30,37 +32,40 @@ def acf_lag_grid(ts: DataFrame, max_lag: int, demean: bool = True) -> DataFrame:
         base = base.join(F.broadcast(mean), "series_id").withColumn(
             "value", F.col("value") - F.col("_mu")
         )
-    pos = base.select(
-        "series_id", (F.row_number().over(w) - 1).alias("pos"), "value"
+    # One window pass instead of a (rows × lags) self-join: Σᵢ yᵢ·yᵢ₊ₖ is
+    # sum(value · lead(value, k)) over the time order — the max_lag lead
+    # columns share one sort, the per-series aggregate reuses the window's
+    # hash partitioning (zero additional exchanges), and lag 0's sum IS
+    # the normalizer, so the former lag-0 self-join disappears too. The
+    # join formulation shuffled the rows×lags pair expansion; this moves
+    # each input row once. A lag with no pairs (series shorter than k+1)
+    # yields a NULL sum and is dropped, matching the join's absent rows.
+    lead_prods = base.select(
+        "series_id",
+        *[
+            (
+                F.col("value") * F.col("value")
+                if k == 0
+                else F.col("value") * F.lead("value", k).over(w)
+            ).alias(f"_p{k}")
+            for k in range(max_lag)
+        ],
     )
-    lags = pos.sparkSession.range(max_lag).select(F.col("id").cast("int").alias("lag"))
-    left = pos.select("series_id", "pos", F.col("value").alias("_y0"))
-    right = pos.select(
-        F.col("series_id").alias("_sid"), F.col("pos").alias("_pos1"), F.col("value").alias("_y1")
+    sums = lead_prods.groupBy("series_id").agg(
+        F.array(*[F.sum(f"_p{k}") for k in range(max_lag)]).alias("_nums")
     )
-    prods = (
-        left.crossJoin(F.broadcast(lags))
-        .join(
-            right,
-            (F.col("series_id") == F.col("_sid"))
-            & (F.col("_pos1") == F.col("pos") + F.col("lag")),
-        )
-        .groupBy("series_id", "lag")
-        .agg(F.sum(F.col("_y0") * F.col("_y1")).alias("_num"))
+    lagged = sums.select(
+        "series_id",
+        F.posexplode("_nums").alias("_lag", "_num"),
+        F.col("_nums")[0].alias("_den"),
     )
-    lag0 = prods.filter(F.col("lag") == 0).select(
-        F.col("series_id").alias("_sid0"), F.col("_num").alias("_den")
-    )
-    return (
-        prods.join(F.broadcast(lag0), prods["series_id"] == F.col("_sid0"))
-        .select(
-            "series_id",
-            F.col("lag").cast("double").alias("lag"),
-            # try_divide: a constant (or single-repeated-sample) series has
-            # zero lag-0 autocovariance — ACF is undefined there and must be
-            # NULL, not an ANSI abort of the whole stage
-            F.try_divide(F.col("_num"), F.col("_den")).alias("acf"),
-        )
+    return lagged.filter(F.col("_num").isNotNull()).select(
+        "series_id",
+        F.col("_lag").cast("double").alias("lag"),
+        # try_divide: a constant (or single-repeated-sample) series has
+        # zero lag-0 autocovariance — ACF is undefined there and must be
+        # NULL, not an ANSI abort of the whole stage
+        F.try_divide(F.col("_num"), F.col("_den")).alias("acf"),
     )
 
 
