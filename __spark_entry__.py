@@ -3214,28 +3214,21 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_h"),
     )
-    bits = h.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
-        "_h",
-    ).select(
-        "doc_id",
-        "bit",
-        # shiftright() in the Python API needs a literal count — the SQL
-        # function form accepts a column
-        F.when(F.expr("shiftright(_h, cast(bit as int)) & 1") == 1, 1)
-        .otherwise(-1)
-        .alias("vote"),
+    # 60 per-bit vote sums as aggregate COLUMNS of one per-doc aggregate
+    # instead of exploding every token row ×60 through a (doc, bit)
+    # shuffle (60× the token count — 720M rows at sf1): map-side partial
+    # aggregation collapses each scan task to one 60-int row per doc
+    # before anything moves, and the bit-vote sums are integers, so the
+    # result is bit-identical to the exploded two-level aggregate.
+    # one expression STRING parsed JVM-side: 60 Column-object builds via
+    # py4j measured ~0.9 s of driver time per call (plan build, not exec)
+    fp_expr = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (shiftright(_h, {k}) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN cast(shiftleft(cast(1 as bigint), {k}) as bigint)"
+        f" ELSE cast(0 as bigint) END)"
+        for k in range(60)
     )
-    maj = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("_s"))
-    return maj.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("_s") > 0,
-                F.expr("shiftleft(cast(1 as bigint), cast(bit as int))"),
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    return h.groupBy("doc_id").agg(F.expr(fp_expr).alias("simhash"))
 
 
 SQL_SIMHASH = """
