@@ -210,11 +210,14 @@ class CEEMDAN:
             F.col("id").cast("int").alias("realization")
         )
         noise_input = base.select("series_id", "time").crossJoin(F.broadcast(reals))
-        noise_modes = (
-            noise_input.groupBy("series_id", "realization")
-            .applyInPandas(self._white_noise_modes_udf(), _MODES_SCHEMA)
-            .persist()
-        )
+        from periodicity_spark.session import grouped_apply
+
+        noise_modes = grouped_apply(
+            noise_input,
+            self._white_noise_modes_udf(),
+            _MODES_SCHEMA,
+            group_cols=("series_id", "realization"),
+        ).persist()
         noise_modes.count()
 
         # per-(series, realization) std of noise mode 0 — the k=0 beta scale
@@ -262,8 +265,11 @@ class CEEMDAN:
                     + F.when(F.col("_nk").isNotNull(), scale * F.col("_nk")).otherwise(0.0)
                 ).alias("noisy"),
             )
-            contrib = noisy.groupBy("series_id", "realization").applyInPandas(
-                self._realization_udf(), _MODES_SCHEMA
+            contrib = grouped_apply(
+                noisy,
+                self._realization_udf(),
+                _MODES_SCHEMA,
+                group_cols=("series_id", "realization"),
             )
             mu = (
                 contrib.groupBy("series_id", "time")
@@ -291,8 +297,8 @@ class CEEMDAN:
 
             # stopping: residue energy, then EMD mode count of the residue
             stats = residue.groupBy("series_id").agg(F.var_pop("value").alias("_var"))
-            nmodes = residue.groupBy("series_id").applyInPandas(
-                self._nmodes_udf(), "series_id string, n_modes int"
+            nmodes = grouped_apply(
+                residue, self._nmodes_udf(), "series_id string, n_modes int"
             )
             status = stats.join(nmodes, "series_id").select(
                 "series_id",

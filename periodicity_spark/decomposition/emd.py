@@ -50,10 +50,12 @@ def emd_modes(
             return pd.DataFrame(columns=["series_id", "mode", "time", "value"])
         return pd.concat(frames, ignore_index=True)
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(_per_series, "series_id string, mode int, time double, value double")
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, mode int, time double, value double",
     )
 
 
@@ -87,13 +89,12 @@ def lmd_modes(
             return pd.DataFrame(columns=["series_id", "mode", "time", "amp", "func"])
         return pd.concat(frames, ignore_index=True)
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, mode int, time double, amp double, func double",
-        )
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, mode int, time double, amp double, func double",
     )
 
 
@@ -175,6 +176,8 @@ def ceemdan_postprocess(modes: DataFrame, **emd_kwargs) -> DataFrame:
             ignore_index=True,
         )
 
-    return modes.groupBy("series_id").applyInPandas(
-        _per_series, "series_id string, mode int, time double, value double"
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        modes, _per_series, "series_id string, mode int, time double, value double"
     )

@@ -153,13 +153,12 @@ def gp_map(ts: DataFrame, err_col: str | None = None) -> DataFrame:
             }
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, period_map double, nll double, mean double, log_jitter double",
-        )
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, period_map double, nll double, mean double, log_jitter double",
     )
 
 
@@ -287,14 +286,17 @@ def celerite_map(
         "sigma double, jitter double"
         + (", loocv double" if loocv else "")
     )
+    from periodicity_spark.session import grouped_apply
+
     src = _with_period_prior(ts.filter(F.col("value").isNotNull()), period_prior)
     if ns == 1:
-        return src.groupBy("series_id").applyInPandas(_per_group, schema)
+        return grouped_apply(src, _per_group, schema)
     starts = ts.sparkSession.createDataFrame([(u,) for u in start_us], "_start double")
-    fits = (
-        src.crossJoin(F.broadcast(starts))
-        .groupBy("series_id", "_start")
-        .applyInPandas(_per_group, schema)
+    fits = grouped_apply(
+        src.crossJoin(F.broadcast(starts)),
+        _per_group,
+        schema,
+        group_cols=("series_id", "_start"),
     )
     fields = ["period_map", "mean", "sigma", "jitter"] + extra
     best = fits.groupBy("series_id").agg(
@@ -410,8 +412,10 @@ def celerite_mcmc(
             out["psd_median"] = [np.median(psds, axis=0).tolist()]
         return pd.DataFrame(out)
 
+    from periodicity_spark.session import grouped_apply
+
     src = _with_period_prior(ts.filter(F.col("value").isNotNull()), period_prior)
-    return src.groupBy("series_id").applyInPandas(_per_series, schema)
+    return grouped_apply(src, _per_series, schema)
 
 
 def gp_mcmc_period(
@@ -486,11 +490,10 @@ def gp_mcmc_period(
             }
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, period_median double, period_p16 double, period_p84 double",
-        )
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, period_median double, period_p16 double, period_p84 double",
     )

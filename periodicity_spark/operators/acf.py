@@ -105,8 +105,10 @@ def acf_fft(ts: DataFrame, max_lag: int | None = None, unbias: bool = False) -> 
             {"series_id": pdf["series_id"].iloc[0], "lag": lags[:ml], "acf": ryy}
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(_per_series, out_schema)
+    from periodicity_spark.session import grouped_apply
+
+    # coarse hash buckets: per-series Arrow group overhead dominates the
+    # O(N log N) kernel at high series cardinality (session.grouped_apply)
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()), _per_series, out_schema
     )

@@ -385,10 +385,15 @@ def butterworth(
             y = np.full(len(t), np.nan)
         return pd.DataFrame({"series_id": pdf["series_id"].iloc[0], "time": t, "value": y})
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(_per_series, "series_id string, time double, value double")
+    from periodicity_spark.session import grouped_apply
+
+    # coarse hash buckets (not per-series groups): the per-group Arrow
+    # transfer cost dominated the short per-series IIR kernels at high
+    # series cardinality — same rationale as find_peaks_prominence
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, time double, value double",
     )
 
 
@@ -484,13 +489,12 @@ def acf_period_quality(ts: DataFrame, p_min: float, p_max: float) -> DataFrame:
              "height": [height], "quality": [quality]}
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series,
-            "series_id string, best_period double, height double, quality double",
-        )
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, best_period double, height double, quality double",
     )
 
 

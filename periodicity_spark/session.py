@@ -153,11 +153,17 @@ def scan_parallel(df, key: str = "series_id"):
     return df.repartition(target, key)
 
 
-def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
+def grouped_apply(
+    ts,
+    per_series_fn,
+    schema: str,
+    n_buckets: int | None = None,
+    group_cols: tuple = ("series_id",),
+):
     """applyInPandas over per-series kernels with COARSE grouping: rows are
-    bucketed by a hash of series_id (~4 buckets per core by default) and the
-    Python side sub-groups by series, so the per-group Arrow transfer +
-    pandas-construction overhead is paid per BUCKET, not per series.
+    bucketed by a hash of the group key (~4 buckets per core by default) and
+    the Python side sub-groups by key, so the per-group Arrow transfer +
+    pandas-construction overhead is paid per BUCKET, not per group.
 
     With millions of small series (the 100 TB shape), naive
     groupBy("series_id").applyInPandas pays ~1 ms of constant cost per
@@ -166,8 +172,9 @@ def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     series still lands in one bucket — no worse than per-series grouping;
     shard such operators explicitly (see gls grid_chunks).
 
-    ``per_series_fn``: pandas DataFrame (one full series) → pandas DataFrame
+    ``per_series_fn``: pandas DataFrame (one full group) → pandas DataFrame
     matching ``schema``. Must not depend on the bucket column.
+    ``group_cols``: the kernel's group key (default one series per group).
     """
     from pyspark.sql import functions as F
 
@@ -176,12 +183,13 @@ def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     if n_buckets is None:
         n_buckets = spark.sparkContext.defaultParallelism * 4
     out_cols = [f.strip().split(" ")[0] for f in schema.split(",")]
+    gcols = list(group_cols)
 
     def _per_bucket(pdf):
         import pandas as pd
 
         outs = []
-        for _, g in pdf.groupby("series_id", sort=False):
+        for _, g in pdf.groupby(gcols, sort=False):
             o = per_series_fn(g)
             if o is not None and len(o):
                 outs.append(o)
@@ -201,7 +209,7 @@ def grouped_apply(ts, per_series_fn, schema: str, n_buckets: int | None = None):
     n_parts = max(spark.sparkContext.defaultParallelism, min(n_buckets, 2048))
     return (
         ts.withColumn(
-            "_bucket", F.pmod(F.xxhash64("series_id"), F.lit(n_buckets)).cast("int")
+            "_bucket", F.pmod(F.xxhash64(*gcols), F.lit(n_buckets)).cast("int")
         )
         .repartition(n_parts, "_bucket")
         .groupBy("_bucket")

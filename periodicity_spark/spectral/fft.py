@@ -38,12 +38,14 @@ def fft(ts: DataFrame, oversample: float = 1.0) -> DataFrame:
             }
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series, "series_id string, frequency double, re double, im double"
-        )
+    from periodicity_spark.session import grouped_apply
+
+    # coarse hash buckets: per-series Arrow group overhead dominates short
+    # FFT kernels at high series cardinality (see session.grouped_apply)
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, frequency double, re double, im double",
     )
 
 
@@ -80,6 +82,8 @@ def ifft(fs: DataFrame, nfft: int | None = None) -> DataFrame:
             }
         )
 
-    return fs.groupBy("series_id").applyInPandas(
-        _per_series, "series_id string, time double, value double"
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        fs, _per_series, "series_id string, time double, value double"
     )

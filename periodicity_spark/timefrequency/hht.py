@@ -55,8 +55,13 @@ def instantaneous(modes: DataFrame, method: str = "DQ", norm_type: str = "spline
             }
         )
 
-    return modes.groupBy("series_id", "mode").applyInPandas(
-        _per_mode, "series_id string, mode int, time double, freq double, amp double"
+    from periodicity_spark.session import grouped_apply
+
+    return grouped_apply(
+        modes,
+        _per_mode,
+        "series_id string, mode int, time double, freq double, amp double",
+        group_cols=("series_id", "mode"),
     )
 
 

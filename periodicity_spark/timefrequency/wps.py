@@ -72,10 +72,12 @@ def wps(
             data["scale"] = np.repeat(scales, n)
         return pd.DataFrame(data)
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(_per_series, cols)
+    from periodicity_spark.session import grouped_apply
+
+    # coarse hash buckets: per-series Arrow group overhead dominates short
+    # CWT kernels at high series cardinality (see session.grouped_apply)
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()), _per_series, cols
     )
 
 
