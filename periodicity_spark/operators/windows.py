@@ -229,10 +229,12 @@ def get_envelope(ts: DataFrame, pad_width: int = 2) -> DataFrame:
             }
         )
 
-    return (
-        ts.filter(F.col("value").isNotNull())
-        .groupBy("series_id")
-        .applyInPandas(
-            _per_series, "series_id string, time double, upper double, lower double"
-        )
+    from periodicity_spark.session import grouped_apply
+
+    # coarse hash buckets: per-series Arrow group overhead dominates the
+    # short spline kernels at high series cardinality (session.grouped_apply)
+    return grouped_apply(
+        ts.filter(F.col("value").isNotNull()),
+        _per_series,
+        "series_id string, time double, upper double, lower double",
     )
