@@ -49,7 +49,15 @@ def stream_gls_sums(events: DataFrame, freq_grid: DataFrame) -> DataFrame:
         ((F.unix_micros("ts") - F.lit(EPOCH_US)) / F.lit(DAY_US)).alias("time"),
         F.col("value").cast("double").alias("value"),
     )
-    joined = base.crossJoin(F.broadcast(freq_grid))
+    # Stateless repartition before the N×F expansion: a micro-batch read
+    # from a single file is one task, which would serialize the grid
+    # crossJoin + 2·N·F transcendentals + partial aggregation onto one
+    # core (same input-skew floor as the batch operator's scan_parallel;
+    # streaming frames cannot probe partition counts, so the floor is
+    # unconditional — on a wide-source cluster the extra exchange moves
+    # raw events once, far cheaper than the expansion it parallelizes).
+    par = events.sparkSession.sparkContext.defaultParallelism
+    joined = base.repartition(par, "series_id").crossJoin(F.broadcast(freq_grid))
     theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
     proj = joined.select(
         "series_id",

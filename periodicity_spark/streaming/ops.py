@@ -474,7 +474,15 @@ def stream_neardup(
 
     from periodicity_spark.pipeline.dedup import minhash_signatures_per_row
 
-    sig = minhash_signatures_per_row(docs, k=k, n_hashes=n_hashes, r=r)
+    # stateless repartition BEFORE the in-row signature projection: a
+    # micro-batch read from one file is a single task, which would run
+    # all shingling + md5 minhashing on one core before the _slot
+    # exchange; moving the raw docs first is far cheaper than the
+    # signature work it parallelizes (same floor as streaming GLS)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sig = minhash_signatures_per_row(
+        docs.repartition(par, "doc_id"), k=k, n_hashes=n_hashes, r=r
+    )
     cap = int(max_bucket)
     # id type comes from the INPUT schema (as stream_topk does) — the
     # batch lsh_candidate_pairs path is id-type generic, so this twin
