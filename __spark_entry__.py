@@ -70,11 +70,22 @@ def _ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # single-row-group files scan as ONE task; per-doc CPU (tokenization,
+    # hashing, HOF array work) would otherwise serialize onto one core
+    # before the first exchange. No-op for well-partitioned sources.
+    from periodicity_spark.session import scan_parallel
+
+    return scan_parallel(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from periodicity_spark.session import scan_parallel
+
+    return scan_parallel(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id"
+    )
 
 
 def _money_sum(expr, nd: int = 2):
