@@ -1154,7 +1154,15 @@ def test_restart_gls_trig_sums_accumulate_across_restart(spark, tmp_path):
         .reset_index(drop=True)
     )
     for col in ["n", "sy", "syy", "s1", "c1", "s2", "c2", "sh", "ch"]:
-        np.testing.assert_allclose(got[col], ref[col], rtol=1e-12, err_msg=col)
+        # atol floor: trig sums that cancel to ~0 analytically (e.g. s2 on
+        # this 5-row fixture) land within an ulp of zero, and the restarted
+        # stream and the single-run reference may associate the additions
+        # differently (the pre-aggregation repartition makes partitioning,
+        # and hence add order, batch-slicing-dependent); rtol alone turns
+        # a 1e-16-vs-2e-16 reassociation into a 100% relative error
+        np.testing.assert_allclose(
+            got[col], ref[col], rtol=1e-12, atol=1e-12, err_msg=col
+        )
 
 
 def test_restart_neardup_bucket_state_recovered(spark, tmp_path):
