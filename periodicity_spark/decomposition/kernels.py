@@ -23,36 +23,48 @@ import numpy as np
 def _solve_tridiag(lo: np.ndarray, dg: np.ndarray, up: np.ndarray, rhs: np.ndarray) -> np.ndarray:
     """Thomas algorithm for a tridiagonal system (lo[i] multiplies x[i-1] in
     row i, up[i] multiplies x[i+1]). O(n), no pivoting — all callers build
-    diagonally-dominant or totally-positive systems where this is stable."""
+    diagonally-dominant or totally-positive systems where this is stable.
+
+    Runs on plain Python floats (.tolist()): per-element numpy scalar
+    indexing boxes every operand, which dominated the EMD sift loop on
+    short series (same effect as _solve_penta_spd). Python float
+    arithmetic IS C double arithmetic — bit-identical results."""
+    lo = lo.tolist()
+    dg = dg.tolist()
+    up = up.tolist()
+    rhs = rhs.tolist()
     n = len(dg)
-    c = np.empty(n)
-    d = np.empty(n)
+    c = [0.0] * n
+    d = [0.0] * n
     c[0] = up[0] / dg[0]
     d[0] = rhs[0] / dg[0]
     for i in range(1, n):
         den = dg[i] - lo[i] * c[i - 1]
         c[i] = up[i] / den if i < n - 1 else 0.0
         d[i] = (rhs[i] - lo[i] * d[i - 1]) / den
-    x = np.empty(n)
-    x[-1] = d[-1]
+    # backward sweep in place: d[i] is read before being overwritten and
+    # x[i+1] is already final, so reusing d as x is exact
     for i in range(n - 2, -1, -1):
-        x[i] = d[i] - c[i] * x[i + 1]
-    return x
+        d[i] = d[i] - c[i] * d[i + 1]
+    return np.asarray(d)
 
 
 def _eval_cubic(xk, yk, M, x):
     """Evaluate the piecewise cubic with knot values yk and second
     derivatives M at probes x; boundary segments extrapolate (splev-like)."""
     n = len(xk)
-    idx = np.clip(np.searchsorted(xk, x) - 1, 0, n - 2)
-    x0, x1 = xk[idx], xk[idx + 1]
+    # ndarray methods ≡ the np.* wrappers minus the dispatch layer; this
+    # evaluator runs twice per sift
+    idx = (xk.searchsorted(x) - 1).clip(0, n - 2)
+    idx1 = idx + 1
+    x0, x1 = xk[idx], xk[idx1]
     hi = x1 - x0
     a = (x1 - x) / hi
     b = (x - x0) / hi
     return (
         a * yk[idx]
-        + b * yk[idx + 1]
-        + ((a**3 - a) * M[idx] + (b**3 - b) * M[idx + 1]) * hi * hi / 6.0
+        + b * yk[idx1]
+        + ((a**3 - a) * M[idx] + (b**3 - b) * M[idx1]) * hi * hi / 6.0
     )
 
 
@@ -69,12 +81,15 @@ def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
         return np.full_like(x, yk[0] if n else np.nan, dtype=float)
     if n < 4:
         return np.interp(x, xk, yk)
-    h = np.diff(xk)
+    # slicing subtractions ≡ np.diff (same elementwise op, a fraction of the
+    # per-call dispatch cost — this runs 100k+ times per sifted series batch)
+    h = xk[1:] - xk[:-1]
     # interior rows i=1..n-2:  h[i-1]·M[i-1] + 2(h[i-1]+h[i])·M[i] + h[i]·M[i+1] = r[i]
-    r = 6.0 * np.diff(np.diff(yk) / h)
-    lo = h[:-1].astype(float).copy()
+    d1 = (yk[1:] - yk[:-1]) / h
+    r = 6.0 * (d1[1:] - d1[:-1])
+    lo = h[:-1].astype(float)
     dg = 2.0 * (h[:-1] + h[1:])
-    up = h[1:].astype(float).copy()
+    up = h[1:].astype(float)
     # not-a-knot left:  M0 = ((h0+h1)·M1 − h0·M2) / h1  → fold into row i=1
     dg0 = dg[0] + lo[0] * (h[0] + h[1]) / h[1]
     up0 = up[0] - lo[0] * h[0] / h[1]
@@ -83,7 +98,10 @@ def cubic_spline(xk: np.ndarray, yk: np.ndarray, x: np.ndarray) -> np.ndarray:
     lol = lo[-1] - up[-1] * h[-1] / h[-2]
     dg[0], up[0], lo[0] = dg0, up0, 0.0
     dg[-1], lo[-1], up[-1] = dgl, lol, 0.0
-    Mi = _solve_tridiag(np.r_[0.0, lo[1:]], dg, np.r_[up[:-1], 0.0], r)
+    # lo[0] and up[-1] are already 0.0 (and unused by the Thomas sweeps),
+    # so lo/dg/up pass straight through — the former np.r_ copies were the
+    # single hottest allocation in the sift profile
+    Mi = _solve_tridiag(lo, dg, up, r)
     M = np.empty(n)
     M[1:-1] = Mi
     M[0] = ((h[0] + h[1]) * Mi[0] - h[0] * Mi[1]) / h[1]
@@ -343,14 +361,17 @@ def find_extrema_idx(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Interior strict local maxima / minima indices (scipy-find_peaks-like
     for non-plateau data; reference core.py:283-339)."""
     mid = x[1:-1]
-    peaks = np.where((mid > x[:-2]) & (mid > x[2:]))[0] + 1
-    dips = np.where((mid < x[:-2]) & (mid < x[2:]))[0] + 1
+    lo_, hi_ = x[:-2], x[2:]
+    peaks = ((mid > lo_) & (mid > hi_)).nonzero()[0] + 1
+    dips = ((mid < lo_) & (mid < hi_)).nonzero()[0] + 1
     return peaks, dips
 
 
 def count_zero_crossings(x: np.ndarray) -> int:
-    """reference core.py:341-367: sign-bit flips."""
-    return int(np.count_nonzero(np.diff(np.signbit(x))))
+    """reference core.py:341-367: sign-bit flips. (np.diff on bool is XOR —
+    the explicit != keeps the semantics with one ufunc call.)"""
+    sb = np.signbit(x)
+    return int(np.count_nonzero(sb[1:] != sb[:-1]))
 
 
 def _padded_anchor(t, x, idx, pad_width):
@@ -360,19 +381,20 @@ def _padded_anchor(t, x, idx, pad_width):
     pad(reflect, reflect_type=["odd", None]) followed by dropping the edge
     samples themselves (decomposition.py:55-60)."""
     ti, vi = t[idx], x[idx]
-    lt = 2 * t[0] - ti[:pad_width][::-1]
-    lv = vi[:pad_width][::-1]
-    rt = 2 * t[-1] - ti[-pad_width:][::-1]
-    rv = vi[-pad_width:][::-1]
-    at = np.concatenate([lt[::-1], ti, rt[::-1]])
-    av = np.concatenate([lv[::-1], vi, rv[::-1]])
-    order = np.argsort(at)
+    # elementwise mirror commutes with reversal, so the former
+    # double-reversed lt[::-1]/rt[::-1] blocks are exactly these slices;
+    # the argsort stays because ghost/interior times can tie on
+    # duplicate-timestamp series and the permutation must not change
+    at = np.concatenate([2 * t[0] - ti[:pad_width], ti, 2 * t[-1] - ti[-pad_width:]])
+    av = np.concatenate([vi[:pad_width], vi, vi[-pad_width:]])
+    order = at.argsort()
     return at[order], av[order]
 
 
-def emd_sift(t, x, pad_width=2):
-    """One sifting pass (reference decomposition.py:45-70):
-    → (mu, sigma, n_ext, n_zero). Raises ValueError when too few extrema."""
+def _emd_sift_raw(t, x, pad_width=2):
+    """emd_sift body without the errstate guard — emd_iter holds ONE
+    errstate around its whole loop instead of paying the context-manager
+    enter/exit per sift (~200k sifts per ceemdan task batch)."""
     peaks, dips = find_extrema_idx(x)
     n_ext = len(peaks) + len(dips)
     n_zero = count_zero_crossings(x)
@@ -386,26 +408,35 @@ def emd_sift(t, x, pad_width=2):
     lower = cubic_spline(dt_, dv, t)
     mu = (upper + lower) / 2
     amp = (upper - lower) / 2
-    with np.errstate(divide="ignore", invalid="ignore"):
-        sigma = np.abs(mu / amp)
+    sigma = np.abs(mu / amp)
     return mu, sigma, n_ext, n_zero
+
+
+def emd_sift(t, x, pad_width=2):
+    """One sifting pass (reference decomposition.py:45-70):
+    → (mu, sigma, n_ext, n_zero). Raises ValueError when too few extrema."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return _emd_sift_raw(t, x, pad_width)
 
 
 def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50, alpha=0.05):
     """Sift until IMF criteria or monotonic (reference decomposition.py:72-91).
     → (mode, is_monotonic)."""
     mode = x.copy()
-    for _ in range(max_iter):
-        try:
-            mu, sigma, n_ext, n_zero = emd_sift(t, mode, pad_width)
-        except ValueError:
-            return mode, True
-        is_imf = np.mean(sigma > theta_1) < alpha
-        is_imf = is_imf and np.all(sigma < theta_2)
-        is_imf = is_imf and abs(n_zero - n_ext) <= 1
-        if is_imf:
-            break
-        mode = mode - mu
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for _ in range(max_iter):
+            try:
+                mu, sigma, n_ext, n_zero = _emd_sift_raw(t, mode, pad_width)
+            except ValueError:
+                return mode, True
+            # count/size ≡ np.mean on a 0/1 bool array (the bool sum is an
+            # exact small integer in double), one ufunc cheaper
+            is_imf = np.count_nonzero(sigma > theta_1) / sigma.size < alpha
+            is_imf = is_imf and np.all(sigma < theta_2)
+            is_imf = is_imf and abs(n_zero - n_ext) <= 1
+            if is_imf:
+                break
+            mode = mode - mu
     return mode, False
 
 
@@ -566,7 +597,8 @@ def ceemdan_1d(
             else:
                 noisy = residue
             first, _ = emd(t, noisy, max_modes=1, **emd_kw)
-            acc += noisy - first[0] if first else np.zeros(len(t))
+            if first:
+                acc += noisy - first[0]
         mu = acc / ensemble_size
         modes.append(residue - mu)
         residue = mu

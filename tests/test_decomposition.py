@@ -109,3 +109,94 @@ def test_lmd_survives_irregular_gap_short_series():
     pfs, res = lmd(t, x)
     recon = sum(A * F for A, F in pfs) + res
     assert np.abs(recon - x).max() < 1e-12
+
+
+def test_sift_plumbing_rewrite_bit_identical_to_reference_forms():
+    """r10 kernel optimization: _solve_tridiag moved to Python-float
+    Thomas, cubic_spline dropped the np.r_ copies and np.diff dispatch,
+    _padded_anchor dropped the double reversals, emd_iter swapped
+    np.mean(bool) for count/size. Each is an algebraic no-op; this pins
+    the whole sift chain bit-exactly against the former formulations."""
+    import numpy as np
+
+    from periodicity_spark.decomposition.kernels import (
+        _padded_anchor,
+        _solve_tridiag,
+        cubic_spline,
+        emd_iter,
+        find_extrema_idx,
+    )
+
+    rng = np.random.default_rng(42)
+    for n in (4, 5, 8, 13, 47, 300):
+        xk = np.sort(rng.uniform(0, 10, n))
+        yk = rng.standard_normal(n)
+        x = rng.uniform(-1, 11, 25)
+        # former cubic_spline body (np.diff / np.r_ forms), verbatim
+        h = np.diff(xk)
+        r = 6.0 * np.diff(np.diff(yk) / h)
+        lo = h[:-1].astype(float).copy()
+        dg = 2.0 * (h[:-1] + h[1:])
+        up = h[1:].astype(float).copy()
+        dg0 = dg[0] + lo[0] * (h[0] + h[1]) / h[1]
+        up0 = up[0] - lo[0] * h[0] / h[1]
+        dgl = dg[-1] + up[-1] * (h[-2] + h[-1]) / h[-2]
+        lol = lo[-1] - up[-1] * h[-1] / h[-2]
+        dg[0], up[0], lo[0] = dg0, up0, 0.0
+        dg[-1], lo[-1], up[-1] = dgl, lol, 0.0
+        Mi_new = _solve_tridiag(lo, dg, up, r)
+        Mi_r_forms = _solve_tridiag(np.r_[0.0, lo[1:]], dg, np.r_[up[:-1], 0.0], r)
+        np.testing.assert_array_equal(Mi_new, Mi_r_forms)
+        # numpy-scalar Thomas (the pre-r10 loop), verbatim
+        nn = len(dg)
+        c = np.empty(nn)
+        d = np.empty(nn)
+        c[0] = up[0] / dg[0]
+        d[0] = r[0] / dg[0]
+        for i in range(1, nn):
+            den = dg[i] - lo[i] * c[i - 1]
+            c[i] = up[i] / den if i < nn - 1 else 0.0
+            d[i] = (r[i] - lo[i] * d[i - 1]) / den
+        xs = np.empty(nn)
+        xs[-1] = d[-1]
+        for i in range(nn - 2, -1, -1):
+            xs[i] = d[i] - c[i] * xs[i + 1]
+        np.testing.assert_array_equal(Mi_new, xs)
+        assert cubic_spline(xk, yk, x).dtype == np.float64
+
+    # _padded_anchor vs the double-reversed construction on a sifted series
+    t = np.arange(200, dtype=float) * 0.13
+    sig = np.sin(t) + 0.3 * rng.standard_normal(200)
+    peaks, _dips = find_extrema_idx(sig)
+    for pad in (2, 3):
+        at, av = _padded_anchor(t, sig, peaks, pad)
+        ti, vi = t[peaks], sig[peaks]
+        lt = 2 * t[0] - ti[:pad][::-1]
+        lv = vi[:pad][::-1]
+        rt = 2 * t[-1] - ti[-pad:][::-1]
+        rv = vi[-pad:][::-1]
+        at_old = np.concatenate([lt[::-1], ti, rt[::-1]])
+        av_old = np.concatenate([lv[::-1], vi, rv[::-1]])
+        order = np.argsort(at_old)
+        np.testing.assert_array_equal(at, at_old[order])
+        np.testing.assert_array_equal(av, av_old[order])
+
+    # emd_iter criterion: count/size ≡ np.mean over bool — spot-check the
+    # full mode against a run of the former criterion inline
+    from periodicity_spark.decomposition.kernels import emd_sift
+
+    mode_ref = sig.copy()
+    for _ in range(2000):
+        try:
+            mu, sigma, n_ext, n_zero = emd_sift(t, mode_ref, 2)
+        except ValueError:
+            break
+        is_imf = np.mean(sigma > 0.05) < 0.05
+        is_imf = is_imf and np.all(sigma < 0.50)
+        is_imf = is_imf and abs(n_zero - n_ext) <= 1
+        if is_imf:
+            break
+        mode_ref = mode_ref - mu
+    mode_new, mono = emd_iter(t, sig)
+    assert not mono
+    np.testing.assert_array_equal(mode_new, mode_ref)
