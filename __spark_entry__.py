@@ -33,7 +33,7 @@ from periodicity_spark.pipeline import dedup, simsearch, text as text_ops
 from periodicity_spark.pipeline import sample as sample_ops
 from periodicity_spark.pipeline import sketch as sketch_ops
 from periodicity_spark.pipeline.multimodal import extract_features
-from periodicity_spark.session import persisted
+from periodicity_spark.session import persisted, persisted_lazy
 from periodicity_spark.sources.ingest import (
     events_with_time,
     load_table,
@@ -65,8 +65,32 @@ PERIOD_GRID = [0.5 + 0.25 * j for j in range(20)]
 PERIOD_GRID_SQL = "grid AS (SELECT 0.5 + 0.25 * unnest(range(20)) AS period)"
 
 
+# Memo of the three entry DataFrames per (session, sf_dir). DataFrames are
+# immutable plan handles — reusing one object across queries caches NOTHING
+# about its results (every action still scans parquet); it only skips
+# rebuilding the identical unresolved plan over py4j for each of ~45 bench
+# queries (~0.1-0.2 s of driver round-trips per build, guide §5) and lets
+# scan_parallel's partition probe reuse the Dataset's cached RDD instead of
+# re-planning the subtree cold (~0.1-0.5 s per probe).
+_ENTRY_DF_MEMO: dict = {}
+
+
+def _entry_df(spark: SparkSession, sf_dir: str, name: str, builder) -> DataFrame:
+    from periodicity_spark.session import session_uid
+
+    skey = session_uid(spark)
+    full = (skey, sf_dir, name)
+    if full not in _ENTRY_DF_MEMO:
+        # evict frames belonging to other (possibly dead) sessions so the
+        # memo cannot grow past one session's handful of entries
+        for old in [k for k in _ENTRY_DF_MEMO if k[0] != skey]:
+            _ENTRY_DF_MEMO.pop(old, None)
+        _ENTRY_DF_MEMO[full] = builder()
+    return _ENTRY_DF_MEMO[full]
+
+
 def _ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ts_from_events(spark, sf_dir)
+    return _entry_df(spark, sf_dir, "ts", lambda: ts_from_events(spark, sf_dir))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,16 +99,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the first exchange. No-op for well-partitioned sources.
     from periodicity_spark.session import scan_parallel
 
-    return scan_parallel(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+    return _entry_df(
+        spark,
+        sf_dir,
+        "docs",
+        lambda: scan_parallel(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+        ),
     )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.session import scan_parallel
 
-    return scan_parallel(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id"
+    return _entry_df(
+        spark,
+        sf_dir,
+        "emb",
+        lambda: scan_parallel(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id"
+        ),
     )
 
 
@@ -610,10 +644,16 @@ def _gls_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gls_power and gls_best_period are two projections of the SAME
     # periodogram — persist it once per (session, sf_dir) so the second
     # query reuses the aggregate instead of recomputing the full grid scan
-    # (engine-level memo: periodicity_spark.session.persisted).
-    grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
-    pg = gls_periodogram(_ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N)
-    return persisted(pg, f"gls_pg:{sf_dir}")
+    # (engine-level memo: periodicity_spark.session.persisted_lazy). LAZY
+    # memo deliberately: six queries share this plan, and rebuilding it
+    # over py4j only to discard it on a memo hit measured ~0.6 s per call.
+    def _build() -> DataFrame:
+        grid = uniform_freq_grid(spark, GLS_FMIN, GLS_DF, GLS_NF)
+        return gls_periodogram(
+            _ts(spark, sf_dir), freq_grid=grid, min_count=GLS_MIN_N
+        )
+
+    return persisted_lazy(spark, f"gls_pg:{sf_dir}", _build)
 
 
 def q_gls_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4599,7 +4639,13 @@ def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (value²/frequency on a fixed 5-frequency grid) so the whole query has
     # an exact DuckDB oracle; the CWT-backed input path is exercised by
     # wps_gwps (rows-only — Python FFT kernel)
-    ts = _ts(spark, sf_dir)
+    from periodicity_spark.session import scan_parallel
+
+    # floor the SOURCE, not the ×5-expanded spectrogram: the floor exchange
+    # moves one-fifth the bytes, the memoized _ts probes from its cached
+    # RDD (no cold re-plan of the crossJoin subtree), and downsample_tf is
+    # told to skip its own probe (assume_parallel)
+    ts = scan_parallel(_ts(spark, sf_dir))
     freqs = spark.createDataFrame(
         [(0.5,), (1.0,), (2.0,), (4.0,), (8.0,)], "frequency double"
     )
@@ -4614,7 +4660,7 @@ def q_tf_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("power"),
     )
-    out = ops_resample.downsample_tf(tf, dt=2.0, df_=0.5)
+    out = ops_resample.downsample_tf(tf, dt=2.0, df_=0.5, assume_parallel=True)
     return out.select(
         "series_id", "time", "frequency", F.round("power", 6).alias("power")
     )

@@ -38,7 +38,10 @@ def pdm_theta(ts: DataFrame, periods: DataFrame, nb: int = 5, nc: int = 2) -> Da
     # the N×P fold expansion + base-bin partial aggregate run inside the
     # scan tasks; floor the parallelism so a single-row-group input does
     # not serialize them onto one core (no-op on well-partitioned scans)
-    base = scan_parallel(ts.filter(F.col("value").isNotNull()))
+    # probe the caller's frame, then filter — the filter pushes through the
+    # repartition, so the executed plan is unchanged, and a repeat caller's
+    # Dataset probes from its cached RDD instead of a cold re-plan
+    base = scan_parallel(ts).filter(F.col("value").isNotNull())
     sig = base.groupBy("series_id").agg(F.var_samp("value").alias("_sigma"))
     if "series_id" in periods.columns:
         crossed = base.join(periods, "series_id")

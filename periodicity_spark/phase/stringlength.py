@@ -46,7 +46,10 @@ def string_length(ts: DataFrame, periods: DataFrame) -> DataFrame:
     # the N×P fold expansion and its shuffle write run inside the scan
     # tasks; floor the parallelism so a single-row-group input does not
     # serialize them onto one core (no-op on well-partitioned scans)
-    scaled = _scale(scan_parallel(ts.filter(F.col("value").isNotNull())))
+    # probe the caller's frame, then filter — the filter pushes through the
+    # repartition (executed plan unchanged), and a repeat caller's Dataset
+    # probes from its cached RDD instead of a cold re-plan
+    scaled = _scale(scan_parallel(ts).filter(F.col("value").isNotNull()))
     if "series_id" in periods.columns:
         crossed = scaled.join(periods, "series_id")
     else:

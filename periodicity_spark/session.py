@@ -103,19 +103,30 @@ def persisted(df, key: str):
     return persisted_lazy(df.sparkSession, key, lambda: df)
 
 
-def persisted_lazy(spark, key: str, builder):
-    """``persisted`` for subplans whose CONSTRUCTION already runs Spark
-    jobs (iterative algorithms with driver loops, e.g. connected
-    components' label propagation): ``builder()`` is invoked only on a
-    memo miss, so a hit costs a dict lookup instead of re-running the
-    whole iteration. ``persisted(df, key)`` cannot offer this — its
-    argument is built eagerly by the caller."""
+def session_uid(spark) -> str:
+    """Stable per-session uuid for memo keys — ``id(spark)`` can be
+    recycled by the allocator after a session is garbage-collected, which
+    would hand a dead session's memo entries to a new one."""
     skey = getattr(spark, "_ps_persist_memo_key", None)
     if skey is None:
         import uuid
 
         skey = uuid.uuid4().hex
         spark._ps_persist_memo_key = skey
+    return skey
+
+
+def persisted_lazy(spark, key: str, builder):
+    """``persisted`` for subplans whose CONSTRUCTION already runs Spark
+    jobs (iterative algorithms with driver loops, e.g. connected
+    components' label propagation) or whose plan BUILD alone is expensive
+    driver-side (hundreds of py4j round-trips, e.g. the GLS periodogram —
+    rebuilding a plan only to discard it on a memo hit measured ~0.6 s per
+    caller): ``builder()`` is invoked only on a memo miss, so a hit costs
+    a dict lookup instead of re-running the whole construction.
+    ``persisted(df, key)`` cannot offer this — its argument is built
+    eagerly by the caller."""
+    skey = session_uid(spark)
     full = (skey, key)
     if full not in _PERSIST_MEMO:
         for old_key in [k for k in _PERSIST_MEMO if k[0] != skey or k[1] == key]:

@@ -131,6 +131,20 @@ def gls_periodogram(
     drop the hint and let AQE pick broadcast-vs-shuffle from the measured
     size at runtime, or False to force the shuffle join.
     """
+    # The N×F grid expansion, 2·N·F transcendentals and the partial
+    # aggregation all run INSIDE the scan tasks (everything below the first
+    # Exchange) — a small single-row-group file would serialize the whole
+    # periodogram onto one core (guide §2.5 input skew). Floor the
+    # parallelism first; no-op when the scan already has enough partitions.
+    # Probe the CALLER'S frame before deriving anything from it: a repeat
+    # caller's Dataset has a cached RDD, so the probe is a dict lookup
+    # instead of a cold re-plan of the subtree (~0.1-0.3 s per build), and
+    # the filters below push through the repartition, so the executed plan
+    # is unchanged.
+    from periodicity_spark.session import scan_parallel
+
+    ts = scan_parallel(ts)
+
     # NaN-skipping like the reference's np.nan* reducers (core.py:202-260):
     # NaN values and NULL/NaN errors are missing data, dropped from every
     # statistic INCLUDING the min_count sample count — keeping them would
@@ -143,14 +157,7 @@ def gls_periodogram(
         if err_col is None
         else F.pow(F.col(err_col), F.lit(-2.0))
     )
-    # The N×F grid expansion, 2·N·F transcendentals and the partial
-    # aggregation all run INSIDE the scan tasks (everything below the first
-    # Exchange) — a small single-row-group file would serialize the whole
-    # periodogram onto one core (guide §2.5 input skew). Floor the
-    # parallelism first; no-op when the scan already has enough partitions.
-    from periodicity_spark.session import scan_parallel
-
-    base = scan_parallel(ts.withColumn("werr", werr))
+    base = ts.withColumn("werr", werr)
 
     # Pass 1 — reference spectral.py:99-107,120 in one aggregation.
     stats = base.groupBy("series_id").agg(
