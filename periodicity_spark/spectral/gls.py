@@ -248,22 +248,33 @@ def gls_periodogram(
     # Project sinθ/cosθ once, derive the double-angle terms algebraically
     # (sin2θ = 2sc, cos2θ = 1−2s²) — halves the transcendental work, which
     # dominates the crossJoin aggregate at scale.
-    theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
-    proj = joined.select(
+    #
+    # The arithmetic here and in the power finish below is written as SQL
+    # STRINGS parsed JVM-side, not as Column objects: building the same
+    # trees through py4j costs one driver round-trip per node (~0.3-1 ms
+    # each, ~1 800 per periodogram plan — the r10 simhash lesson, guide
+    # §5). The strings are structured to parse to EXACTLY the trees the
+    # former Column code built; tests/test_spectral_extras.py pins the
+    # optimized-plan equality against a Column-built reference.
+    theta = f"{TWO_PI!r}D * frequency * time"
+    proj = joined.selectExpr(
         *group_keys,
-        (F.col("werr") / F.col("wsum")).alias("_w"),
-        (F.col("value") - F.col("ybar")).alias("_y"),
-        F.sin(theta).alias("_s"),
-        F.cos(theta).alias("_c"),
+        "werr / wsum AS _w",
+        "value - ybar AS _y",
+        f"sin({theta}) AS _s",
+        f"cos({theta}) AS _c",
     )
-    w, y, s, c = F.col("_w"), F.col("_y"), F.col("_s"), F.col("_c")
+    # NOTE the commuted literal positions (_s * 2, x + 1, ... * 0.5):
+    # Python's reflected operators (2 * col → col.__rmul__ → col * 2) put
+    # literals on the RIGHT; these strings mirror that so the parse trees
+    # match the former Column build node-for-node.
     sums = proj.groupBy(*group_keys).agg(
-        F.sum(w * s).alias("S"),
-        F.sum(w * c).alias("C"),
-        F.sum(w * (2 * s * c)).alias("S2"),
-        F.sum(w * (1 - 2 * s * s)).alias("C2"),
-        F.sum(w * y * s).alias("Sh"),
-        F.sum(w * y * c).alias("Ch"),
+        F.expr("sum(_w * _s) AS S"),
+        F.expr("sum(_w * _c) AS C"),
+        F.expr("sum(_w * ((_s * 2) * _c)) AS S2"),
+        F.expr("sum(_w * (1 - (_s * 2) * _s)) AS C2"),
+        F.expr("sum(_w * _y * _s) AS Sh"),
+        F.expr("sum(_w * _y * _c) AS Ch"),
     )
 
     sums = sums.join(_hint(consts), key)
@@ -272,37 +283,38 @@ def gls_periodogram(
             F.broadcast(freq_grid.select("_k", "frequency")), "_k"
         )
 
-    # Power finish — column transliteration of reference spectral.py:113-132.
+    # Power finish — SQL-string transliteration of reference
+    # spectral.py:113-132 (parsed JVM-side; every substitution is
+    # parenthesized so the parse tree matches the former Column build
+    # node-for-node — the repeated subterms below textually duplicate
+    # exactly the way reused Column objects duplicated their subtrees).
     if fit_mean:
-        tan2wt = F.try_divide(
-            F.col("S2") - 2 * F.col("S") * F.col("C"),
-            F.col("C2") - (F.col("C") * F.col("C") - F.col("S") * F.col("S")),
-        )
+        tan2wt = "try_divide(S2 - (S * 2) * C, C2 - (C * C - S * S))"
     else:
-        tan2wt = F.try_divide(F.col("S2"), F.col("C2"))
-    norm = F.sqrt(1 + tan2wt * tan2wt)
-    S2w = tan2wt / norm
-    C2w = 1 / norm
-    Cw = F.sqrt(F.lit(0.5)) * F.sqrt(1 + C2w)
-    Sw = F.sqrt(F.lit(0.5)) * F.signum(S2w) * F.sqrt(1 - C2w)
-    YC = F.col("Ch") * Cw + F.col("Sh") * Sw
-    YS = F.col("Sh") * Cw - F.col("Ch") * Sw
-    CC = 0.5 * (1 + F.col("C2") * C2w + F.col("S2") * S2w)
-    SS = 0.5 * (1 - F.col("C2") * C2w - F.col("S2") * S2w)
+        tan2wt = "try_divide(S2, C2)"
+    norm = f"sqrt(({tan2wt}) * ({tan2wt}) + 1)"
+    S2w = f"(({tan2wt}) / ({norm}))"
+    C2w = f"(1 / ({norm}))"
+    Cw = f"(sqrt(0.5D) * sqrt({C2w} + 1))"
+    Sw = f"(sqrt(0.5D) * signum({S2w}) * sqrt(1 - {C2w}))"
+    YC = f"(Ch * {Cw} + Sh * {Sw})"
+    YS = f"(Sh * {Cw} - Ch * {Sw})"
+    CC = f"((C2 * {C2w} + 1 + S2 * {S2w}) * 0.5D)"
+    SS = f"((1 - C2 * {C2w} - S2 * {S2w}) * 0.5D)"
     if fit_mean:
-        CC = CC - (F.col("C") * Cw + F.col("S") * Sw) ** 2
-        SS = SS - (F.col("S") * Cw - F.col("C") * Sw) ** 2
+        CC = f"({CC} - power(C * {Cw} + S * {Sw}, 2))"
+        SS = f"({SS} - power(S * {Cw} - C * {Sw}, 2))"
     # try_divide: a spectrally degenerate series (constant values → YY = 0,
     # or a frequency where CC/SS vanish) must yield NULL power, not an ANSI
     # DIVIDE_BY_ZERO crash — the reference's numpy gives 0/0 → NaN there,
     # and this engine's convention is NaN→NULL (sources/ingest.py). For
     # every non-degenerate row try_divide is bit-identical to `/`.
-    power = F.try_divide(YC * YC, CC) + F.try_divide(YS * YS, SS)
+    power = f"(try_divide({YC} * {YC}, {CC}) + try_divide({YS} * {YS}, {SS}))"
     if psd:
-        power = power * (0.5 * F.col("wsum"))
+        power = f"({power} * (wsum * 0.5D))"
     else:
-        power = F.try_divide(power, F.col("YY"))
-    return sums.select("series_id", "frequency", power.alias("power"))
+        power = f"try_divide({power}, YY)"
+    return sums.selectExpr("series_id", "frequency", f"{power} AS power")
 
 
 def gls_arrow(
