@@ -93,6 +93,27 @@ def _ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entry_df(spark, sf_dir, "ts", lambda: ts_from_events(spark, sf_dir))
 
 
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized events_with_time — six queries build this identical subtree."""
+    return _entry_df(
+        spark, sf_dir, "ev", lambda: events_with_time(spark, sf_dir)
+    )
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Memoized raw table scan: ``spark.read.parquet`` re-reads the file
+    footer on EVERY call (~50-90 ms at sf0.1) — the TPC-H star joins alone
+    re-paid that for 3-6 tables per query per rep. Same immutable-plan-
+    handle reuse as _ts/_docs/_emb: no results cached, every action still
+    scans parquet."""
+    return _entry_df(
+        spark,
+        sf_dir,
+        f"tbl:{name}",
+        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+    )
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group files scan as ONE task; per-doc CPU (tokenization,
     # hashing, HOF array work) would otherwise serialize onto one core
@@ -104,7 +125,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "docs",
         lambda: scan_parallel(
-            spark.read.parquet(f"{sf_dir}/documents.parquet"), key="doc_id"
+            _tbl(spark, sf_dir, "documents"), key="doc_id"
         ),
     )
 
@@ -117,7 +138,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "emb",
         lambda: scan_parallel(
-            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), key="vec_id"
+            _tbl(spark, sf_dir, "embeddings"), key="vec_id"
         ),
     )
 
@@ -329,7 +350,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny (cohort, offset) aggregate + broadcast cohort sizes."""
     from periodicity_spark.operators.agg import cohort_retention
 
-    ev = events_with_time(spark, sf_dir)
+    ev = _ev(spark, sf_dir)
     return cohort_retention(ev, day=F.floor("time"))
 
 
@@ -448,7 +469,7 @@ SELECT series_id, rank, "time", value FROM r WHERE rank <= 3
 
 
 def _ts_with_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_with_time(spark, sf_dir)
+    ev = _ev(spark, sf_dir)
     return ev.select(
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
         F.col("time"),
@@ -542,7 +563,7 @@ WHERE (0.0 + (1.0/3.0) * coalesce(vp, vn) + (1.0/3.0) * value + (1.0/3.0) * coal
 
 
 def q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_with_time(spark, sf_dir)
+    ev = _ev(spark, sf_dir)
     return (
         ev.groupBy("event_type", F.floor(F.col("value") / 25.0).cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -583,7 +604,7 @@ FROM prods p JOIN den d USING (series_id)
 
 
 def q_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_with_time(spark, sf_dir)
+    ev = _ev(spark, sf_dir)
     day = F.floor("time").cast("long").alias("day")
     a = (
         ev.filter(F.col("event_type") == "click")
@@ -791,7 +812,7 @@ def q_gls_default_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     → fmax=0.5) and restricted to user_id ≤ 2 so the per-series grid stays
     oracle-tractable; values rounded 6dp pre-GLS identically on both engines.
     """
-    ev = events_with_time(spark, sf_dir).filter(F.col("user_id") <= 2)
+    ev = _ev(spark, sf_dir).filter(F.col("user_id") <= 2)
     ts = ev.select(
         F.concat_ws("/", F.col("user_id"), F.col("event_type")).alias("series_id"),
         F.col("time"),
@@ -945,7 +966,7 @@ FROM th t JOIN sig s USING (series_id) WHERE s.sigma > 0
 
 
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
@@ -979,7 +1000,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     1995-2001 date range: a pure scan-and-aggregate whose THREE range
     predicates must all reach the parquet scan — the canonical
     pushdown/pruning benchmark."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -1016,13 +1037,13 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same plan degrades to a shuffle join instead of OOMing a
     forced broadcast. Top-10 by revenue with deterministic (revenue DESC,
     orderkey) tie-break so the result set is unique and hash-comparable."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+    cust = _tbl(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+    orders = _tbl(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < "1998-01-01"
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _tbl(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > "1998-01-01"
     )
     oc = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
@@ -1065,7 +1086,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale and degrades to a shuffle join at 100 TB. The c_nationkey =
     s_nationkey "local supplier" predicate rides the supplier broadcast
     join, so no extra exchange is introduced for it."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     orders = rd("orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
@@ -1117,10 +1138,10 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation over a broadcast dim join — the month filter prunes
     lineitem at the scan, part broadcasts, and the CASE folds into one
     whole-stage-codegen aggregate with no second pass."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+    li = _tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
-    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    part = _tbl(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -1168,7 +1189,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     (s_suppkey, s_name, total_revenue). Revenue is rounded to 2 decimals
     BEFORE the max comparison on both engines, so the tie comparison is
     on identical representations."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     rev = (
         rd("lineitem")
         .filter(
@@ -1223,15 +1244,15 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     having-filtered key set is tiny by construction (top ~1% of orders),
     so the semi-join is map-side at any corpus scale; customer broadcasts.
     Deterministic top-100 by (o_totalprice DESC, o_orderkey)."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = _tbl(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sq"))
         .filter(F.col("_sq") > 300.0)
         .select("l_orderkey")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = _tbl(spark, sf_dir, "orders")
+    cust = _tbl(spark, sf_dir, "customer")
     return (
         li.join(F.broadcast(big), "l_orderkey", "left_semi")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -1276,7 +1297,7 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB both sides are large, so semi-join-on-key (never a count +
     filter, which would shuffle every lineitem row into an aggregate) is
     the scale plan; the 3-month range prunes the orders scan."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     orders = rd("orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
     )
@@ -1313,7 +1334,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     table keyed by customer and resurrects every hot-customer skew; the
     pre-agg gets map-side partial combine for free. The second aggregate
     (distribution over c_count) is a few hundred groups — negligible."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     per_cust = (
         rd("orders")
         .filter(F.col("o_orderpriority") != "1-URGENT")
@@ -1347,7 +1368,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     side and customer side both broadcast — the nation pair disjunction
     rides them, no extra exchange) + year() extraction feeding the group
     keys. One big-big lineitem ⋈ orders join, AQE's call."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     n1 = rd("nation").select(
         F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
     )
@@ -1401,7 +1422,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (sum(case)/sum) over a 7-table star. Part and all dims
     broadcast; the customer-side region restriction and the supplier-side
     nation label come from two independent nation joins."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     cust_nat = (
         rd("nation")
         .join(
@@ -1469,7 +1490,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation broadcast; the lone big-big join (lineitem ⋈ filtered orders)
     is AQE's call. The final top-20 is TakeOrdered over the per-customer
     aggregate — no global sort."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     orders = rd("orders").filter(
         (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
     )
@@ -1515,7 +1536,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part aggregate gets map-side combine; the brand filter reaches
     the part scan and the tiny filtered part side broadcasts into both
     the threshold build and the final join."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     li = rd("lineitem")
     parts = rd("part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
     avg_q = (
@@ -1554,7 +1575,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjunction and reach the part scan as pushed filters; part then
     broadcasts and the residual cross-table disjunction evaluates on the
     join output — no fact-table re-scan per branch."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     li = rd("lineitem")
     p = rd("part")
     cond = (
@@ -1605,12 +1626,12 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a single build row) and ANTI join. The anti join's right side
     is pre-projected to the bare distinct key so the shuffle carries
     8-byte keys, not order rows."""
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cust = _tbl(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("_avg")
     )
     buyers = (
-        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _tbl(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= "1999-01-01")
         .select("o_custkey")
         .distinct()
@@ -1658,7 +1679,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     (can't filter earlier — the EXISTS clauses quantify over ALL
     suppliers of the order). ORDER BY numwait DESC, s_name is a total
     order (names unique), so LIMIT 100 is deterministic."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     lo = (
         rd("lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -1745,7 +1766,7 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine. ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
     is a total order on this output (one row per part×supplier), so
     LIMIT 100 is deterministic."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     parts = (
         rd("part")
         .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO"))
@@ -1840,7 +1861,7 @@ def _supply(spark: SparkSession, sf_dir: str, with_qty: bool = False) -> DataFra
         [F.sum("l_quantity").alias("ps_availqty")] if with_qty else []
     )
     return (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        _tbl(spark, sf_dir, "lineitem")
         .select(*cols)
         .groupBy(
             F.col("l_partkey").alias("ps_partkey"),
@@ -1861,7 +1882,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-filtered part (pushed to scan), supplier and nation dims all
     broadcast. The nation×year aggregate is map-side combined, output is
     |nations|×|years| rows."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     parts = rd("part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     sn = (
         rd("supplier")
@@ -1944,7 +1965,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a cross join (BroadcastNestedLoopJoin with a single build
     row) — no second scan of lineitem thanks to the shared cached-free
     lineage, and no correlated re-evaluation."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     nat_supp = (
         rd("supplier")
         .join(
@@ -2014,7 +2035,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     the orderkey equi-join is the one shuffle (the cross-table 60-day
     predicate evaluates on join output); the 2-column aggregate is
     map-side combined to |returnflags| rows."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     li = (
         rd("lineitem")
         .filter(
@@ -2063,7 +2084,7 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is a filtered dim scan broadcast as an anti join; distinct pairs
     and the count-distinct aggregate are the two shuffles, both on
     bounded-cardinality keys."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     pairs = (
         rd("lineitem").select("l_partkey", "l_suppkey").distinct()
     )
@@ -2109,7 +2130,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates; those two aggregates shuffle on the same key pair (AQE
     co-plans them); the qualifying supplier-key set is distinct-reduced
     before the final semi join against the nation-filtered supplier dim."""
-    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+    rd = lambda t: _tbl(spark, sf_dir, t)  # noqa: E731
     parts = (
         rd("part")
         .filter(F.col("p_brand").like("Brand#1%"))
@@ -2239,7 +2260,7 @@ WHERE isfinite(scale)
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = events_with_time(spark, sf_dir)
+    ev = _ev(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("int")
     return (
         ev.withColumn("k_bucket", k % 10)
@@ -2448,7 +2469,7 @@ def q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent of corpus size); window row_number only over candidates."""
     from periodicity_spark.operators.topk import topk_per_key
 
-    ev = load_table(spark, sf_dir, "events").filter(
+    ev = _tbl(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & ~F.isnan("value")
     )
     return topk_per_key(
@@ -2614,7 +2635,7 @@ def q_boilerplate_rm(spark: SparkSession, sf_dir: str) -> DataFrame:
     newline-delimited production shape."""
     from periodicity_spark.pipeline.text import remove_boilerplate
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _tbl(spark, sf_dir, "documents")
     out = remove_boilerplate(docs, delim=" ", min_doc_frac=0.6, min_docs=2)
     return out.select("doc_id", "text", "n_kept", "n_removed")
 

@@ -24,12 +24,16 @@ _ATOL = 1e-08
 def series_stats(ts: DataFrame) -> DataFrame:
     """→ (series_id, n, n_value, mean, std, vmin, vmax, tmin, tmax,
           baseline, median_dt, is_uniform, dt)"""
-    w = Window.partitionBy("series_id").orderBy("time")
-    diffs = ts.select(
+    # window lag + isclose condition as SQL strings parsed JVM-side (the
+    # Column build cost ~280 ms of py4j round-trips per plan, guide §5);
+    # literal positions mirror Python's reflected operators so the trees
+    # match the former Column build exactly (optimizedPlan-diffed on every
+    # series_stats-consuming declared query)
+    diffs = ts.selectExpr(
         "series_id",
         "time",
         "value",
-        (F.col("time") - F.lag("time").over(w)).alias("dt_i"),
+        "time - lag(time) OVER (PARTITION BY series_id ORDER BY time) AS dt_i",
     )
     # median_dt first, then a second pass for the numpy.isclose-style
     # uniformity check: |dt_i − m| ≤ atol + rtol·|m| for every gap.
@@ -38,10 +42,10 @@ def series_stats(ts: DataFrame) -> DataFrame:
         diffs.join(med, "series_id")
         .groupBy("series_id")
         .agg(
-            F.bool_and(
-                F.col("dt_i").isNull()
-                | (F.abs(F.col("dt_i") - F.col("median_dt")) <= _ATOL + _RTOL * F.abs(F.col("median_dt")))
-            ).alias("is_uniform")
+            F.expr(
+                "bool_and(dt_i IS NULL OR abs(dt_i - median_dt)"
+                f" <= abs(median_dt) * {_RTOL!r}D + {_ATOL!r}D) AS is_uniform"
+            )
         )
     )
     base = ts.groupBy("series_id").agg(

@@ -29,18 +29,21 @@ def downsample(ts: DataFrame, dt: float, agg: Column | None = None) -> DataFrame
         .filter(F.col("tmax") > F.col("tmin"))
     )
     b = ts.join(F.broadcast(stats), "series_id")
-    nbins = F.ceil((F.col("tmax") - F.col("tmin")) / F.lit(dt)).cast("int")
-    width = (F.col("tmax") - F.col("tmin")) / nbins
-    bucket = F.greatest(
-        F.ceil((F.col("time") - F.col("tmin")) / width) - 1, F.lit(0)
-    ).cast("long")
+    # bucket arithmetic as one SQL string parsed JVM-side (the Column build
+    # cost ~490 py4j round-trips per plan, guide §5); structured to parse to
+    # exactly the former Column trees — optimizedPlan-diffed on every
+    # downsample-consuming declared query
+    dt_lit = f"{float(dt)!r}D"
+    nbins = f"cast(ceil((tmax - tmin) / {dt_lit}) as int)"
+    width = f"((tmax - tmin) / {nbins})"
+    bucket = f"cast(greatest(ceil((time - tmin) / {width}) - 1, 0) as bigint)"
     return (
-        b.groupBy("series_id", bucket.alias("bucket"), F.col("tmin"))
+        b.groupBy("series_id", F.expr(f"{bucket} AS bucket"), F.col("tmin"))
         .agg(agg.alias("value"))
         .filter(F.col("value").isNotNull())
-        .select(
+        .selectExpr(
             "series_id",
-            (F.col("tmin") + F.col("bucket") * F.lit(dt)).alias("time"),
+            f"tmin + bucket * {dt_lit} AS time",
             "value",
         )
     )

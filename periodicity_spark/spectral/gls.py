@@ -52,32 +52,34 @@ def default_freq_grid(
     periodogram computes them — rather than filtering the power table
     afterwards. Default None keeps the full reference grid.
     """
-    st = series_stats(ts).select(
+    # arithmetic as SQL strings parsed JVM-side (guide §5; the literal
+    # positions mirror Python's reflected operators — 0.5 * col built
+    # col * 0.5 — so the trees match the former Column build exactly)
+    st = series_stats(ts).selectExpr(
         "series_id",
-        (1.0 / (F.col("baseline") * F.lit(float(n)))).alias("df"),
+        f"1.0D / (baseline * {float(n)!r}D) AS df",
         "median_dt",
     )
     # number of points in arange(fmin, fmax+df, df) = ceil((stop-start)/step)
-    st = st.select(
+    st = st.selectExpr(
         "series_id",
         "df",
-        (0.5 * F.col("df")).alias("fmin"),
-        (0.5 / F.col("median_dt")).alias("fmax"),
+        "df * 0.5D AS fmin",
+        "0.5D / median_dt AS fmax",
     ).withColumn(
-        "nf",
-        F.ceil((F.col("fmax") + F.col("df") - F.col("fmin")) / F.col("df")).cast("int"),
+        "nf", F.expr("cast(ceil((fmax + df - fmin) / df) as int)")
     )
-    grid = st.select(
+    grid = st.selectExpr(
         "series_id",
-        F.explode(F.sequence(F.lit(0), F.col("nf") - 1)).alias("k"),
+        "explode(sequence(0, nf - 1)) AS k",
         "fmin",
         "df",
-    ).select(
+    ).selectExpr(
         "series_id",
-        (F.col("fmin") + F.col("k") * F.col("df")).alias("frequency"),
+        "fmin + k * df AS frequency",
     )
     if max_frequency is not None:
-        grid = grid.filter(F.col("frequency") < float(max_frequency))
+        grid = grid.filter(f"frequency < {float(max_frequency)!r}D")
     return grid
 
 
