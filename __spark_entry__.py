@@ -16,6 +16,7 @@ Engine-alignment rules used throughout (see periodicity_spark/sources/ingest.py)
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -106,15 +107,35 @@ def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     re-paid that for 3-6 tables per query per rep. Same immutable-plan-
     handle reuse as _ts/_docs/_emb: no results cached, every action still
     scans parquet."""
-    return _entry_df(
-        spark,
-        sf_dir,
-        f"tbl:{name}",
-        lambda: spark.read.parquet(f"{sf_dir}/{name}.parquet"),
-    )
+    def _read():
+        if name == "events":
+            # events.ts is parquet TIMESTAMP(NANOS); get_spark sets this
+            # at session creation, but a caller-built session may not —
+            # and the memoized schema would otherwise depend on whether
+            # events_with_time (which also sets it) ran first (ADVICE r10:
+            # query-order-dependent memoized schema)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    return _entry_df(spark, sf_dir, f"tbl:{name}", _read)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw memoized documents scan. r10 floored this shared entry frame
+    unconditionally; the r11 interleaved A/B (floor on/off, alternating
+    fresh-session suites at sf0.1 AND sf1 — OPTIMIZATION_r11.md §1) showed
+    the floor's full-text shuffle LOSES at both SFs for every plain-scan
+    consumer (text_stats 1.5-2.0×, repetition_stats, lm_score, cross_dup,
+    leak_split...) and is redundant for the pipelines that carry their own
+    internal guard (dedup/winnow `_spread_single_split` — the entry floor
+    made those pay a double full-corpus repartition). Consumers whose
+    pre-exchange per-doc CPU measurably dominates the shuffle floor at
+    THEIR call site via ``_docs_floored``: q_simhash, q_ngram_jaccard,
+    q_domain_cap (sf1 wins 1.6×/2.1×/3.2×)."""
+    return _tbl(spark, sf_dir, "documents")
+
+
+def _docs_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-row-group files scan as ONE task; per-doc CPU (tokenization,
     # hashing, HOF array work) would otherwise serialize onto one core
     # before the first exchange. No-op for well-partitioned sources.
@@ -131,6 +152,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw memoized embeddings scan — same per-consumer floor policy as
+    ``_docs`` (r11 A/B: the floor loses 1.3-2.0× at sf0.1 and ties at sf1
+    for every embeddings consumer except the brute-force matmul of
+    q_simsearch_topk, which floors at its call site)."""
+    return _tbl(spark, sf_dir, "embeddings")
+
+
+def _emb_floored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from periodicity_spark.session import scan_parallel
 
     return _entry_df(
@@ -3135,7 +3164,10 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes ≤ n rows per input partition to the shuffle instead of
     its whole history. The quality product is integer-ratio arithmetic in
     identical IEEE op order on both engines — rank boundaries are exact."""
-    out = sample_ops.domain_cap(_docs(spark, sf_dir), n=10)
+    # floored: the inline quality expression (tokenize + ratio arithmetic
+    # per doc) runs below topk_per_key's local pass, single-task on a
+    # few-split scan (sf1 interleaved A/B: floored 2.64 s vs raw 8.40 s)
+    out = sample_ops.domain_cap(_docs_floored(spark, sf_dir), n=10)
     return out.select(
         "source", "doc_id", F.round("quality", 6).alias("quality"), "rank"
     )
@@ -3242,11 +3274,15 @@ FROM t
 
 
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # floored corpus: the probes×corpus cosine projection is pure
+    # compute below the rank window's exchange (r11 A/B: the floor wins
+    # at sf0.1 — 0.89 vs 0.96 s — and ties at sf1); dim=64 routes the
+    # dot/norm arithmetic through the unrolled codegen expressions
+    emb = _emb_floored(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    out = simsearch.cosine_topk_bruteforce(emb, probes, k=5)
+    out = simsearch.cosine_topk_bruteforce(emb, probes, k=5, dim=64)
     return out.select("qid", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -3276,7 +3312,10 @@ SELECT qid, vec_id, round(cosine, 6) AS cosine, rank FROM ranked WHERE rank <= 5
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable 60-bit simhash: per token, bits of bigint(md5[0:15]); per bit,
     # majority vote; engine-portable because md5 is identical everywhere.
-    d = _docs(spark, sf_dir)
+    # Floored input: the per-token md5 + 60-vote partial aggregation runs
+    # BELOW the per-doc exchange, so a few-split scan serializes it
+    # (sf1 interleaved A/B: floored 2.59 s vs raw 4.01 s; sf0.1 cost 0.09 s)
+    d = _docs_floored(spark, sf_dir)
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
         F.length("tok") > 0
     )
@@ -3482,8 +3521,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df ≤ 50 gram cap (applied identically in the oracle — the capped-set
     # Jaccard is the query's semantics, and integer counts divide at the
     # end so values are bit-exact cross-engine)
+    # floored: the tokenize + in-row distinct-n-gram transform below the
+    # gram exchange is this query's dominant CPU on a few-split scan
+    # (sf1 interleaved A/B: floored 11.3 s vs raw 24.2 s; sf0.1 tie)
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.5, max_df=50
+        _docs_floored(spark, sf_dir), n=3, threshold=0.5, max_df=50
     )
 
 

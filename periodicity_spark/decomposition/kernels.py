@@ -430,8 +430,14 @@ def emd_iter(t, x, max_iter=2000, pad_width=2, theta_1=0.05, theta_2=0.50, alpha
             except ValueError:
                 return mode, True
             # count/size ≡ np.mean on a 0/1 bool array (the bool sum is an
-            # exact small integer in double), one ufunc cheaper
-            is_imf = np.count_nonzero(sigma > theta_1) / sigma.size < alpha
+            # exact small integer in double), one ufunc cheaper. The
+            # leading size check keeps the empty-sigma failure mode the
+            # graceful one np.mean had (NaN < alpha is False → keep
+            # sifting), not a ZeroDivisionError — practically shielded by
+            # the too-few-extrema ValueError, but don't rely on it.
+            is_imf = bool(sigma.size) and (
+                np.count_nonzero(sigma > theta_1) / sigma.size < alpha
+            )
             is_imf = is_imf and np.all(sigma < theta_2)
             is_imf = is_imf and abs(n_zero - n_ext) <= 1
             if is_imf:

@@ -215,15 +215,22 @@ def _interp_kernel(
         # the JVM isNotNull filter of the union path.
         import numpy as np
 
-        probe_x = np.asarray(
-            [
-                r["time"]
-                for r in grid.select(
-                    F.col("time").cast("double").alias("time")
-                ).collect()
-            ],
-            dtype=float,
-        )
+        # Bounded eager collect: the closure grid is a driver-memory and
+        # per-task-serialization cost, O(|grid|) each — fine for the
+        # bounded probe grids every declared query uses, unbounded for a
+        # caller-supplied huge grid. Probe with LIMIT n+1 (one cheap
+        # bounded job) and fall back to the fully-distributed
+        # distinct+crossJoin+union path when the grid exceeds the cap.
+        _GRID_CLOSURE_CAP = 100_000
+        head = grid.select(
+            F.col("time").cast("double").alias("time")
+        ).limit(_GRID_CLOSURE_CAP + 1).collect()
+        if len(head) > _GRID_CLOSURE_CAP:
+            grid = ts.select("series_id").distinct().crossJoin(
+                grid.select(F.col("time").cast("double").alias("time"))
+            )
+            return _interp_kernel(ts, grid, kind, s)
+        probe_x = np.asarray([r["time"] for r in head], dtype=float)
 
         def _per_series_global(pdf):
             import numpy as np

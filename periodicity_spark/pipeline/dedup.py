@@ -28,7 +28,7 @@ def _md5(col: Column) -> Column:
     return F.md5(col.cast("binary"))
 
 
-def _spread_single_split(df: DataFrame) -> DataFrame:
+def _spread_single_split(df: DataFrame, key: str | None = None) -> DataFrame:
     """Small-input guard: a corpus read from FEWER FILES than the cluster
     has cores would run the whole downstream scan-side transform (md5
     shingling, signature matmuls) on a handful of cores — measured 8.6 s
@@ -74,6 +74,17 @@ def _spread_single_split(df: DataFrame) -> DataFrame:
     # the scan itself would already produce >= par splits: leave it alone
     if total >= par * max_part:
         return df
+    if key is not None and key in df.columns:
+        # hash-by-key: a keyless repartition(n) first pays a LOCAL SORT of
+        # its input (spark.sql.execution.sortBeforeRepartition, on by
+        # default since SPARK-23207 so retried tasks reproduce the same
+        # row→partition map) — on the one-task scan this guard exists for,
+        # that is a single-core sort of the whole corpus before anything
+        # moves (measured: winnow_fp 6.6 → 6.1 s at sf1 from this alone).
+        # Hash partitioning needs no sort, is deterministic under retry by
+        # construction (guide §2.5), and downstream per-key operators can
+        # reuse the layout.
+        return df.repartition(par, key)
     return df.repartition(par)
 
 
@@ -612,7 +623,7 @@ def minhash_near_duplicates(
     False forces the plain shuffled fallback plan (the branch a
     multi-executor cluster takes when even one chunk exceeds executor
     heaps)."""
-    docs = _spread_single_split(docs)
+    docs = _spread_single_split(docs, key=id_col)
     # the shingle set feeds signatures AND both sides of the verify join —
     # persist the PACKED per-doc representation (one array row per doc)
     # and derive everything from it in-row: signatures via array mins,

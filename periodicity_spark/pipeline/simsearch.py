@@ -28,6 +28,57 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# --- unrolled fixed-dimension twins of _dot/_norm -------------------------
+# Spark evaluates higher-order-function lambdas (aggregate/zip_with/
+# transform) in the INTERPRETED expression path — never whole-stage
+# codegen — so a verify join computing one cosine per candidate pays
+# ~2·dim interpreted lambda invocations per pair (measured: the dominant
+# cost of simsearch_topk/cosine_neardup at sf1, 2M pairs × 64 dims). When
+# the dimension is known, the same sum unrolls into a flat codegen
+# arithmetic expression. BIT-IDENTITY: the unrolled chain starts from the
+# same 0.0 seed and adds left-to-right in element order — IEEE-identical
+# to the fold — and rows whose arrays are not exactly ``dim`` long fall
+# back to the verbatim fold (CASE branches evaluate lazily, so the ANSI
+# out-of-bounds subscript in the fast path is unreachable for them).
+# Pinned by tests/test_embedding.py::test_unrolled_dot_norm_bit_identical.
+
+
+def _fold_dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> CAST(x AS DOUBLE) *"
+        f" CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _fold_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform(`{a}`, x -> CAST(x AS DOUBLE) *"
+        f" CAST(x AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
+def _dot_expr(a: str, b: str, dim: int) -> Column:
+    terms = " + ".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{b}`[{i}] AS DOUBLE)"
+        for i in range(int(dim))
+    )
+    return F.expr(
+        f"CASE WHEN size(`{a}`) = {int(dim)} AND size(`{b}`) = {int(dim)}"
+        f" THEN 0.0D + {terms} ELSE {_fold_dot_sql(a, b)} END"
+    )
+
+
+def _norm_expr(a: str, dim: int) -> Column:
+    terms = " + ".join(
+        f"CAST(`{a}`[{i}] AS DOUBLE) * CAST(`{a}`[{i}] AS DOUBLE)"
+        for i in range(int(dim))
+    )
+    return F.expr(
+        f"CASE WHEN size(`{a}`) = {int(dim)}"
+        f" THEN sqrt(0.0D + {terms}) ELSE {_fold_norm_sql(a)} END"
+    )
+
+
 def _cosine(dot, n1, n2):
     """Cosine with a zero-norm guard: try_divide yields NULL (not an ANSI
     DIVIDE_BY_ZERO job abort) when either vector has zero norm — a zero
@@ -70,23 +121,32 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     probe_id_col: str = "qid",
     probe_vec_col: str = "qvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: → (qid, vec_id, cosine, rank). Probe set is broadcast;
-    ranking is a per-qid window (ties broken by vec_id for determinism)."""
+    ranking is a per-qid window (ties broken by vec_id for determinism).
+
+    ``dim``: when the embedding dimension is known, the per-pair dot/norm
+    arithmetic unrolls into whole-stage-codegen expressions instead of
+    interpreted HOF folds — bit-identical (same seed, same element order;
+    off-dimension rows take the verbatim fold), measured ~10× off the
+    probes×corpus projection at sf1. None keeps the generic fold path."""
+    nrm = (lambda c_: _norm_expr(c_, dim)) if dim else (lambda c_: _norm(F.col(c_)))
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_nv"),
+        nrm(vec_col).alias("_nv"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("qid"),
         F.col(probe_vec_col).alias("_q"),
-        _norm(F.col(probe_vec_col)).alias("_nq"),
+        nrm(probe_vec_col).alias("_nq"),
     )
+    dot = _dot_expr("_q", "_v", dim) if dim else _dot(F.col("_q"), F.col("_v"))
     pairs = c.join(F.broadcast(p), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "vec_id",
-        _cosine(_dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
+        _cosine(dot, F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -629,7 +689,6 @@ def semantic_dedup(
         .join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sided.count()
     # within-cluster pairwise cosine as ONE BLAS gram matrix per cluster
     # (Arrow kernel) instead of a self-join: the join's shuffle was already
     # cluster-bounded, but its n²/k cosine evaluations ran one aggregate-HOF
@@ -678,6 +737,10 @@ def semantic_dedup(
     # n_c·nb rows for an nb-block cluster — only clusters larger than
     # the block pay it, and the block census is one cheap aggregate on
     # the already-checkpointed `sided`.
+    # ONE action both materializes the persist (the census consumes every
+    # row of `sided`) and returns the skew statistic — the former separate
+    # sided.count() + census pair paid one extra full-pass job barrier per
+    # query for no information (guide §1/§5: collapse serial actions)
     max_cluster = (
         sided.groupBy("centroid").count().agg(F.max("count")).collect()[0][0] or 0
     )
@@ -766,7 +829,7 @@ def cosine_near_duplicates(
     # the left side sets the cartesian's task count — a single-split source
     # would serialize the whole n² scan into one task (measured 14 s for 4M
     # pairs at sf0.1); at real scale the source has many splits already
-    left = _spread_single_split(vecs)
+    left = _spread_single_split(vecs, key=id_col)
     a = left.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("_v1"),
@@ -946,15 +1009,18 @@ def cosine_near_duplicates_lsh(
             vecs.sparkSession, n_v * (dim * 8 + 64), copies=2
         )
     side = (lambda df: F.broadcast(df)) if broadcast_vectors else (lambda df: df)
+    # the verify arithmetic runs once per CANDIDATE pair — unrolled
+    # codegen dot/norm at the known dim instead of interpreted HOF folds
+    # (bit-identical: same seed/element order, fold fallback off-dim)
     va = vecs.select(
         F.col(id_col).alias("d1"),
         F.col(vec_col).alias("_v1"),
-        _norm(F.col(vec_col)).alias("_n1"),
+        _norm_expr(vec_col, dim).alias("_n1"),
     )
     vb = vecs.select(
         F.col(id_col).alias("d2"),
         F.col(vec_col).alias("_v2"),
-        _norm(F.col(vec_col)).alias("_n2"),
+        _norm_expr(vec_col, dim).alias("_n2"),
     )
     return (
         cand.join(side(va), "d1")
@@ -962,7 +1028,7 @@ def cosine_near_duplicates_lsh(
         .select(
             "d1",
             "d2",
-            _cosine(_dot(F.col("_v1"), F.col("_v2")), F.col("_n1"), F.col("_n2")).alias(
+            _cosine(_dot_expr("_v1", "_v2", dim), F.col("_n1"), F.col("_n2")).alias(
                 "cosine"
             ),
         )

@@ -196,7 +196,7 @@ def winnow_fingerprints(
 
     from periodicity_spark.pipeline.dedup import _spread_single_split
 
-    docs = _spread_single_split(docs)
+    docs = _spread_single_split(docs, key=id_col)
 
     B, M, kk, ww = WINNOW_BASE, WINNOW_MOD, k, window
     idc, txc = id_col, text_col

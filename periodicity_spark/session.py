@@ -164,6 +164,17 @@ def scan_parallel(df, key: str = "series_id"):
     return df.repartition(target, key)
 
 
+def stream_floor_enabled() -> bool:
+    """Config gate for the streaming operators' unconditional stateless
+    repartition (streaming frames cannot probe partition counts, so the
+    batch-side ``scan_parallel`` probe is unavailable and the floor is
+    applied blindly). Default ON — the driver micro-batches read from
+    single files. Set ``SPARK_GRAFT_STREAM_FLOOR=0`` on a genuinely wide
+    streaming source, where the extra exchange of raw rows is pure
+    overhead."""
+    return os.environ.get("SPARK_GRAFT_STREAM_FLOOR", "1") != "0"
+
+
 def grouped_apply(
     ts,
     per_series_fn,

@@ -55,9 +55,14 @@ def stream_gls_sums(events: DataFrame, freq_grid: DataFrame) -> DataFrame:
     # core (same input-skew floor as the batch operator's scan_parallel;
     # streaming frames cannot probe partition counts, so the floor is
     # unconditional — on a wide-source cluster the extra exchange moves
-    # raw events once, far cheaper than the expansion it parallelizes).
-    par = events.sparkSession.sparkContext.defaultParallelism
-    joined = base.repartition(par, "series_id").crossJoin(F.broadcast(freq_grid))
+    # raw events once, far cheaper than the expansion it parallelizes;
+    # SPARK_GRAFT_STREAM_FLOOR=0 is the wide-source escape hatch).
+    from periodicity_spark.session import stream_floor_enabled
+
+    if stream_floor_enabled():
+        par = events.sparkSession.sparkContext.defaultParallelism
+        base = base.repartition(par, "series_id")
+    joined = base.crossJoin(F.broadcast(freq_grid))
     theta = F.lit(TWO_PI) * F.col("frequency") * F.col("time")
     proj = joined.select(
         "series_id",

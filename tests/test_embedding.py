@@ -230,3 +230,60 @@ def test_pca_fit_survives_ragged_vectors(spark):
     dirty_fit = embedding.pca_fit(spark.createDataFrame(dirty, sch), k=3)
     for a, b in zip(clean_fit, dirty_fit):
         np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_unrolled_dot_norm_bit_identical_to_fold(spark):
+    """The r11 unrolled codegen dot/norm (simsearch._dot_expr/_norm_expr)
+    must be BIT-identical to the interpreted HOF folds they replace, for
+    clean vectors AND every degenerate shape: the unrolled chain starts
+    from the fold's 0.0 seed and adds left-to-right in element order, and
+    off-dimension rows take the verbatim fold fallback. Compared as raw
+    IEEE bit patterns (NaN == NaN, +0.0 != -0.0)."""
+    import struct
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from periodicity_spark.pipeline.simsearch import (
+        _dot,
+        _dot_expr,
+        _norm,
+        _norm_expr,
+    )
+
+    dim = 64
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(x) for x in rng.standard_normal(dim) * 10.0**rng.integers(-3, 3)],
+                     [float(x) for x in rng.standard_normal(dim)]))
+    # degenerate shapes: NaN/Inf elements, signed zeros, NULL elements,
+    # NULL vectors, wrong dims (shorter/longer/empty/equal-short)
+    rows += [
+        (1000, [float("nan")] * dim, [1.0] * dim),
+        (1001, [float("inf")] + [0.0] * (dim - 1), [1.0] * dim),
+        (1002, [-0.0] * dim, [0.0] * dim),
+        (1003, [0.0, -1.0] + [0.0] * (dim - 2), [5.0, 0.0] + [0.0] * (dim - 2)),
+        (1004, [1.0] * dim, None),
+        (1005, None, None),
+        (1006, [1.0] * (dim - 1), [1.0] * dim),
+        (1007, [1.0] * (dim + 1), [1.0] * (dim + 1)),
+        (1008, [], []),
+        (1009, [2.0] * 7, [3.0] * 7),
+        (1010, [1.0, None, 3.0] + [1.0] * (dim - 3), [1.0] * dim),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
+    out = df.select(
+        "id",
+        _dot(F.col("a"), F.col("b")).alias("dot_fold"),
+        _dot_expr("a", "b", dim).alias("dot_fast"),
+        _norm(F.col("a")).alias("n_fold"),
+        _norm_expr("a", dim).alias("n_fast"),
+    ).collect()
+
+    def bits(v):
+        return None if v is None else struct.pack("<d", v)
+
+    for r in out:
+        assert bits(r["dot_fold"]) == bits(r["dot_fast"]), (r["id"], r["dot_fold"], r["dot_fast"])
+        assert bits(r["n_fold"]) == bits(r["n_fast"]), (r["id"], r["n_fold"], r["n_fast"])

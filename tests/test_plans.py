@@ -99,21 +99,28 @@ GUARDED = [
 CARTESIAN_OK = {"cosine_neardup"}
 
 
-def test_cross_dup_copartitioned_finish(spark, sf_dir):
-    """cross_dup's per-doc finish join became a ZERO-extra-exchange
-    sort-merge join once the docs scan is floored to defaultParallelism:
-    both sides arrive hash-partitioned by doc_id from explicit
-    REPARTITION_BY_NUM exchanges, so no broadcast of a corpus-sized side
-    and no planner-inserted (ENSURE_REQUIREMENTS) exchange feeds it —
-    the correct 100 TB shape. Cartesian stays banned; the gram-df join
-    stays a broadcast."""
+def test_cross_dup_scale_safe_joins(spark, sf_dir):
+    """cross_dup is two equi-joins over fixed-width keys (md5 gram key,
+    then doc_id) — never a cartesian or nested-loop shape. r10 floored
+    the docs entry to force a co-partitioned SMJ finish; the r11
+    interleaved A/B measured that floor LOSING at sf0.1 (1.49×) AND sf1
+    (1.53×) — the text shuffle it adds costs more than the single-task
+    gram work it parallelizes — so the floor was dropped. Scale safety is
+    size-driven instead: at test scale both the gram-df side and the
+    per-doc stats side measure small and the static planner / AQE
+    broadcast them; at corpus scale their estimates grow with the input
+    and both joins fall back to shuffled equi-joins on skinny
+    (key, count) rows — never a shuffle of text payloads (the only
+    text-carrying subtree feeds the gram projection, below one exchange
+    of fixed-width md5 keys)."""
     plan = _final_plan(spark, sf_dir, "cross_dup")
     assert "CartesianProduct" not in plan
-    if "SortMergeJoin" in plan:
-        smj_cut = plan.split("SortMergeJoin", 1)[1]
-        # no planner-inserted exchange below the SMJ: its inputs must come
-        # from the explicit floor repartitions (or the _gk broadcast join)
-        assert "ENSURE_REQUIREMENTS" not in smj_cut.split("BroadcastHashJoin")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every exchange moves fixed-width keys/aggregates, not document text:
+    # no Exchange line may carry the text column
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"text payload in a shuffle: {line}"
 
 
 def _final_plan(spark, sf_dir, name):
