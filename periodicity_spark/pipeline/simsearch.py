@@ -149,10 +149,23 @@ def cosine_topk_bruteforce(
         _cosine(dot, F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # NULL-cosine rows are excluded AFTER the rank window, not before:
+    # a pre-window filter on the derived column is pushed by the
+    # optimizer into the nested-loop join condition AND (via the implied
+    # isnotnull(norm) constraint) into both scan filters, re-evaluating
+    # the whole cosine expression per PAIR and the norms per row — the
+    # dominant cost of this query at sf1 (guide §4.4's duplicated
+    # derived-column hazard, join-condition flavor). Post-window the
+    # result is identical: the ordering is DESC NULLS LAST, so NULL
+    # cosines rank strictly below every real row of their qid and real
+    # rows keep the exact ranks the pre-filtered window assigned; the
+    # rank ≤ k cut plus this filter then drops the same rows. A window
+    # blocks predicate pushdown on non-partition columns, so nothing is
+    # duplicated below.
     return (
-        pairs.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .filter(F.col("cosine").isNotNull())
         .select("qid", "vec_id", "cosine", "rank")
     )
 

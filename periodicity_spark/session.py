@@ -159,8 +159,46 @@ def scan_parallel(df, key: str = "series_id"):
         current = df.rdd.getNumPartitions()
     except Exception:
         return df
-    if current >= target:
+    if current < target:
+        return df.repartition(target, key)
+    # current >= target can still be a lie: parquet scans split by BYTE
+    # RANGE, but one ROW GROUP is readable by exactly one task (the split
+    # holding its midpoint), so a large single-row-group file probes as
+    # many partitions of which all but one are EMPTY — measured 5× on a
+    # 132 MB one-group file whose "32-way" scan ran single-task. When the
+    # source is fewer local files than cores, read their footers (cheap,
+    # bounded by target) and floor on the TRUE row-group count. Non-local
+    # or many-file sources return early — at real scale row groups ≫
+    # cores and the probe never pays.
+    try:
+        files = df.inputFiles()
+    except Exception:
         return df
+    if not (0 < len(files) < target):
+        return df
+    # a caller that already repartitioned is at its requested parallelism;
+    # repartitioning again here would undo that caller's layout (string
+    # probe of the analyzed plan — only paid in this rare few-files branch)
+    try:
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
+    except Exception:
+        return df
+    row_groups = 0
+    for uri in files:
+        if not uri.startswith("file:"):
+            return df
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            import pyarrow.parquet as pq
+
+            row_groups += pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            return df
+        if row_groups >= target:
+            return df
     return df.repartition(target, key)
 
 
