@@ -233,18 +233,31 @@ def _affine_perm(h1: Column, h2: Column, a: int, b: int, c: int) -> Column:
     ) % F.lit(P31)
 
 
+def _affine_perm_sql(h1: str, h2: str, a: int, b: int, c: int) -> str:
+    """``_affine_perm`` as a SQL string parsed JVM-side. Building the 16
+    permutation Columns py4j-op by py4j-op measured ~0.5 s of driver time
+    per minhash plan (guide §5 — the bench re-pays it every rep, and a
+    long-lived production driver on every pipeline build); one parsed
+    string is ~20 round-trips total. Operand shapes mirror the Column
+    build exactly — SQL ``%`` binds tighter than ``+`` and ``+`` is
+    left-associative, matching Python — so the parsed tree is
+    node-identical (pinned by an optimizedPlan byte-equality test against
+    the Column reference)."""
+    return f"(({a} * {h1}) % {P31} + ({b} * {h2}) % {P31} + {c}) % {P31}"
+
+
 def _band_stack(wide: DataFrame, n_bands: int, r: int) -> DataFrame:
     """(doc_id, _m0.._mN wide minhashes) → (doc_id, band, sig): band j's
     signature is md5 of the comma-joined minhashes [jr, (j+1)r), unpivoted
     with stack. Shared tail of both signature paths — their bit-identical
     contract rests on this being ONE implementation."""
     bands = [
-        _md5(
-            F.concat_ws(",", *[F.col(f"_m{j * r + i}") for i in range(r)])
-        ).alias(f"_b{j}")
+        "md5(cast(concat_ws(',', "
+        + ", ".join(f"_m{j * r + i}" for i in range(r))
+        + f") as binary)) AS _b{j}"
         for j in range(n_bands)
     ]
-    wide = wide.select("doc_id", *bands)
+    wide = wide.selectExpr("doc_id", *bands)
     stack_expr = ", ".join(f"{j}, _b{j}" for j in range(n_bands))
     return wide.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_expr}) as (band, sig)")
@@ -266,10 +279,12 @@ def minhash_signatures(
     ~3k docs at ~0.25 true Jaccard). Collision probability per band is
     Jaccard^r, so r=4 separates true near-dups (j ≥ 0.6) from vocabulary
     overlap (j ≈ 0.25) by two orders of magnitude."""
-    h1 = F.col("shingle") % F.lit(P31)
-    h2 = F.col("shingle2") % F.lit(P31)
     aggs = [
-        F.min(_affine_perm(h1, h2, a, b, c)).alias(f"_m{i}")
+        F.expr(
+            "min("
+            + _affine_perm_sql(f"(shingle % {P31})", f"(shingle2 % {P31})", a, b, c)
+            + f") AS _m{i}"
+        )
         for i, (a, b, c) in enumerate(minhash_perm_consts(n_hashes))
     ]
     wide = shingles.groupBy("doc_id").agg(*aggs)
@@ -379,9 +394,13 @@ def lsh_candidate_pairs(signatures: DataFrame, max_bucket: int = 1000) -> DataFr
     the worst key bounded at corpus scale. The drop is silent HERE;
     ``lsh_cap_audit`` over the same signature frame reports what the cap
     discarded (see its docstring for how to re-parameterize when it fires)."""
-    w = Window.partitionBy("band", "sig")
+    # window + cap filter with the window as one parsed SQL string —
+    # count(1) with no ORDER BY gets the same unbounded frame the Column
+    # build had, so the plan is node-identical (pinned in tests); guide §5
     capped = (
-        signatures.withColumn("_bn", F.count(F.lit(1)).over(w))
+        signatures.selectExpr(
+            "*", "count(1) OVER (PARTITION BY band, sig) AS _bn"
+        )
         .filter(F.col("_bn") <= max_bucket)
         .drop("_bn")
     )
@@ -495,37 +514,27 @@ def jaccard_verify(
                     broadcast_arrays = False
 
         def _pair_jaccard(j: DataFrame) -> DataFrame:
-            n_both = F.size(F.array_intersect("_a1", "_a2"))
             # drop zero-overlap candidates BEFORE the division: the rows
             # strategy's inner equi-join on shingle can never emit such a
             # pair, so keeping them here would make the two strategies
-            # diverge at threshold=0, breaking the bit-identical contract
+            # diverge at threshold=0, breaking the bit-identical contract.
+            # SQL strings parsed JVM-side; operand shapes mirror the former
+            # Column build (plan-identity pinned in tests), guide §5.
             out = (
-                j.withColumn("_nb", n_both)
+                j.selectExpr("*", "size(array_intersect(_a1, _a2)) AS _nb")
                 .filter(F.col("_nb") > 0)
-                .select(
+                .selectExpr(
                     "d1",
                     "d2",
-                    (
-                        F.col("_nb")
-                        / (F.col("_n1") + F.col("_n2") - F.col("_nb")).cast("double")
-                    ).alias("jaccard"),
+                    "_nb / cast(_n1 + _n2 - _nb as double) AS jaccard",
                 )
             )
             if threshold > 0:
                 out = out.filter(F.col("jaccard") >= threshold)
             return out
 
-        a1 = arrs.select(
-            F.col("doc_id").alias("d1"),
-            F.col("_a").alias("_a1"),
-            F.col("_n").alias("_n1"),
-        )
-        a2 = arrs.select(
-            F.col("doc_id").alias("d2"),
-            F.col("_a").alias("_a2"),
-            F.col("_n").alias("_n2"),
-        )
+        a1 = arrs.selectExpr("doc_id AS d1", "_a AS _a1", "_n AS _n1")
+        a2 = arrs.selectExpr("doc_id AS d2", "_a AS _a2", "_n AS _n2")
         if broadcast_arrays is True or broadcast_arrays is False:
             side = (
                 (lambda df: F.broadcast(df)) if broadcast_arrays else (lambda df: df)
@@ -999,21 +1008,43 @@ def ngram_jaccard_pairs(
         .filter(F.col("_df") <= max_df)
         .drop("_df")
     )
-    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_sz"))
-    a = rare.select(F.col("doc_id").alias("d1"), "gram")
-    b = rare.select(F.col("doc_id").alias("d2"), "gram")
+    # per-doc rare-set size rides the exploded frame via a SECOND window
+    # (partition by doc_id) instead of a separate groupBy joined back on
+    # each pair side. The old shape planned FOUR independent
+    # scan→explode→df-cap subtrees (join sides a and b, then s1 and s2)
+    # with zero exchange reuse — the corpus was tokenized and window-capped
+    # four times per run, and the per-doc ``sizes`` aggregate (corpus-sized,
+    # one row per doc) was BROADCAST twice, which cannot scale. Here the
+    # two join sides are byte-identical subplans, so the gram exchange is
+    # planned once and reused (ReusedExchange), and the size columns are
+    # carried as two extra ints per exploded row — no corpus-sized
+    # broadcast anywhere (guide §2.4, §3.3). The counts are the same
+    # integers, so jaccard is bit-identical.
+    szd = rare.withColumn(
+        "_sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    a = szd.select(F.col("doc_id").alias("d1"), "gram", F.col("_sz").alias("_s1"))
+    b = szd.select(F.col("doc_id").alias("d2"), "gram", F.col("_sz").alias("_s2"))
+    # merge hint: the optimizer's size estimate otherwise BROADCASTS the b
+    # side — a full copy of the exploded rare-gram frame, which both
+    # recomputes the scan→explode→window subtree a second time and cannot
+    # scale (the broadcast grows with the corpus). Pinning the sort-merge
+    # join makes both sides identical shuffle subplans, so the whole
+    # b-side stage is a ReusedExchange of a's (measured sf0.1: 1.56 →
+    # 1.23 s warm vs the unhinted broadcast plan, and the old 4-subtree
+    # shape was 2.8 s).
     inter = (
-        a.join(b, "gram")
+        a.join(b.hint("merge"), "gram")
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("_ix"))
+        .agg(
+            F.count(F.lit(1)).alias("_ix"),
+            F.min("_s1").alias("_s1"),
+            F.min("_s2").alias("_s2"),
+        )
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("_sz").alias("_s1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("_sz").alias("_s2"))
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
+        inter.select(
             "d1",
             "d2",
             (

@@ -24,7 +24,10 @@ GUARDED = [
     "dedup_exact",
     "dedup_minhash",
     "simhash_neardup",
-    "ngram_jaccard",
+    # ngram_jaccard moved to its own shape test: its r11 plan deliberately
+    # pins a sort-merge self-join so both sides share ONE scan→explode→
+    # df-cap shuffle (ReusedExchange) instead of broadcasting a full copy
+    # of the exploded rare-gram frame
     "simsearch_topk",
     "simsearch_lsh",
     "text_stats",
@@ -144,6 +147,20 @@ def test_no_sortmerge_or_cartesian(name, spark, sf_dir):
     # (the grid fan-out in GLS/PDM/StringLength) physically IS one, with the
     # provably-tiny side broadcast. The dangerous shape is the un-broadcast
     # CartesianProduct, which is banned above.
+
+
+def test_ngram_jaccard_selfjoin_reuses_one_gram_subtree(spark, sf_dir):
+    """r11 reshape: the inverted-index self-join's two sides are identical
+    subplans joined sort-merge ON PURPOSE, so the b side must execute as a
+    ReusedExchange of a's scan→explode→df-cap→size-window shuffle — the
+    old shape planned FOUR independent corpus subtrees and broadcast the
+    corpus-sized per-doc sizes aggregate twice. No cartesian, and at most
+    the floored-entry repartition may precede the gram exchange."""
+    plan = _final_plan(spark, sf_dir, "ngram_jaccard")
+    assert "SortMergeJoin" in plan, "the pinned merge join disappeared"
+    assert "ReusedExchange" in plan, "self-join sides no longer share a shuffle"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_cosine_neardup_runs_the_lsh_plan(spark, sf_dir):
