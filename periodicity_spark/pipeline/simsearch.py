@@ -345,11 +345,17 @@ def ivf_centroids(
     for _ in range(n_iter):
         # assign_mode="auto"/"twolevel" re-derives the coarse grouping from
         # the CURRENT centroid matrix each Lloyd iteration (driver-side,
-        # k ≤ a few thousand rows — negligible next to the corpus pass)
-        assigned = assign_to_centroids(corpus, cents, id_col, vec_col, mode=assign_mode)
+        # k ≤ a few thousand rows — negligible next to the corpus pass).
+        # with_vec=True: the kernel passes the vector through (exact Arrow
+        # round-trip), so the update aggregates straight off the
+        # assignment projection — the former corpus.join(assigned, id)
+        # re-shuffled the whole corpus by id once PER ITERATION to
+        # re-attach a column the kernel already held (guide §2.4)
+        assigned = assign_to_centroids(
+            corpus, cents, id_col, vec_col, mode=assign_mode, with_vec=True
+        )
         comp = (
-            corpus.join(assigned, id_col)
-            .select(
+            assigned.select(
                 "centroid",
                 F.posexplode(F.col(vec_col)).alias("dim", "comp"),
             )
@@ -430,6 +436,7 @@ def assign_to_centroids(
     mode="exact",
     coarse_probe=8,
     min_twolevel_k=256,
+    with_vec=False,
 ):
     """→ (id_col, centroid): nearest centroid by dot product, as an Arrow
     matmul kernel — each batch computes X·Cᵀ in one BLAS call and emits the
@@ -457,7 +464,15 @@ def assign_to_centroids(
     in-probe centroid instead; with probe=√K it is exhaustive, hence
     exact. "auto" picks twolevel when K ≥ ``min_twolevel_k`` (below
     that the coarse detour costs more than it saves). Cross-group ties
-    break to the lowest fine centroid id, matching exact."""
+    break to the lowest fine centroid id, matching exact.
+
+    ``with_vec=True`` additionally passes the vector column through the
+    kernel (an exact float64 Arrow round-trip — no value can change), so
+    consumers that need (id, centroid, vector) rows avoid a corpus
+    self-join on ``id_col`` after the assignment: the Lloyd update in
+    ``ivf_centroids`` and semantic_dedup's ``sided`` frame each paid one
+    full corpus join per pass for columns the kernel already held
+    (guide §2.4 — remove shuffles outright)."""
     import numpy as np
 
     if mode not in ("exact", "twolevel", "auto"):
@@ -468,13 +483,13 @@ def assign_to_centroids(
         )
     C = np.asarray(cents, dtype=float)
     id_type = corpus.schema[id_col].dataType.simpleString()
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
     if C.size == 0:
         # no centroids (empty/fully-dirty corpus): nothing can be assigned
-        return (
-            corpus.select(id_col, vec_col)
-            .filter(F.lit(False))
-            .select(id_col, F.lit(0).alias("centroid"))
-        )
+        empty = corpus.select(id_col, vec_col).filter(F.lit(False))
+        if with_vec:
+            return empty.select(id_col, F.lit(0).alias("centroid"), vec_col)
+        return empty.select(id_col, F.lit(0).alias("centroid"))
     d = C.shape[1]
     k = C.shape[0]
     two_level = mode == "twolevel" or (mode == "auto" and k >= min_twolevel_k)
@@ -521,9 +536,10 @@ def assign_to_centroids(
                     ridx = rows[upd]
                     best[ridx] = mv[upd]
                     lab[ridx] = fine[upd]
-                yield _pd.DataFrame(
-                    {id_col: pdf[id_col], "centroid": lab.astype("int32")}
-                )
+                out = {id_col: pdf[id_col], "centroid": lab.astype("int32")}
+                if with_vec:
+                    out[vec_col] = pdf[vec_col]
+                yield _pd.DataFrame(out)
 
     else:
 
@@ -541,11 +557,15 @@ def assign_to_centroids(
                     continue
                 X = _np.stack(pdf[vec_col].apply(lambda v: _np.asarray(v, dtype=float)).to_numpy())
                 lab = (X @ C.T).argmax(axis=1)
-                yield _pd.DataFrame({id_col: pdf[id_col], "centroid": lab.astype("int32")})
+                out = {id_col: pdf[id_col], "centroid": lab.astype("int32")}
+                if with_vec:
+                    out[vec_col] = pdf[vec_col]
+                yield _pd.DataFrame(out)
 
-    return corpus.select(id_col, vec_col).mapInPandas(
-        _assign, schema=f"{id_col} {id_type}, centroid int"
-    )
+    schema = f"{id_col} {id_type}, centroid int"
+    if with_vec:
+        schema += f", {vec_col} {vec_type}"
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, schema=schema)
 
 
 def cosine_topk_ivf(
@@ -686,20 +706,27 @@ def semantic_dedup(
         corpus, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col,
         assign_mode=mode,
     )
-    lists = assign_to_centroids(corpus, cents, id_col, vec_col, mode=mode)
     # sided feeds BOTH pairwise sides and the final keep-join; materialize
     # it once (columnar persist + eager count, same pattern as minhash
     # shingles — measured cheaper than a localCheckpoint row copy) so the
-    # centroid-assignment subtree executes once, not once per consumer
+    # centroid-assignment subtree executes once, not once per consumer.
+    # with_vec=True: the assignment kernel passes the vector through
+    # (exact Arrow round-trip) and the norm is the SAME Spark expression
+    # as before, evaluated in-row — the former corpus.join(lists, id)
+    # shuffled the whole embedded corpus by id to re-attach the vector
+    # column the kernel already held (guide §2.4)
     from pyspark import StorageLevel
 
+    lists = assign_to_centroids(
+        corpus, cents, id_col, vec_col, mode=mode, with_vec=True
+    )
     sided = (
-        corpus.select(
+        lists.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("_v"),
             _norm(F.col(vec_col)).alias("_nv"),
+            "centroid",
         )
-        .join(lists.withColumnRenamed(id_col, "vec_id"), "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # within-cluster pairwise cosine as ONE BLAS gram matrix per cluster

@@ -287,3 +287,34 @@ def test_unrolled_dot_norm_bit_identical_to_fold(spark):
     for r in out:
         assert bits(r["dot_fold"]) == bits(r["dot_fast"]), (r["id"], r["dot_fold"], r["dot_fast"])
         assert bits(r["n_fold"]) == bits(r["n_fast"]), (r["id"], r["n_fold"], r["n_fast"])
+
+
+def test_assign_with_vec_is_exact_passthrough(spark, sf_dir):
+    """r11: assign_to_centroids(with_vec=True) lets ivf_centroids' Lloyd
+    update and semantic_dedup's sided frame skip a corpus self-join per
+    pass. The vector column must be an EXACT float64 pass-through (Arrow
+    round-trip, no recomputation) and the (id, centroid) assignment must
+    be identical to the with_vec=False path — in both exact and twolevel
+    modes."""
+    import numpy as np
+
+    from periodicity_spark.pipeline.simsearch import (
+        assign_to_centroids,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    rng = np.random.default_rng(3)
+    cents = rng.standard_normal((300, dim))  # 300 ≥ min_twolevel_k for auto
+
+    for mode in ("exact", "twolevel"):
+        plain = {
+            r["vec_id"]: r["centroid"]
+            for r in assign_to_centroids(emb, cents, mode=mode).collect()
+        }
+        rich = assign_to_centroids(emb, cents, mode=mode, with_vec=True).collect()
+        assert {r["vec_id"]: r["centroid"] for r in rich} == plain
+        src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        for r in rich:
+            assert list(r["embedding"]) == list(src[r["vec_id"]]), r["vec_id"]
