@@ -37,7 +37,7 @@ def series_stats(ts: DataFrame) -> DataFrame:
     )
     # median_dt first, then a second pass for the numpy.isclose-style
     # uniformity check: |dt_i − m| ≤ atol + rtol·|m| for every gap.
-    med = diffs.groupBy("series_id").agg(F.median("dt_i").alias("median_dt"))
+    med = diffs.groupBy("series_id").agg(F.expr("median(dt_i) AS median_dt"))
     uni = (
         diffs.join(med, "series_id")
         .groupBy("series_id")
@@ -48,21 +48,27 @@ def series_stats(ts: DataFrame) -> DataFrame:
             )
         )
     )
+    # the eight-aggregate block as parsed SQL strings too (r11 — the eight
+    # Column builds measured ~32 py4j round-trips per plan; the parsed
+    # trees are node-identical, pinned by the plan-identity test)
     base = ts.groupBy("series_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count("value").alias("n_value"),
-        F.avg("value").alias("mean"),
-        F.stddev_samp("value").alias("std"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-        F.min("time").alias("tmin"),
-        F.max("time").alias("tmax"),
+        F.expr("count(1) AS n"),
+        F.expr("count(value) AS n_value"),
+        F.expr("avg(value) AS mean"),
+        F.expr("stddev_samp(value) AS std"),
+        F.expr("min(value) AS vmin"),
+        F.expr("max(value) AS vmax"),
+        F.expr("min(time) AS tmin"),
+        F.expr("max(time) AS tmax"),
     )
     out = (
         base.join(med, "series_id", "left")
         .join(uni, "series_id", "left")
-        .withColumn("baseline", F.col("tmax") - F.col("tmin"))
-        .withColumn("dt", F.when(F.col("is_uniform"), F.col("median_dt")))
+        .selectExpr(
+            "*",
+            "tmax - tmin AS baseline",
+            "CASE WHEN is_uniform THEN median_dt END AS dt",
+        )
     )
     return out.select(
         "series_id", "n", "n_value", "mean", "std", "vmin", "vmax",
@@ -78,41 +84,47 @@ def pg_stats(pg: DataFrame) -> DataFrame:
     like the reference, since period decreases as frequency increases);
     ``df`` is NULL when the frequency grid is non-uniform (the reference
     raises — callers assert on is_uniform_f)."""
-    w = Window.partitionBy("series_id").orderBy("frequency")
-    wall = Window.partitionBy("series_id")
-    diffs = pg.select(
+    # every projection/aggregate as parsed SQL strings (r11 — the window
+    # selects and the five-aggregate block measured ~70 py4j round-trips
+    # per plan build). Literal spellings mirror Python's reflected
+    # operators exactly — ``1.0 / col`` keeps the Double literal first
+    # (``1.0D /``), ``_RTOL * F.abs(x)`` reflected to ``abs(x) * rtol``,
+    # ``_ATOL + y`` reflected to ``y + atol`` — so the parsed trees are
+    # node-identical to the former Column build (pinned by the
+    # plan-identity test).
+    lagf = "lag(frequency) OVER (PARTITION BY series_id ORDER BY frequency)"
+    diffs = pg.selectExpr(
         "series_id",
         "frequency",
         "power",
-        (F.col("frequency") - F.lag("frequency").over(w)).alias("df_i"),
-        ((1.0 / F.col("frequency")) - (1.0 / F.lag("frequency").over(w))).alias("dp_i"),
+        f"frequency - {lagf} AS df_i",
+        f"(1.0D / frequency) - (1.0D / {lagf}) AS dp_i",
     )
     # the medians ride the SAME series_id exchange+sort the lag window
     # already paid (unbounded-frame window aggregates, not a separate
     # groupBy + join back — that shape cost an extra shuffle, a broadcast,
     # and a full second pass over the periodogram; measured 1.9× slower at
     # sf0.1)
-    enr = diffs.select(
+    enr = diffs.selectExpr(
         "*",
-        F.median("df_i").over(wall).alias("median_df"),
-        (-F.median("dp_i").over(wall)).alias("median_dp"),
+        "median(df_i) OVER (PARTITION BY series_id) AS median_df",
+        "-median(dp_i) OVER (PARTITION BY series_id) AS median_dp",
     )
     agg = (
         enr
         .groupBy("series_id")
         .agg(
-            F.max_by("frequency", "power").alias("fmax"),
-            F.max_by(1.0 / F.col("frequency"), F.col("power")).alias("pmax"),
-            F.first("median_df").alias("median_df"),
-            F.first("median_dp").alias("median_dp"),
-            F.min(
-                F.when(F.col("df_i").isNull(), True).otherwise(
-                    F.abs(F.col("df_i") - F.col("median_df"))
-                    <= _ATOL + _RTOL * F.abs(F.col("median_df"))
-                )
-            ).alias("is_uniform_f"),
+            F.expr("max_by(frequency, power) AS fmax"),
+            F.expr("max_by(1.0D / frequency, power) AS pmax"),
+            F.expr("first(median_df) AS median_df"),
+            F.expr("first(median_dp) AS median_dp"),
+            F.expr(
+                "min(CASE WHEN df_i IS NULL THEN true ELSE"
+                f" abs(df_i - median_df) <= abs(median_df) * {_RTOL!r}D"
+                f" + {_ATOL!r}D END) AS is_uniform_f"
+            ),
         )
     )
-    return agg.withColumn(
-        "df", F.when(F.col("is_uniform_f"), F.col("median_df"))
+    return agg.selectExpr(
+        "*", "CASE WHEN is_uniform_f THEN median_df END AS df"
     )

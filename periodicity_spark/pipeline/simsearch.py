@@ -279,26 +279,34 @@ def cosine_topk_lsh(
         .select("qid", "vec_id")
         .distinct()
     )
+    # dim-unrolled codegen dot/norm instead of interpreted HOF folds on
+    # the dominant exact re-rank (bit-identical: same element order, fold
+    # fallback off-dimension — the same r11 rewrite as the brute-force
+    # path; the LSH re-rank had been left on the fold)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col)).alias("_nv"),
+        _norm_expr(vec_col, dim).alias("_nv"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("qid"),
         F.col(probe_vec_col).alias("_q"),
-        _norm(F.col(probe_vec_col)).alias("_nq"),
+        _norm_expr(probe_vec_col, dim).alias("_nq"),
     )
     pairs = cand.join(c, "vec_id").join(F.broadcast(p), "qid").select(
         "qid",
         "vec_id",
-        _cosine(_dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
+        _cosine(_dot_expr("_q", "_v", dim), F.col("_nq"), F.col("_nv")).alias("cosine"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # NULL-cosine rows excluded AFTER the rank window (see
+    # cosine_topk_bruteforce — the pre-window filter on the derived
+    # column was optimizer-pushed into the joins, re-evaluating the
+    # cosine per candidate; DESC NULLS LAST makes post-window identical)
     return (
-        pairs.filter(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
+        pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .filter(F.col("cosine").isNotNull())
         .select("qid", "vec_id", "cosine", "rank")
     )
 

@@ -318,3 +318,59 @@ def test_assign_with_vec_is_exact_passthrough(spark, sf_dir):
         src = {r["vec_id"]: r["embedding"] for r in emb.collect()}
         for r in rich:
             assert list(r["embedding"]) == list(src[r["vec_id"]]), r["vec_id"]
+
+
+def test_cosine_topk_lsh_matches_pre_r11_formulation(spark, sf_dir):
+    """r11 changed cosine_topk_lsh's exact re-rank (unrolled dot/norm for
+    the declared dim, NULL-cosine filter moved above the rank window).
+    Differential: the pre-r11 formulation re-implemented verbatim (HOF
+    fold dot/norm, pre-window isNotNull filter) must produce the same
+    row set on the real sf embeddings."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from periodicity_spark.pipeline import simsearch as ss
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    corpus = ss._finite_rows(emb, "embedding")
+    p_in = ss._finite_rows(probes, "qvec")
+    bud = ss.multi_table_buckets(24, 4, 42, 64)
+    csig = corpus.select(
+        "vec_id", F.posexplode(bud(F.col("embedding"))).alias("table", "bucket")
+    )
+    psig = p_in.select(
+        "qid", F.posexplode(bud(F.col("qvec"))).alias("table", "bucket")
+    )
+    cand = (
+        csig.join(F.broadcast(psig), ["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    c = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("_v"),
+        ss._norm(F.col("embedding")).alias("_nv"),
+    )
+    p = p_in.select(
+        "qid", F.col("qvec").alias("_q"), ss._norm(F.col("qvec")).alias("_nq")
+    )
+    pairs = cand.join(c, "vec_id").join(F.broadcast(p), "qid").select(
+        "qid",
+        "vec_id",
+        ss._cosine(ss._dot(F.col("_q"), F.col("_v")), F.col("_nq"), F.col("_nv")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    old = (
+        pairs.filter(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vec_id", "cosine", "rank")
+    )
+
+    new = ss.cosine_topk_lsh(emb, probes, k=5, dim=64)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
