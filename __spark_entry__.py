@@ -155,7 +155,9 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw memoized embeddings scan — same per-consumer floor policy as
     ``_docs`` (r11 A/B: the floor loses 1.3-2.0× at sf0.1 and ties at sf1
     for every embeddings consumer except the brute-force matmul of
-    q_simsearch_topk, which floors at its call site)."""
+    q_simsearch_topk and the LSH signature UDF of q_simsearch_lsh
+    — sf1 raw 22.7 s vs floored 10.4 s — which floor at their call
+    sites)."""
     return _tbl(spark, sf_dir, "embeddings")
 
 
@@ -3822,7 +3824,11 @@ FROM f
 
 
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    # floored corpus: the 24-table signature UDF (ArrowEvalPython over
+    # every corpus vector) runs BELOW the first exchange and serializes
+    # on a narrow scan — the one gated-floor consumer the sf1 A/B flagged
+    # as a regression (22.7 s raw vs 10.4 s floored; sf0.1 pays ~0.4 s)
+    emb = _emb_floored(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
