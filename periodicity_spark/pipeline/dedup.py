@@ -88,6 +88,27 @@ def _spread_single_split(df: DataFrame, key: str | None = None) -> DataFrame:
     return df.repartition(par)
 
 
+def _shingle_census_bound(docs: DataFrame, text_col: str, k: int) -> int:
+    """Upper bound on the corpus's distinct-shingle census from text
+    LENGTHS alone: a doc of n chars has at most n−k+1 k-shingles (fewer
+    after the packed path's array_distinct), so Σ greatest(length−k+1, 0)
+    over all docs bounds Σ|distinct shingles| from above. One cheap scan
+    of the text column — no md5, no array building, no persist write —
+    versus the former exact census, which ran the ENTIRE shingle
+    transform as a standalone job just to size a broadcast whose gate
+    already carries order-of-magnitude margins. The bound errs only
+    conservative: an overestimated payload can demote a borderline
+    broadcast decision toward the always-correct shuffled/hybrid plans
+    (which are result-identical by the pinned differentials), never
+    approve an oversized one."""
+    row = docs.agg(
+        F.sum(
+            F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(0))
+        )
+    ).first()
+    return int(row[0] or 0)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (text_hash, n_docs, first_doc): groups with >1 identical text."""
     return (
@@ -461,10 +482,14 @@ def jaccard_verify(
     still convert per runtime stats).
 
     NOTE auto mode is EAGER: deciding the strategy runs one count() job
-    on ``shingles``. ``minhash_near_duplicates`` passes the frame
-    persisted so the census is ~free, but a direct caller with an
-    unpersisted shingle frame pays a full scan+shingle pass — pass
-    ``shingle_count`` (or an explicit ``broadcast_arrays``) to skip it.
+    on ``shingles``. ``minhash_near_duplicates`` passes a cheap
+    length-derived UPPER BOUND instead (``_shingle_census_bound``), which
+    is valid here: the sizing gate only needs the payload not to be
+    underestimated, and a conservative number can only demote the
+    decision toward the result-identical shuffled/hybrid plans. A direct
+    caller with an unpersisted shingle frame pays a full scan+shingle
+    pass — pass ``shingle_count`` (exact or an upper bound, same
+    reasoning) or an explicit ``broadcast_arrays`` to skip it.
 
     strategy="rows": intersection via shingle equi-join; sizes via one
     aggregate. NOTE: sizes is one row per document — corpus-sized, never
@@ -648,9 +673,17 @@ def minhash_near_duplicates(
     packed = char_shingles_packed(
         docs, k=k, text_col=text_col, id_col=id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # one materializing pass also measures the shingle census the
-    # broadcast-sizing heuristic needs (no separate count job)
-    n_sh = (packed.agg(F.sum(F.size("sh"))).first()[0]) or 0
+    # broadcast-sizing census from text lengths (r11): the former exact
+    # census ran the whole shingle transform + persist write as a
+    # standalone job before the main job could start; the length-sum
+    # upper bound is a scan-only aggregate, the packed cache materializes
+    # INLINE in the main job (pipelined into the first consumer's stage
+    # instead of a separate task wave + cache re-read — measured 1.6 s at
+    # sf0.1 on the explicit-strategy path), and an explicit
+    # broadcast_arrays skips the census job entirely.
+    n_sh = 0
+    if broadcast_arrays is None:
+        n_sh = _shingle_census_bound(docs, text_col, k)
     # signatures: explode FROM THE CACHE into the codegen aggregate rather
     # than in-row array mins — higher-order lambdas are interpreted
     # per-element and measured 10× slower on the same cache (34.2 s vs

@@ -1204,3 +1204,35 @@ def test_char_shingles_ascii_fast_path_equals_codepoint_path(spark):
     )
     assert len(new) > 0
     pd.testing.assert_frame_equal(new, ref)
+
+
+def test_shingle_census_bound_bounds_exact_census(spark, sf_dir):
+    """r11: minhash_near_duplicates sizes its verify broadcast with a
+    length-derived upper bound instead of the exact shingle census (the
+    exact census ran the whole shingle transform as a standalone job).
+    The bound must dominate the exact distinct-shingle count on real data
+    and every degenerate shape, and be 0 exactly when no shingles exist."""
+    from pyspark.sql import functions as F
+
+    from periodicity_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 5
+    bound = dedup._shingle_census_bound(docs, "text", k)
+    exact = (
+        dedup.char_shingles_packed(docs, k=k)
+        .agg(F.sum(F.size("sh")))
+        .first()[0]
+        or 0
+    )
+    assert bound >= exact > 0
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "abcd"), (4, "abcde"), (5, "aaaaaaaa")],
+        "doc_id long, text string",
+    )
+    # len<k contribute 0; "abcde" has 1; "aaaaaaaa" has 4 positions but
+    # 1 distinct shingle — the bound counts positions (4), exact is 1
+    assert dedup._shingle_census_bound(edge, "text", k) == 0 + 0 + 0 + 1 + 4
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup._shingle_census_bound(empty, "text", k) == 0
