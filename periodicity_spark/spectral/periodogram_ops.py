@@ -91,17 +91,93 @@ def psort_by_prominence(pg: DataFrame, k: int | None = None) -> DataFrame:
     """Peak periods ranked by scipy-style prominence instead of height
     (reference core.py:948-950) — prominence separates genuine spectral
     structure from shoulders on a tall peak. The prominence walk is linear
-    per series (Arrow kernel, find_peaks_prominence); ranking is a window.
-    → (series_id, rank, period, power, prominence)."""
-    from periodicity_spark.operators.windows import find_peaks_prominence
+    per series (Arrow kernel, find_peaks_prominence).
+    → (series_id, rank, period, power, prominence).
 
-    peaks = find_peaks_prominence(pg, order_col="frequency", value="power")
-    w = Window.partitionBy("series_id").orderBy(
-        F.desc("prominence"), F.asc("frequency")
+    With ``k`` given, the ranking happens INSIDE the kernel: the kernel
+    already holds the whole series, so ranking there removes the post-kernel
+    row_number exchange+sort entirely and the kernel emits k rows per series
+    instead of every peak (~10× fewer Arrow rows out). The in-kernel order —
+    prominence DESC (NaN first, Spark's desc-NaN rule), frequency ASC — is
+    the row_number window's exact ordering on the same float64s, so the
+    selected rows and ranks are bit-identical (differential-pinned in
+    tests/test_spectral_extras.py against the windowed formulation)."""
+    if k is None:
+        from periodicity_spark.operators.windows import find_peaks_prominence
+
+        peaks = find_peaks_prominence(pg, order_col="frequency", value="power")
+        w = Window.partitionBy("series_id").orderBy(
+            F.desc("prominence"), F.asc("frequency")
+        )
+        ranked = peaks.withColumn("rank", F.row_number().over(w))
+        return ranked.select(
+            "series_id",
+            "rank",
+            (1.0 / F.col("frequency")).alias("period"),
+            "power",
+            "prominence",
+        )
+
+    from periodicity_spark.session import grouped_apply
+
+    kk = int(k)
+    out_schema = (
+        "series_id string, rank int, frequency double, power double,"
+        " prominence double"
     )
-    ranked = peaks.withColumn("rank", F.row_number().over(w))
-    if k is not None:
-        ranked = ranked.filter(F.col("rank") <= k)
+
+    # NOTE: the closure imports pandas/numpy inside and references no module
+    # globals — cloudpickle then ships it by value, so executors never need
+    # periodicity_spark importable. The peak/prominence walk is verbatim
+    # find_peaks_prominence's (bit-identity pinned by differential test).
+    def _per_series(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["series_id", "rank", "frequency", "power", "prominence"]
+        pdf = pdf.sort_values("frequency")
+        x = pdf["power"].to_numpy(dtype=float)
+        f = pdf["frequency"].to_numpy(dtype=float)
+        n = len(x)
+        if n < 3:
+            return pd.DataFrame(columns=cols)
+        mid = x[1:-1]
+        peaks = np.where((mid > x[:-2]) & (mid > x[2:]))[0] + 1
+        if not len(peaks):
+            return pd.DataFrame(columns=cols)
+        proms = np.empty(len(peaks))
+        for j, p in enumerate(peaks):
+            # left: min between p and previous higher sample (or edge)
+            i = p - 1
+            left_min = x[p]
+            while i >= 0 and x[i] <= x[p]:
+                left_min = min(left_min, x[i])
+                i -= 1
+            i = p + 1
+            right_min = x[p]
+            while i < n and x[i] <= x[p]:
+                right_min = min(right_min, x[i])
+                i += 1
+            proms[j] = x[p] - max(left_min, right_min)
+        # row_number over (prominence DESC, frequency ASC): negated
+        # prominence ascending = prominence descending on the identical
+        # float64s; a NaN prominence maps to -inf so it ranks FIRST, matching
+        # Spark's desc ordering where NaN is greater than any value (numpy
+        # would otherwise sort -NaN last). lexsort's primary key is the LAST
+        # array; frequency (unique per series) breaks prominence ties.
+        key = np.where(np.isnan(proms), -np.inf, -proms)
+        order = np.lexsort((f[peaks], key))[:kk]
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "rank": np.arange(1, len(order) + 1, dtype="int32"),
+                "frequency": f[peaks][order],
+                "power": x[peaks][order],
+                "prominence": proms[order],
+            }
+        )
+
+    ranked = grouped_apply(pg, _per_series, out_schema)
     return ranked.select(
         "series_id",
         "rank",

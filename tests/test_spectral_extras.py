@@ -109,6 +109,60 @@ def test_psort_by_prominence_separates_shoulder_from_peak(spark):
     assert top["period"] == pytest.approx(1.0 / 0.3)
 
 
+def test_psort_fused_topk_matches_windowed_formulation(spark, sf_dir):
+    """The k-given fused path (in-kernel lexsort rank) must select the SAME
+    rows with the SAME ranks as the former windowed formulation — the
+    row_number window over (prominence DESC, frequency ASC) on the
+    find_peaks_prominence kernel output — on the real GLS periodogram AND
+    on a tie/NaN construction. Bit-equality, not approx: the fused kernel
+    runs the verbatim prominence walk and ranks the identical float64s."""
+    from pyspark.sql import Window
+
+    import __spark_entry__ as em
+    from periodicity_spark.operators.windows import find_peaks_prominence
+    from periodicity_spark.spectral.periodogram_ops import psort_by_prominence
+
+    def windowed_reference(pg, k):
+        peaks = find_peaks_prominence(pg, order_col="frequency", value="power")
+        w = Window.partitionBy("series_id").orderBy(
+            F.desc("prominence"), F.asc("frequency")
+        )
+        ranked = peaks.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
+        return ranked.select(
+            "series_id",
+            "rank",
+            (1.0 / F.col("frequency")).alias("period"),
+            "power",
+            "prominence",
+        )
+
+    def rows(df):
+        return sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    pg = em._gls_pg(spark, sf_dir)
+    assert rows(psort_by_prominence(pg, k=3)) == rows(windowed_reference(pg, 3))
+
+    # ties (two peaks with equal prominence → frequency breaks) and a NaN
+    # power (NaN prominence ranks FIRST under Spark's desc ordering)
+    freq = [0.1 * (i + 1) for i in range(13)]
+    power = [0.0, 5.0, 0.0, 5.0, 0.0, 1.0, 0.0, float("nan"), 0.0, 2.0, 0.0, 3.0, 0.0]
+    pgt = spark.createDataFrame(
+        pd.DataFrame({"series_id": "t", "frequency": freq, "power": power})
+    )
+    got = rows(psort_by_prominence(pgt, k=4))
+    want = rows(windowed_reference(pgt, 4))
+    def _canon(rws):
+        return [
+            tuple(("NaN" if isinstance(x, float) and x != x else x) for x in r)
+            for r in rws
+        ]
+    assert _canon(got) == _canon(want)
+
+
 def test_gls_arrow_matches_crossjoin_path(spark):
     """The Arrow per-series GLS strategy must be numerically identical to
     the distributed crossJoin path (1e-9) with the same NULL pattern, on
