@@ -673,17 +673,30 @@ def minhash_near_duplicates(
     packed = char_shingles_packed(
         docs, k=k, text_col=text_col, id_col=id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # broadcast-sizing census from text lengths (r11): the former exact
-    # census ran the whole shingle transform + persist write as a
-    # standalone job before the main job could start; the length-sum
-    # upper bound is a scan-only aggregate, the packed cache materializes
-    # INLINE in the main job (pipelined into the first consumer's stage
-    # instead of a separate task wave + cache re-read — measured 1.6 s at
-    # sf0.1 on the explicit-strategy path), and an explicit
-    # broadcast_arrays skips the census job entirely.
+    # broadcast-sizing census, two-tier (r11): the length-sum UPPER BOUND
+    # is a scan-only aggregate (no md5, no arrays, no persist write), so
+    # when it clears every broadcast gate the true (smaller) payload
+    # clears them too — decide True right here, and the packed cache
+    # materializes INLINE in the main job (pipelined into the first
+    # consumer's stage instead of a separate task wave + cache re-read —
+    # measured 1.6 s at sf0.1). Only when the bound FAILS a gate is it too
+    # blunt to act on: its ~1.4× slack can demote a payload that actually
+    # fits (measured: sf1's 858 MB relation collects under the 1 GB
+    # maxResultSize cap, its 1.23 GB bound does not, and the demoted
+    # hybrid plan cost 375 s vs 239 s broadcast). In that borderline
+    # regime pay the ONE exact-census job on the packed cache — the job
+    # is not wasted, it materializes the cache the main job reuses — and
+    # let the verify gate size broadcast/hybrid/shuffled from the exact
+    # count. An explicit broadcast_arrays skips the census entirely.
     n_sh = 0
     if broadcast_arrays is None:
-        n_sh = _shingle_census_bound(docs, text_col, k)
+        from periodicity_spark.pipeline._heap import fits_broadcast
+
+        bound = _shingle_census_bound(docs, text_col, k)
+        if fits_broadcast(docs.sparkSession, bound * 8, copies=2):
+            broadcast_arrays = True
+        else:
+            n_sh = packed.agg(F.sum(F.size("sh"))).first()[0] or 0
     # signatures: explode FROM THE CACHE into the codegen aggregate rather
     # than in-row array mins — higher-order lambdas are interpreted
     # per-element and measured 10× slower on the same cache (34.2 s vs

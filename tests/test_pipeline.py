@@ -1236,3 +1236,48 @@ def test_shingle_census_bound_bounds_exact_census(spark, sf_dir):
     assert dedup._shingle_census_bound(edge, "text", k) == 0 + 0 + 0 + 1 + 4
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert dedup._shingle_census_bound(empty, "text", k) == 0
+
+
+def test_minhash_census_two_tier_routing(spark, sf_dir, monkeypatch):
+    """r11 regression pin: the length bound is ACTED ON only when it
+    clears every broadcast gate (conservative bound passes ⇒ true payload
+    passes). When the bound fails a gate, the pipeline must fall back to
+    the EXACT census and let the verify gate size the plan from it — not
+    demote the plan off the inflated bound. The sf1 regression this
+    guards: the 858 MB packed relation collects under the 1 GB
+    maxResultSize cap, its ~1.4× length bound does not, and acting on the
+    bound demoted a working broadcast to the 1.57×-slower hybrid."""
+    import periodicity_spark.pipeline._heap as _heap
+    from periodicity_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # 1. bound passes (real session, tiny corpus): exactly one gate probe,
+    #    on the bound payload — no exact-census job is needed
+    calls: list[float] = []
+    real = _heap.fits_broadcast
+
+    def probe(sp, payload, copies=1):
+        calls.append(payload)
+        return real(sp, payload, copies=copies)
+
+    monkeypatch.setattr(_heap, "fits_broadcast", probe)
+    base = dedup.minhash_near_duplicates(docs, threshold=0.4)
+    base_rows = sorted(map(tuple, base.collect()))
+    assert len(calls) == 1
+
+    # 2. bound fails (forced): the exact census must run and feed the
+    #    verify gate — its payload probe is strictly below the bound's —
+    #    and the pair set must be identical whichever plan the gate picks
+    calls2: list[float] = []
+
+    def probe_fail_first(sp, payload, copies=1):
+        calls2.append(payload)
+        if len(calls2) == 1:
+            return False  # simulate the bound tripping a gate
+        return real(sp, payload, copies=copies)
+
+    monkeypatch.setattr(_heap, "fits_broadcast", probe_fail_first)
+    forced = dedup.minhash_near_duplicates(docs, threshold=0.4)
+    assert sorted(map(tuple, forced.collect())) == base_rows
+    assert len(calls2) >= 2 and calls2[1] <= calls2[0]
